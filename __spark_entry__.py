@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gcp_cloudsql_airflow_bigquery_spark.plans import relational
+from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(llmdata.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(llmdata.ORACLE)
     return out

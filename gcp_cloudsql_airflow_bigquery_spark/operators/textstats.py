@@ -1,0 +1,139 @@
+r"""Text analysis operators over a document column (SURVEY.md §2b
+"text analysis"): tokenization, quality scoring, language-ID heuristic,
+fingerprinting.
+
+Everything here is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — so a 100 TB corpus
+scans at parquet speed with filters/projections pushed down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword language heuristic;
+# deliberately small + deterministic so the oracle SQL can mirror them
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS: tuple[str, ...] = tuple(
+    sorted({w for ws in LANG_MARKERS.values() for w in ws})
+)
+
+
+def tokens(text: Column) -> Column:
+    r"""Whitespace tokenization of trimmed text (empty text → [])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    r"""A BPE-ish proxy: count word pieces + digit runs + punctuation
+    marks, the way byte-pair tokenizers fragment text.  Pure regexp —
+    stays in codegen."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return F.when(n > 0, stop / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    n = F.length(text)
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: long-enough docs with low
+    punctuation and a sane stopword share score high (the usual
+    pretraining-filter shape: length/punct/stopword gates)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return F.round((len_score * 0.5 + punct_pen * 0.25 + stop_score * 0.25), 6)
+
+
+def _membership(ws: tuple[str, ...]):
+    # closure factory: the lambda must stay 1-ary (a 2-ary lambda makes
+    # Spark bind the array *index* to the second parameter)
+    return lambda w: w.isin(*ws)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _membership(ws)))
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def detect_lang(text: Column) -> Column:
+    """Argmax of marker-stopword hits with a deterministic tie order
+    (en > de > es > fr), 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build CASE in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    r"""Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex string —
+    identical in any engine, so exact-dup detection is portable)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprints(text: Column, window: int = 8) -> Column:
+    """Rolling (Rabin-style) fingerprint set: xxhash64 over each
+    ``window``-token shingle of the normalized text.  Used for
+    winnowing-style near-dup detection; engine-specific hash, so
+    checked by property tests rather than a SQL oracle."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_pieces"),
+        F.length(t).alias("n_chars"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        detect_lang(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fingerprint"),
+    )

@@ -1,0 +1,298 @@
+r"""LLM-data-pipeline plans over ``documents``/``embeddings``
+(SURVEY.md §7 M4): dedup, similarity search, text analysis.
+
+Oracle-checkable entries mirror their operators in portable SQL (md5 is
+hex-identical across engines; shingle/token constructions replicated
+with DuckDB list lambdas).  Engine-specific-hash ops (MinHash/SimHash
+xxhash64, LSH buckets) are rows-only here and property-tested in
+``tests/test_llmdata.py`` against exact baselines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, textstats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# SQL fragment mirroring textstats.normalize_text
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# SQL fragment mirroring dedup.word_shingles(text, 3) on normalized text
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(w)-2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+# --- dedup -----------------------------------------------------------------
+
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT id, len(sh) AS n_sh FROM nonempty),
+inv AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+"""
+
+
+def doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: xxhash64 signatures are
+    engine-specific; recall vs exact Jaccard is property-tested)."""
+    return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only; engine-specific bit signatures)."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_distance=3)
+
+
+# --- similarity search -----------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+_KNN_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, v.e) /
+               (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               6) AS cosine
+  FROM q JOIN v ON q.vec_id != v.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup on a deterministic subset (the exact
+    baseline; the LSH path covers full-corpus scale)."""
+    return similarity.cosine_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.25,
+        subset_filter=F.col("vec_id") % 20 == 0,
+    )
+
+
+_EMB_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 20 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) /
+            (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))),
+            6) >= 0.25
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (rows-only; recall vs brute force
+    is property-tested)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=10)
+
+
+# --- text analysis ---------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).alias("n_pieces"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+       LENGTH(text) AS n_chars_computed
+FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(textstats.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(textstats.punct_ratio(t), 6).alias("punct_ratio"),
+        textstats.quality_score(t).alias("quality"),
+    )
+
+
+_STOPLIST_SQL = "', '".join(textstats.STOPWORDS)
+
+_QUALITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct
+  FROM toks
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_r,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_r,
+         n_tok
+  FROM m
+)
+SELECT doc_id,
+       ROUND(stop_r, 6) AS stop_ratio,
+       ROUND(punct_r, 6) AS punct_ratio,
+       ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+             GREATEST(0.0, 1.0 - punct_r * 5) * 0.25 +
+             LEAST(stop_r * 4, 1.0) * 0.25, 6) AS quality
+FROM r
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        textstats.detect_lang(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _lang_list_sql(lang: str) -> str:
+    return "', '".join(textstats.LANG_MARKERS[lang])
+
+
+_LANGID_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.size(textstats.rolling_fingerprints(F.col("text"), window=8)).alias(
+            "n_rolling"
+        ),
+    )
+
+
+_FINGERPRINT_SQL = rf"""
+WITH n AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       CASE WHEN norm = '' THEN 0
+            ELSE GREATEST(len(string_split(norm, ' ')) - 7, 0) END AS n_rolling
+FROM n
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_dedup_exact": doc_dedup_exact,
+    "doc_dedup_ngram_jaccard": doc_dedup_ngram_jaccard,
+    "doc_dedup_minhash": doc_dedup_minhash,
+    "doc_dedup_simhash": doc_dedup_simhash,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    "embedding_neardup": embedding_neardup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh
+ORACLE: dict[str, str] = {
+    "doc_dedup_exact": _DEDUP_EXACT_SQL,
+    "doc_dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+    "knn_bruteforce": _KNN_SQL,
+    "embedding_neardup": _EMB_NEARDUP_SQL,
+    "doc_token_stats": _TOKEN_STATS_SQL,
+    "doc_quality": _QUALITY_SQL,
+    "doc_langid": _LANGID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+}
