@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata, relational
+from gcp_cloudsql_airflow_bigquery_spark.plans import events, llmdata, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(llmdata.QUERIES)
+    out.update(events.QUERIES)
     return out
 
 
@@ -35,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(llmdata.ORACLE)
+    out.update(events.ORACLE)
     return out

@@ -1,0 +1,171 @@
+"""Structured Streaming pipelines over the events schema.
+
+``readStream`` file source → event-time transforms → sink.  Watermarks
+bound state: late data beyond the watermark is dropped, windows close
+and emit (append mode), and dedup state expires.  At cluster scale the
+same code runs against Kafka by swapping the source — everything after
+``load()`` is source-agnostic.
+
+Custom stateful operator (SURVEY.md §2 "custom operators" path (b)):
+:func:`running_user_totals` uses ``applyInPandasWithState`` — per-user
+running aggregates with explicit GroupState, the pattern for operators
+Spark's built-in windows can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream (the NDJSON-chunks-in-a-bucket shape of
+    the reference's v2 interchange, one file per micro-batch slice)."""
+    reader = spark.readStream.format(fmt).schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling counts: closes (and emits, in append mode)
+    each window once the watermark passes its end; state is bounded by
+    watermark horizon × window count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes, so state never grows unboundedly (the streaming
+    form of the ETL full-refresh dedup semantics)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked session windows per user (same expression as the
+    batch form in :mod:`.windows`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, total_value)
+    maintained in GroupState across micro-batches — emits the updated
+    running totals for each user seen in a batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    timeout_s: float = 120.0,
+) -> None:
+    """Drive a stream with availableNow (process-everything-then-stop)
+    into an in-memory table named ``query_name`` — the test/bench sink."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")

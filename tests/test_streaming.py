@@ -1,0 +1,88 @@
+"""Structured Streaming tests: watermarked windows, stateful dedup,
+custom stateful operator — driven with availableNow triggers into
+memory sinks (SURVEY.md §7 M3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+from gcp_cloudsql_airflow_bigquery_spark.streaming import streams, windows
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """events table re-materialized as NDJSON chunks (the v2 interchange
+    shape) for file-source streaming."""
+    out = str(tmp_path_factory.mktemp("events_ndjson"))
+    load_table(spark, sf_dir, "events").coalesce(3).write.mode("overwrite").json(out)
+    return out
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, event_dir):
+    stream = streams.read_event_stream(spark, event_dir)
+    streams.run_to_memory(
+        streams.windowed_counts_stream(stream), "t_tumbling", output_mode="complete"
+    )
+    got = {
+        (r.w_start, r.event_type): r.n_events
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        (r.w_start, r.event_type): r.n_events
+        for r in windows.tumbling_counts(batch).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, event_dir, tmp_path):
+    """Duplicate event_ids across chunks must be emitted exactly once."""
+    dup_dir = str(tmp_path / "dups")
+    base = spark.read.json(event_dir).limit(200)
+    base.union(base).coalesce(2).write.mode("overwrite").json(dup_dir)
+    stream = streams.read_event_stream(spark, dup_dir)
+    streams.run_to_memory(
+        streams.dedup_stream(stream), "t_dedup", output_mode="append"
+    )
+    out = spark.table("t_dedup")
+    assert out.count() == out.select("event_id").distinct().count()
+    assert out.count() == 200
+
+
+def test_stream_running_user_totals(spark, sf_dir, event_dir):
+    """Custom stateful operator: final per-user emission equals the
+    batch aggregate (state survives micro-batch boundaries)."""
+    stream = streams.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    streams.run_to_memory(
+        streams.running_user_totals(stream), "t_running", output_mode="update"
+    )
+    # memory sink in update mode appends each emission; the LAST per user
+    # is the running total after its final batch
+    emissions = spark.table("t_running").collect()
+    final: dict[int, tuple[int, float]] = {}
+    for r in emissions:  # in emission order
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert abs(final[u][1] - want[u][1]) < 1e-3
+
+
+def test_stream_sessionization_append(spark, event_dir):
+    """Watermarked session windows in append mode: sessions closed by
+    the final watermark are emitted, each with >=1 event."""
+    stream = streams.read_event_stream(spark, event_dir)
+    streams.run_to_memory(
+        streams.sessionized_stream(stream), "t_sessions", output_mode="append"
+    )
+    out = spark.table("t_sessions")
+    assert out.filter(F.col("n_events") < 1).count() == 0
+    assert out.filter(F.col("session_end") <= F.col("session_start")).count() == 0
