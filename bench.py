@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan into the noop sink (no driver-side
+collect skew); per-query wall time is reported, plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gcp_cloudsql_airflow_bigquery_spark.plans import events, llmdata, relational
+from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
+
+HEADLINE = [
+    ("flagship_revenue_by_region_nation", relational.QUERIES),
+    ("pricing_summary", relational.QUERIES),
+    ("join_broadcast", relational.QUERIES),
+    ("agg_count_distinct", relational.QUERIES),
+    ("topk_per_group", relational.QUERIES),
+    ("window_running", relational.QUERIES),
+    ("dedup_exact", relational.QUERIES),
+    ("events_session", events.QUERIES),
+    ("doc_dedup_minhash", llmdata.QUERIES),
+    ("knn_bruteforce", llmdata.QUERIES),
+    ("doc_token_stats", llmdata.QUERIES),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest fixture (not timed)
+    relational.QUERIES["flagship_revenue_by_region_nation"](
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, registry in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
