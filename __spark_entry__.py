@@ -12,7 +12,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gcp_cloudsql_airflow_bigquery_spark.plans import events, llmdata, relational
+from gcp_cloudsql_airflow_bigquery_spark.plans import (
+    advanced,
+    events,
+    llmdata,
+    relational,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(advanced.QUERIES)
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
     return out
@@ -35,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(advanced.ORACLE)
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)
     return out

@@ -1,0 +1,373 @@
+"""Extended SQL-surface plans (SURVEY.md §2b, beyond the core rows):
+statistical aggregates, percentiles, pivot/unpivot, correlated
+subqueries in SQL form, array aggregation, null/conditional scalar
+functions, RANGE window frames, and TPC-H-style multi-join shapes.
+
+Same conventions as :mod:`.relational`: decimal-cast sums, ROUND(...,4)
+for interpolated stats, unique tie-breaker orderings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_tables
+
+_DEC = "decimal(18,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("price_stddev_pop"),
+        F.round(F.median("o_totalprice"), 4).alias("price_median"),
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT o_orderstatus,
+       ROUND(STDDEV_SAMP(o_totalprice), 4) AS price_stddev,
+       ROUND(VAR_SAMP(o_totalprice), 4) AS price_var,
+       ROUND(STDDEV_POP(o_totalprice), 4) AS price_stddev_pop,
+       ROUND(MEDIAN(o_totalprice), 4) AS price_median
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+    )
+
+
+_AGG_PCT_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the spark.sql surface (the
+    stage_final_query hook executes exactly this way)."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          AND c_acctbal > 8000
+        """
+    )
+
+
+_SQL_EXISTS_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND c_acctbal > 8000
+"""
+
+
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+_SQL_IN_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SPLIT_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT s_nationkey,
+       LIST_SORT(LIST(s_suppkey)) AS supp_keys,
+       COUNT(*) AS n_suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("-")
+        ).alias("seg_coalesced"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_nonneg"),
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias(
+            "is_building"
+        ),
+    )
+
+
+_NULL_SQL = """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg_coalesced,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+       NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building
+FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+def between_like_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_name").like("%widget%")
+        & F.col("p_type").isin("PROMO", "ECONOMY")
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+_BETWEEN_SQL = """
+SELECT p_partkey, p_name, p_type, p_size FROM part
+WHERE p_size BETWEEN 10 AND 20
+  AND p_name LIKE '%widget%'
+  AND p_type IN ('PROMO', 'ECONOMY')
+"""
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0)
+        ).alias("returned_qty"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0, F.col("l_extendedprice"))), 4
+        ).alias("avg_taxed_price"),
+    )
+
+
+_COND_AGG_SQL = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS returned_qty,
+       ROUND(AVG(l_extendedprice) FILTER (l_tax > 0), 4) AS avg_taxed_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: count of same-customer
+    orders within ±10000 of each order's price (value-based frame, so
+    tie order is irrelevant — deterministic by construction)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_near_price"),
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+         AS n_near_price
+FROM orders
+"""
+
+
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per priority, orders with >=1 lineitem shipped
+    more than 60 days after the order date (semi-join, interval math)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+_LATE_SHIP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue by (supplier nation, customer nation,
+    year) — two independent dim chains off the same fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+_TRADE_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l_shipdate) AS ship_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name < n2.n_name
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_stats": agg_stats,
+    "agg_percentiles": agg_percentiles,
+    "pivot_status": pivot_status,
+    "unpivot_part": unpivot_part,
+    "sql_exists_subquery": sql_exists_subquery,
+    "sql_in_subquery": sql_in_subquery,
+    "split_explode": split_explode,
+    "array_agg_sorted": array_agg_sorted,
+    "null_funcs": null_funcs,
+    "between_like_in": between_like_in,
+    "conditional_agg": conditional_agg,
+    "window_range_frame": window_range_frame,
+    "late_shipment_orders": late_shipment_orders,
+    "nation_trade_volume": nation_trade_volume,
+}
+
+ORACLE: dict[str, str] = {
+    "agg_stats": _AGG_STATS_SQL,
+    "agg_percentiles": _AGG_PCT_SQL,
+    "pivot_status": _PIVOT_SQL,
+    "unpivot_part": _UNPIVOT_SQL,
+    "sql_exists_subquery": _SQL_EXISTS_SQL,
+    "sql_in_subquery": _SQL_IN_SQL,
+    "split_explode": _SPLIT_SQL,
+    "array_agg_sorted": _ARRAY_AGG_SQL,
+    "null_funcs": _NULL_SQL,
+    "between_like_in": _BETWEEN_SQL,
+    "conditional_agg": _COND_AGG_SQL,
+    "window_range_frame": _RANGE_FRAME_SQL,
+    "late_shipment_orders": _LATE_SHIP_SQL,
+    "nation_trade_volume": _TRADE_VOLUME_SQL,
+}
