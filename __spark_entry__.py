@@ -17,6 +17,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     events,
     llmdata,
     relational,
+    temporal,
 )
 
 
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(advanced.QUERIES)
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
+    out.update(temporal.QUERIES)
     return out
 
 
@@ -44,4 +46,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(advanced.ORACLE)
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)
+    out.update(temporal.ORACLE)
     return out

@@ -1,0 +1,156 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference delegates its whole query surface to the source database
+and BigQuery (``export_query`` / ``stage_final_query`` hooks, reference
+``dags/cloudsql_to_bigquery.py:66,70``); a native engine serving the
+same time-stamped workloads (the ``events`` fixture) needs the two
+time-series join primitives SQL engines ship as extensions (DuckDB
+``ASOF JOIN``, range joins):
+
+- **as-of join** — for each left row, the latest right row at-or-before
+  (or earliest at-or-after) its timestamp, per partition key. Implemented
+  as a *union + one window pass*: both sides are tagged and unioned, a
+  single ``Window.partitionBy(by).orderBy(ts, tag)`` carries the last
+  seen right-side values forward, then left rows are filtered back out.
+  Exactly ONE shuffle (on ``by``); no point-vs-range explosion; scales
+  linearly in rows and is AQE-skew-splittable, so it survives a 100 TB
+  events table where a naive ``join + max-filter`` would cross-product.
+
+- **interval join** — match points to [start, end] intervals per key.
+  Implemented as a *bucketed equi-join*: each interval explodes to the
+  fixed-width buckets it covers, each point hashes to exactly one
+  bucket, and the join runs as an equi-join on ``(key, bucket)`` with an
+  exact range refine after. A point's single bucket guarantees no
+  duplicate pairs. Shuffle volume is O(rows x avg_span/bucket_width),
+  tunable; Catalyst never sees a non-equi theta join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_ASOF_ON = "_asof_on"
+_TAG = "_tag"
+_BUCKET = "_bucket"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    value_cols: list[str],
+    *,
+    direction: str = "backward",
+    inclusive: bool = True,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left as-of join: left rows + ``value_cols`` from the nearest right
+    row per ``by`` group, plus ``_asof_on`` (the matched right ``on``).
+
+    ``on`` must be an orderable numeric/timestamp column present in both
+    sides. ``direction='backward'`` matches right.on <= left.on (the
+    DuckDB ``ASOF JOIN`` default); ``'forward'`` matches right.on >=
+    left.on. ``inclusive=False`` makes the comparison strict. If several
+    right rows share one ``on`` value within a group the carried values
+    come from an arbitrary one — pre-aggregate the right side to unique
+    ``(by, on)`` for deterministic output. ``tolerance`` (same units as
+    ``on``) nulls out matches farther than the given distance.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+
+    left_payload = [c for c in left.columns if c not in by and c != on]
+    carried = list(value_cols) + [_ASOF_ON]
+
+    l_part = left.select(
+        *by,
+        on,
+        F.lit(1).alias(_TAG),
+        *left_payload,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias(_ASOF_ON),
+    )
+    r_part = right.select(
+        *by,
+        on,
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *value_cols,
+        F.col(on).alias(_ASOF_ON),
+    )
+    unioned = l_part.unionByName(r_part)
+
+    # Order so the window "sees" exactly the right rows that qualify:
+    # backward+inclusive → right rows sort before left rows at equal ts.
+    if direction == "backward":
+        order = [F.col(on).asc(), F.col(_TAG).asc() if inclusive else F.col(_TAG).desc()]
+    else:
+        order = [F.col(on).desc(), F.col(_TAG).asc() if inclusive else F.col(_TAG).desc()]
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+
+    filled = unioned.select(
+        *by,
+        on,
+        _TAG,
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    out = filled.filter(F.col(_TAG) == 1).drop(_TAG)
+
+    if tolerance is not None:
+        dist = (
+            F.col(on) - F.col(_ASOF_ON)
+            if direction == "backward"
+            else F.col(_ASOF_ON) - F.col(on)
+        )
+        in_tol = F.col(_ASOF_ON).isNotNull() & (dist <= F.lit(tolerance))
+        out = out.select(
+            *by,
+            on,
+            *left_payload,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in carried],
+        )
+    return out
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every [start, end] interval (inclusive bounds)
+    that covers them, optionally also matching on equi-keys ``by``.
+
+    ``point_ts``/``start``/``end`` must be integral (e.g. epoch nanos).
+    ``bucket_width`` trades shuffle volume (intervals replicate to
+    span/width buckets) against refine selectivity; set it near the
+    typical interval span. Output columns = intervals' ++ points'
+    (caller pre-aliases collisions). Only inner joins are supported —
+    anti/semi variants compose from the result.
+    """
+    if how != "inner":
+        raise ValueError("interval_point_join supports how='inner' only")
+    by = list(by or [])
+    w = int(bucket_width)
+    iv = intervals.withColumn(
+        _BUCKET, F.explode(F.expr(f"sequence({start} div {w}, {end} div {w})"))
+    )
+    pt = points.withColumn(_BUCKET, F.expr(f"{point_ts} div {w}"))
+    cond = [pt[_BUCKET] == iv[_BUCKET]] + [pt[k] == iv[k] for k in by]
+    joined = pt.join(iv, cond, "inner").filter(
+        (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
+    )
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in by
+    ]
+    return joined.select(*keep)

@@ -1,0 +1,120 @@
+"""Temporal-join plans over the ``events`` fixture (as-of + interval),
+oracle-checked against DuckDB's native ``ASOF JOIN`` / range-join SQL.
+
+Timestamps are compared as raw epoch **microseconds** on both engines:
+``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads the int64 nanos
+via ``nanosAsLong`` and truncates to micros JVM-side, DuckDB truncates
+to micros at parquet read (its TIMESTAMP is µs) and exposes
+``epoch_us`` — identical int64s, no precision-truncation parity traps.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, interval_point_join
+
+_BLACKOUT_US = 1_000 * 1_800_000_000  # ±30 min in epoch micros
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` as the int64 microsecond timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click annotated with the user's most recent at-or-before
+    purchase value (DuckDB ``ASOF LEFT JOIN`` semantics). The purchase
+    side is pre-aggregated to unique (user, ts) so tie-breaking is
+    deterministic on both engines."""
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts_us", by="user_id", value_cols=["purchase_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "purchase_value",
+        (F.col("ts_us") - F.col("_asof_on")).alias("gap_us"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, r.purchase_value,
+       epoch_us(l.ts) - r.pts_us AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS pts_us, MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+  ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.pts_us
+"""
+
+
+def events_error_blackout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases falling inside any +/-30 min error-blackout
+    window of the same user, as (error, purchase) pairs with the signed
+    offset. Bucketed equi-join under the hood (no theta cross-product).
+    """
+    ev = _events_us(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts_us") - _BLACKOUT_US).alias("start_us"),
+        (F.col("ts_us") + _BLACKOUT_US).alias("end_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+    )
+    joined = interval_point_join(
+        purchases,
+        errors,
+        point_ts="ts_us",
+        start="start_us",
+        end="end_us",
+        by=["user_id"],
+        bucket_width=2 * _BLACKOUT_US,
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        (F.col("ts_us") - F.col("start_us") - F.lit(_BLACKOUT_US)).alias("offset_us"),
+    )
+
+
+_BLACKOUT_SQL = f"""
+SELECT e.event_id AS error_id, p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS offset_us
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - {_BLACKOUT_US}
+                        AND epoch_us(e.ts) + {_BLACKOUT_US}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_asof_purchase": events_asof_purchase,
+    "events_error_blackout": events_error_blackout,
+}
+
+ORACLE: dict[str, str] = {
+    "events_asof_purchase": _ASOF_SQL,
+    "events_error_blackout": _BLACKOUT_SQL,
+}

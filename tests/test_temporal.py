@@ -1,0 +1,101 @@
+"""Unit + oracle tests for the temporal join operators (as-of, interval)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+    asof_join,
+    interval_point_join,
+)
+from gcp_cloudsql_airflow_bigquery_spark.plans import temporal
+from gcp_cloudsql_airflow_bigquery_spark.testing import compare_spark_duckdb
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 15, "d"), (3, 5, "e")],
+        "k int, t int, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 25, 2.0), (2, 16, 3.0)],
+        "k int, t int, v double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"])
+    got = {(r.k, r.t, r.payload): (r.v, r._asof_on) for r in out.collect()}
+    assert got == {
+        (1, 10, "a"): (1.0, 10),  # inclusive: equal ts matches
+        (1, 20, "b"): (1.0, 10),
+        (1, 30, "c"): (2.0, 25),
+        (2, 15, "d"): (None, None),  # right is later only
+        (3, 5, "e"): (None, None),  # no right rows for k=3
+    }
+
+
+def test_asof_backward_strict(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"], inclusive=False)
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[(1, 10)] is None  # strict: equal ts no longer matches
+    assert got[(1, 20)] == 1.0
+
+
+def test_asof_forward(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"], direction="forward")
+    got = {(r.k, r.t): (r.v, r._asof_on) for r in out.collect()}
+    assert got == {
+        (1, 10): (1.0, 10),
+        (1, 20): (2.0, 25),
+        (1, 30): (None, None),
+        (2, 15): (3.0, 16),
+        (3, 5): (None, None),
+    }
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"], tolerance=5)
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[(1, 10)] == 1.0  # gap 0 <= 5
+    assert got[(1, 20)] is None  # gap 10 > 5 -> nulled
+    assert got[(1, 30)] == 2.0  # gap 5 <= 5
+
+
+def test_interval_point_join_bounds(spark):
+    points = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 150, "p2"), (1, 201, "p3"), (2, 100, "p4")],
+        "k int, t long, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, 200, "i1"), (1, 140, 160, "i2"), (3, 0, 1000, "i3")],
+        "k int, lo long, hi long, iid string",
+    )
+    out = interval_point_join(
+        points, intervals, point_ts="t", start="lo", end="hi", by=["k"], bucket_width=50
+    )
+    pairs = {(r.pid, r.iid) for r in out.collect()}
+    # inclusive bounds, no duplicate pairs despite intervals spanning buckets
+    assert pairs == {("p1", "i1"), ("p2", "i1"), ("p2", "i2")}
+    assert out.count() == 3
+
+
+@pytest.mark.parametrize("name", sorted(temporal.QUERIES))
+def test_temporal_matches_oracle(spark, duck, sf_dir, name):
+    df = temporal.QUERIES[name](spark, sf_dir)
+    mismatch = compare_spark_duckdb(df, duck, temporal.ORACLE[name])
+    assert mismatch is None, f"{name}: {mismatch}"
+
+
+def test_registry_keys_align():
+    assert set(temporal.QUERIES) == set(temporal.ORACLE)
