@@ -371,3 +371,248 @@ ORACLE: dict[str, str] = {
     "late_shipment_orders": _LATE_SHIP_SQL,
     "nation_trade_volume": _TRADE_VOLUME_SQL,
 }
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: percent_rank / cume_dist / nth_value over
+    a unique (price, key) ordering so peer groups are single rows on
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_lowest"),
+    )
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_lowest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "*").alias("brand_rpad"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_type", "AEO", "aeo").alias("type_tr"),
+        F.split_part("p_name", F.lit(" "), F.lit(2)).alias("name_word2"),
+        F.instr("p_name", "e").alias("first_e"),
+    )
+
+
+_STRING2_SQL = """
+SELECT p_partkey,
+       LPAD(p_brand, 12, '*') AS brand_lpad,
+       RPAD(p_brand, 12, '*') AS brand_rpad,
+       REPEAT(p_type, 2) AS type_twice,
+       REVERSE(p_name) AS name_rev,
+       TRANSLATE(p_type, 'AEO', 'aeo') AS type_tr,
+       SPLIT_PART(p_name, ' ', 2) AS name_word2,
+       STRPOS(p_name, 'e') AS first_e
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+    )
+
+
+_MATH2_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+       ROUND(EXP(l_discount), 6) AS disc_exp,
+       CAST(SIGN(l_quantity - 25) AS INTEGER) AS qty_sign
+FROM lineitem WHERE l_orderkey % 13 = 0
+"""
+
+
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic beyond the core suite. DuckDB quirks handled in
+    the oracle: no ``add_months`` (→ ``+ INTERVAL``), 0-based
+    ``dayofweek`` (→ ``+ 1``)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_add(d, 7).alias("plus7d"),
+    )
+
+
+_DATE2_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       QUARTER(o_orderdate) AS qtr,
+       DAYOFWEEK(o_orderdate) + 1 AS dow,
+       WEEKOFYEAR(o_orderdate) AS iso_week,
+       CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7d
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    outer-joined so zero-order customers appear (the join predicate
+    carries an extra filter, exercising non-key join conditions)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_CUSTDIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer context, top-20 by price. The HAVING runs map-side
+    partial aggregation on the fact before any join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 190)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_LARGE_VOLUME_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 190) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order. The classic formulation is a correlated
+    EXISTS / NOT EXISTS pair; here it is one window pass over the fact
+    keyed by order (single shuffle), oracle-checked against the
+    correlated-subquery SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_item = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supps"),
+    )
+    return (
+        per_item.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_LONE_LATE_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+QUERIES.update(
+    {
+        "window_analytics": window_analytics,
+        "string_funcs2": string_funcs2,
+        "math_funcs2": math_funcs2,
+        "date_funcs2": date_funcs2,
+        "custdist": custdist,
+        "large_volume_orders": large_volume_orders,
+        "lone_late_supplier": lone_late_supplier,
+    }
+)
+
+ORACLE.update(
+    {
+        "window_analytics": _WINDOW_ANALYTICS_SQL,
+        "string_funcs2": _STRING2_SQL,
+        "math_funcs2": _MATH2_SQL,
+        "date_funcs2": _DATE2_SQL,
+        "custdist": _CUSTDIST_SQL,
+        "large_volume_orders": _LARGE_VOLUME_SQL,
+        "lone_late_supplier": _LONE_LATE_SQL,
+    }
+)
