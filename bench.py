@@ -41,10 +41,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest fixture (not timed)
-    relational.QUERIES["flagship_revenue_by_region_nation"](
-        spark, "/root/testdata/sf0.001"
-    ).write.format("noop").mode("overwrite").save()
+    # JVM/codegen warm-up: run every headline plan shape once on the
+    # smallest fixture (not timed) so the timed sf runs measure
+    # data-proportional work, not Janino compilation.
+    for name, registry in HEADLINE:
+        registry[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, registry in HEADLINE:
