@@ -9,7 +9,7 @@ scans at parquet speed with filters/projections pushed down.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword language heuristic;
@@ -136,4 +136,39 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         detect_lang(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top TF-IDF term (tf * ln(N/df), ties broken
+    lexicographically). Two token-level aggregations (map-side combined)
+    plus a broadcast of the term→df side; the corpus size joins in as a
+    single-row broadcast, never a driver-side constant baked into the
+    plan. Scales: the wide explode is rows=tokens, but both aggs reduce
+    before any join."""
+    t = F.trim(F.lower(F.col(text_col)))
+    tok = docs.filter(t != "").select(
+        id_col, F.explode(F.split(t, r"\s+")).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("term").alias("top_term"), "tfidf")
     )

@@ -616,3 +616,91 @@ ORACLE.update(
         "lone_late_supplier": _LONE_LATE_SQL,
     }
 )
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions. Oracle quirks:
+    DuckDB ``range(a, b)`` is end-exclusive (Spark ``sequence`` is
+    inclusive), ``list_distinct`` is unordered (sorted on both sides),
+    ``list_slice`` takes an inclusive end (Spark ``slice`` takes a
+    length), and Spark ANSI mode needs ``try_element_at`` to match
+    DuckDB's NULL on out-of-bounds."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 9 == 0)
+    seq = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        F.array_contains(seq, 3).alias("has3"),
+        F.try_element_at(seq, F.lit(4)).alias("fourth"),
+        F.slice(seq, 1, 2).alias("first2"),
+        F.size(seq).alias("n"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.transform(seq, lambda x: x * 10).alias("tens"),
+        F.aggregate(seq, F.lit(0), lambda a, x: a + x).alias("total"),
+        F.sort_array(
+            F.array_distinct(F.concat(seq, F.array(F.lit(1), F.lit(2))))
+        ).alias("dedup_sorted"),
+    )
+
+
+_ARRAY_FUNCS_SQL = """
+SELECT p_partkey,
+       range(1, p_size % 5 + 2) AS seq,
+       list_contains(range(1, p_size % 5 + 2), 3) AS has3,
+       range(1, p_size % 5 + 2)[4] AS fourth,
+       list_slice(range(1, p_size % 5 + 2), 1, 2) AS first2,
+       len(range(1, p_size % 5 + 2)) AS n,
+       list_filter(range(1, p_size % 5 + 2), x -> x % 2 = 0) AS evens,
+       list_transform(range(1, p_size % 5 + 2), x -> x * 10) AS tens,
+       list_reduce(range(1, p_size % 5 + 2), (a, x) -> a + x) AS total,
+       list_sort(list_distinct(range(1, p_size % 5 + 2) || [1, 2])) AS dedup_sorted
+FROM part WHERE p_partkey % 9 = 0
+"""
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling — the scalable substitute for
+    TABLESAMPLE when the sample must be reproducible across engines and
+    runs: md5 of the key is portable, the predicate pushes down, and no
+    shuffle or seed state is involved."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1)
+    return li.filter(bucket.isin("0", "1")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+_SAMPLE_HASH_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+def agg_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL distinct, quantile sketch) — the 100 TB
+    path where exact distinct/percentile shuffles are unaffordable.
+    Rows-only check (sketch estimates are engine-specific); accuracy is
+    asserted against exact values in tests/test_oracle_advanced.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )
+
+
+QUERIES.update(
+    {
+        "array_funcs": array_funcs,
+        "sample_hash": sample_hash,
+        "agg_approx_sketch": agg_approx_sketch,
+    }
+)
+
+# agg_approx_sketch is rows-only (sketches are engine-specific estimates)
+ORACLE.update(
+    {
+        "array_funcs": _ARRAY_FUNCS_SQL,
+        "sample_hash": _SAMPLE_HASH_SQL,
+    }
+)

@@ -296,3 +296,33 @@ ORACLE: dict[str, str] = {
     "doc_langid": _LANGID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
 }
+
+
+def doc_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term — the canonical keyword-extraction
+    pass of a training-data pipeline."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * LN((SELECT COUNT(*) FROM documents) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
+"""
+
+QUERIES["doc_tfidf_top_term"] = doc_tfidf_top_term
+ORACLE["doc_tfidf_top_term"] = _TFIDF_SQL
