@@ -17,6 +17,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     events,
     llmdata,
     relational,
+    scale,
     temporal,
 )
 
@@ -37,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
     out.update(temporal.QUERIES)
+    out.update(scale.QUERIES)
     return out
 
 
@@ -47,4 +49,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)
     out.update(temporal.ORACLE)
+    out.update(scale.ORACLE)
     return out

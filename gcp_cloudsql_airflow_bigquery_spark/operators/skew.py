@@ -1,0 +1,85 @@
+"""Skew-mitigation operators: salted aggregation and salted join.
+
+At 100 TB a handful of hot keys (one giant customer, one dominant
+``event_type``) can pin a whole stage on one task. AQE's skew-join
+splitting (`spark.sql.adaptive.skewJoin`, on in :mod:`..session`)
+handles sort-merge joins; these operators cover the remaining cases —
+hot-key *aggregation* and joins AQE can't split — with explicit salting
+that produces bit-identical results to the unsalted plan (both are
+oracle-checked in ``plans/``).
+
+- ``salted_agg``: two-stage aggregation. Stage 1 groups on
+  ``(key, salt)`` so a hot key fans out over ``n_salts`` reducers;
+  stage 2 re-combines per key. Only works for algebraic aggregates
+  (sum/count/min/max) — exposed as an explicit (partial, merge) spec.
+- ``salted_join``: replicate the small side ``n_salts`` times with an
+  explicit salt column, salt the big side randomly-but-deterministically
+  (hash of a unique key, not ``rand()``, so retries and oracle
+  comparisons are stable), and equi-join on ``(key, salt)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    *,
+    n_salts: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-stage (salted) aggregation.
+
+    ``aggs`` maps output column name -> (partial_agg_expr, merge_fn)
+    where ``partial_agg_expr`` runs per (key, salt) and ``merge_fn`` is a
+    Column expression over the partial column re-aggregating per key,
+    e.g. ``{"n": (F.count("*"), F.sum), "total": (F.sum("x"), F.sum)}``.
+    ``salt_on`` picks the column whose hash spreads rows (default: a
+    per-partition monotonic id — fully uniform).
+    """
+    salt = (
+        F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
+        if salt_on
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(*[expr.alias(f"_p_{name}") for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            merge(F.col(f"_p_{name}")).alias(name)
+            for name, (_, merge) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 16,
+    big_salt_on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: ``small`` is replicated ``n_salts`` times,
+    ``big`` rows are salted by ``xxhash64(big_salt_on) % n_salts`` (a
+    deterministic spread column — use a high-cardinality unique key),
+    and the join runs on ``on + [salt]``. Result is row-identical to
+    ``big.join(small, on, how)`` for inner/left joins."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    small_rep = small.withColumn(_SALT, salts)
+    big_salted = big.withColumn(
+        _SALT, F.pmod(F.xxhash64(big_salt_on), F.lit(n_salts)).cast("int")
+    )
+    return big_salted.join(small_rep, on + [_SALT], how).drop(_SALT)

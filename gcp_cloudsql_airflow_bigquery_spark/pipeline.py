@@ -181,3 +181,35 @@ def run_pipelines(
     serializes exports only because of a Cloud SQL admin-API limit; in
     Spark the per-table jobs pipeline naturally."""
     return [run_pipeline(spark, s, warehouse) for s in specs]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    n_buckets: int = 32,
+    *,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing is the pre-shuffle: both sides of a recurring equi-join
+    written with the same keys and bucket count join with ZERO Exchange
+    (verified in tests/test_pipeline.py) — at 100 TB this turns the
+    nightly fact⋈dim refresh from a full shuffle into a local merge.
+    Spark only honors bucketing through the session catalog
+    (``saveAsTable``), not path-based parquet.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dropped-from-catalog table can leave its managed location behind
+    # (fresh metastore, old warehouse dir); clear it or saveAsTable fails
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_keys)
+    writer = writer.sortBy(*(sort_keys or bucket_keys))
+    writer.format("parquet").saveAsTable(table)

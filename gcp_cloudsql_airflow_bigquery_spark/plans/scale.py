@@ -1,0 +1,79 @@
+"""Scale-path plans: skew-safe aggregation/join variants whose results
+are bit-identical to the naive plans (and oracle-checked as such).
+These exist to prove the mitigation machinery, not because sf0.01 needs
+it — at 100 TB the salted variants are what keeps a hot key from
+pinning a stage on one task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.skew import salted_agg, salted_join
+
+_DEC = "decimal(18,6)"
+
+
+def salted_agg_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem grouped by its 3-value (maximally hot) flag column via
+    two-stage salted aggregation — identical output to a plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count("*"), F.sum),
+            "sum_qty": (F.sum("l_quantity"), F.sum),
+            "sum_price": (
+                F.sum(F.col("l_extendedprice").cast(_DEC)),
+                lambda c: F.sum(c).cast("double"),
+            ),
+            "max_disc": (F.max("l_discount"), F.max),
+            "min_ship": (F.min("l_shipdate"), F.min),
+        },
+        n_salts=16,
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       MAX(l_discount) AS max_disc,
+       MIN(l_shipdate) AS min_ship
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def salted_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈nation with an explicit 8-way salt on the (skewable)
+    nation key — row-identical to the plain equi-join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("n_nationkey"), "c_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return salted_join(
+        c, n, ["n_nationkey"], n_salts=8, big_salt_on="c_custkey"
+    ).select("c_custkey", "n_name", "c_acctbal")
+
+
+_SALTED_JOIN_SQL = """
+SELECT c_custkey, n_name, c_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "salted_agg_hot_keys": salted_agg_hot_keys,
+    "salted_join_nation": salted_join_nation,
+}
+
+ORACLE: dict[str, str] = {
+    "salted_agg_hot_keys": _SALTED_AGG_SQL,
+    "salted_join_nation": _SALTED_JOIN_SQL,
+}

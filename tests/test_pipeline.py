@@ -141,3 +141,36 @@ def test_jdbc_option_assembly():
         query="SELECT 1",
     )
     assert plain["query"] == "SELECT 1"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key must join without Exchange."""
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # at test scale the planner would broadcast the small side (itself
+    # shuffle-free); disable it to prove the sort-merge path reads the
+    # bucket layout instead of shuffling
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # sanity: same join over raw (unbucketed) parquet does shuffle
+        raw = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
