@@ -704,3 +704,28 @@ ORACLE.update(
         "sample_hash": _SAMPLE_HASH_SQL,
     }
 )
+
+
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING flags — how a consumer tells subtotal rows
+    from genuine NULL-keyed groups."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+_GROUPING_ID_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["agg_grouping_id"] = agg_grouping_id
+ORACLE["agg_grouping_id"] = _GROUPING_ID_SQL

@@ -169,3 +169,53 @@ def run_to_memory(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — no stream-side shuffle, no state. The
+    streaming face of the reference's star-schema Dim⋈Fact model."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    target_path: str,
+    merge_keys: list[str],
+    *,
+    query_name: str = "merge_sink",
+    timeout_s: float = 120.0,
+) -> None:
+    """Streaming upsert sink via ``foreachBatch``: each micro-batch is
+    key-merged into a parquet target (incoming rows win on merge_keys) —
+    the streaming realization of the reference's declared-but-unwired
+    join-merge finalize (reference ``dags/cloudsql_to_bigquery.py:11``).
+    At scale the same callback body targets Delta/Iceberg ``MERGE``."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:  # first batch: nothing to merge  # noqa: BLE001
+            batch.write.mode("overwrite").parquet(target_path)
+            return
+        survivors = existing.join(
+            batch.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
+        )
+        merged = survivors.unionByName(batch.select(*existing.columns))
+        stage = target_path + "__stream_stage"
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", target_path + "__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")

@@ -86,3 +86,35 @@ def test_stream_sessionization_append(spark, event_dir):
     out = spark.table("t_sessions")
     assert out.filter(F.col("n_events") < 1).count() == 0
     assert out.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_stream_static_enrichment(spark, sf_dir, event_dir):
+    """Stream-static join: per-batch broadcast against the customer dim;
+    result matches the batch-mode join."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = streams.read_event_stream(spark, event_dir)
+    enriched = streams.enriched_stream(stream, dim).groupBy("c_mktsegment").count()
+    streams.run_to_memory(enriched, "t_enriched", output_mode="complete")
+    got = {r.c_mktsegment: r["count"] for r in spark.table("t_enriched").collect()}
+    batch = load_table(spark, sf_dir, "events").join(dim, "user_id", "left")
+    want = {
+        r.c_mktsegment: r["count"]
+        for r in batch.groupBy("c_mktsegment").count().collect()
+    }
+    assert got == want
+
+
+def test_stream_foreach_batch_merge(spark, event_dir, tmp_path):
+    """foreachBatch upsert: after streaming all chunks, the target holds
+    exactly one row per event_id (last write wins on the merge key)."""
+    target = str(tmp_path / "merged")
+    stream = streams.read_event_stream(
+        spark, event_dir, max_files_per_trigger=1
+    ).select("event_id", "ts", "user_id", "value")
+    streams.foreach_batch_merge(stream, target, ["event_id"])
+    merged = spark.read.parquet(target)
+    assert merged.count() == merged.select("event_id").distinct().count()
+    src = spark.read.schema(streams.EVENT_SCHEMA).json(event_dir)
+    assert merged.count() == src.select("event_id").distinct().count()
