@@ -326,3 +326,52 @@ SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
 
 QUERIES["doc_tfidf_top_term"] = doc_tfidf_top_term
 ORACLE["doc_tfidf_top_term"] = _TFIDF_SQL
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: Jaccard pairs (>= 0.5) closed into
+    connected components via iterative min-label propagation
+    (:mod:`..operators.graph`) — an iterative algorithm, still
+    oracle-checked against a DuckDB recursive CTE over the identical
+    pair set."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT id, len(sh) AS n_sh FROM nonempty),
+inv AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good
+          UNION SELECT id_b, id_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+QUERIES["doc_dup_clusters"] = doc_dup_clusters
+ORACLE["doc_dup_clusters"] = _DUP_CLUSTERS_SQL

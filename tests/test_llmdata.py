@@ -138,3 +138,19 @@ def test_multimodal_real_backend_gated(spark, docs):
         multimodal.extract_features(media, decode_backend="pil")
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(media, decode_backend="ffmpeg")
+
+
+def test_connected_components_hand_graph(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 21)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
