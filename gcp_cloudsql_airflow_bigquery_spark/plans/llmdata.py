@@ -375,3 +375,14 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 
 QUERIES["doc_dup_clusters"] = doc_dup_clusters
 ORACLE["doc_dup_clusters"] = _DUP_CLUSTERS_SQL
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF cells (rows-only; recall vs brute force is
+    property-tested in tests/test_llmdata.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
+QUERIES["knn_ivf"] = knn_ivf

@@ -154,3 +154,25 @@ def test_connected_components_hand_graph(spark):
         r.node: r.label for r in connected_components(edges, "src", "dst").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+    from gcp_cloudsql_airflow_bigquery_spark.plans.llmdata import _emb
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, n_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-random fixture vectors are IVF's worst case (neighbors spread
+    # over many cells); nprobe=4/16 still must beat blind 4/16 sampling
+    assert recall >= 0.4, f"ivf recall {recall:.2f}"
