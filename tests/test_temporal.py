@@ -99,3 +99,52 @@ def test_temporal_matches_oracle(spark, duck, sf_dir, name):
 
 def test_registry_keys_align():
     assert set(temporal.QUERIES) == set(temporal.ORACLE)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = st.integers(0, 3)
+    ts = st.integers(0, 50)
+    left = draw(
+        st.lists(st.tuples(keys, ts), min_size=1, max_size=25)
+    )
+    right_kt = draw(
+        st.lists(st.tuples(keys, ts), min_size=1, max_size=25, unique=True)
+    )
+    right = [(k, t, float(i)) for i, (k, t) in enumerate(right_kt)]
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(_asof_case())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    """Property: backward-inclusive asof_join ≡ pandas merge_asof on
+    arbitrary key/timestamp multisets (right side unique per (k,t))."""
+    import pandas as pd
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, t int, lid int"
+    )
+    right = spark.createDataFrame(right_rows, "k int, t int, v double")
+    got = {
+        (r.lid): (r.v, r._asof_on)
+        for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    }
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "t", "lid"]
+    ).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values(
+        "t", kind="stable"
+    )
+    want_df = pd.merge_asof(
+        lpd, rpd.rename(columns={"t": "rt"}), left_on="t", right_on="rt",
+        by="k", direction="backward",
+    )
+    for row in want_df.itertuples():
+        v = None if pd.isna(row.v) else row.v
+        rt = None if pd.isna(row.rt) else int(row.rt)
+        assert got[row.lid] == (v, rt), (row.lid, got[row.lid], (v, rt))
