@@ -729,3 +729,86 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 QUERIES["agg_grouping_id"] = agg_grouping_id
 ORACLE["agg_grouping_id"] = _GROUPING_ID_SQL
+
+
+def supplier_best_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching a correlated per-group maximum.
+    Spark-first this is a window max + filter (one shuffle), not a
+    re-scan correlated subquery."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+_BEST_BALANCE_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s1
+WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s1.s_nationkey)
+"""
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue-per-supplier view joined back for the
+    top suppliers (decimal-cast sums for exact parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.col("total_revenue").desc(), "s_suppkey")
+        .limit(5)
+    )
+
+
+_TOP_REVENUE_SQL = """
+SELECT s_suppkey, s_name, total_revenue
+FROM (SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey) rev
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY total_revenue DESC, s_suppkey LIMIT 5
+"""
+
+
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (token position matters in text pipelines).
+    DuckDB's 1-based generate_subscripts ↔ Spark's 0-based posexplode."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 17 == 0)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+_POSEXPLODE_SQL = """
+SELECT p_partkey,
+       generate_subscripts(string_split(p_name, ' '), 1) AS pos,
+       unnest(string_split(p_name, ' ')) AS word
+FROM part WHERE p_partkey % 17 = 0
+"""
+
+QUERIES.update(
+    {
+        "supplier_best_balance": supplier_best_balance,
+        "top_revenue_suppliers": top_revenue_suppliers,
+        "posexplode_words": posexplode_words,
+    }
+)
+ORACLE.update(
+    {
+        "supplier_best_balance": _BEST_BALANCE_SQL,
+        "top_revenue_suppliers": _TOP_REVENUE_SQL,
+        "posexplode_words": _POSEXPLODE_SQL,
+    }
+)

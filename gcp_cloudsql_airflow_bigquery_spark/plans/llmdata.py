@@ -386,3 +386,24 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["knn_ivf"] = knn_ivf
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: the fake decode is
+    engine-specific): binary media column + typed metadata →
+    Arrow-batched ``mapInPandas`` feature extraction → per-kind feature
+    summary. Proves schema, partitioning, batch shape, and UDF
+    signature — the codec swap point is ``decode_backend``."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
+QUERIES["media_features"] = media_features
