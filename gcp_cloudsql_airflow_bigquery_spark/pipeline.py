@@ -213,3 +213,59 @@ def write_bucketed(
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_keys)
     writer = writer.sortBy(*(sort_keys or bucket_keys))
     writer.format("parquet").saveAsTable(table)
+
+
+def scd2_apply(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    *,
+    effective: str = "effective_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: version history for the
+    reference's full-refresh dim sync. ``existing`` carries
+    ``valid_from``/``valid_to`` (NULL = open); ``incoming`` carries the
+    key + attributes + an ``effective`` date. Changed rows close the
+    open version at ``effective`` and open a new one; unchanged rows
+    pass through; unseen keys insert as new open versions. One shuffle:
+    a single full-outer join on the business key (change detection is
+    null-safe column comparison, no re-scan)."""
+    attrs = [
+        c for c in existing.columns if c not in [*keys, valid_from, valid_to]
+    ]
+    comp = compare_cols or attrs
+    open_e = existing.filter(F.col(valid_to).isNull())
+    closed_e = existing.filter(F.col(valid_to).isNotNull())
+
+    j = open_e.alias("e").join(incoming.alias("i"), on=list(keys), how="full")
+    has_open = F.col(f"e.{valid_from}").isNotNull()
+    has_inc = F.col(f"i.{effective}").isNotNull()
+    differs = None
+    for c in comp:
+        d = ~F.col(f"e.{c}").eqNullSafe(F.col(f"i.{c}"))
+        differs = d if differs is None else (differs | d)
+
+    closed_now = j.filter(has_open & has_inc & differs).select(
+        *keys,
+        *[F.col(f"e.{c}").alias(c) for c in attrs],
+        F.col(f"e.{valid_from}").alias(valid_from),
+        F.col(f"i.{effective}").alias(valid_to),
+    )
+    still_open = j.filter(has_open & (~has_inc | ~differs)).select(
+        *keys,
+        *[F.col(f"e.{c}").alias(c) for c in attrs],
+        F.col(f"e.{valid_from}").alias(valid_from),
+        F.lit(None).cast(existing.schema[valid_to].dataType).alias(valid_to),
+    )
+    new_open = j.filter(has_inc & (~has_open | differs)).select(
+        *keys,
+        *[F.col(f"i.{c}").alias(c) for c in attrs],
+        F.col(f"i.{effective}").alias(valid_from),
+        F.lit(None).cast(existing.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closed_e.unionByName(closed_now).unionByName(still_open).unionByName(
+        new_open
+    )

@@ -812,3 +812,59 @@ ORACLE.update(
         "posexplode_words": _POSEXPLODE_SQL,
     }
 )
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 over the customer dim: a derived incoming batch
+    (every 5th customer; every 10th actually changed) applied to an
+    open-version history — changed keys close and re-open, unchanged
+    pass through untouched (`pipeline.scd2_apply`)."""
+    from ..pipeline import scd2_apply
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    existing = c.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    incoming = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("effective_date"),
+    )
+    return scd2_apply(existing, incoming, ["c_custkey"])
+
+
+_SCD2_SQL = """
+WITH existing AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+incoming AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 5 = 0
+),
+changed AS (
+  SELECT i.* FROM incoming i JOIN existing e USING (c_custkey)
+  WHERE i.c_acctbal IS DISTINCT FROM e.c_acctbal
+     OR i.c_name IS DISTINCT FROM e.c_name
+)
+SELECT e.c_custkey, e.c_name, e.c_acctbal, e.valid_from, c.eff AS valid_to
+FROM existing e JOIN changed c USING (c_custkey)
+UNION ALL
+SELECT e.* FROM existing e
+WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, eff, NULL FROM changed
+"""
+
+QUERIES["scd2_customer_history"] = scd2_customer_history
+ORACLE["scd2_customer_history"] = _SCD2_SQL

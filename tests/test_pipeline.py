@@ -174,3 +174,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         assert joined.count() == raw.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_scd2_new_key_and_unchanged(spark):
+    """SCD2 branches: changed key closes+reopens, unchanged stays open
+    untouched, brand-new key inserts open, already-closed history rows
+    pass through."""
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import scd2_apply
+
+    existing = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", "2022-01-01"),  # closed history
+            (1, "b", "2022-01-01", None),  # open, will change
+            (2, "x", "2020-01-01", None),  # open, unchanged
+        ],
+        "k int, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) valid_from", "CAST(valid_to AS DATE) valid_to"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "c", "2024-06-01"), (2, "x", "2024-06-01"), (3, "new", "2024-06-01")],
+        "k int, attr string, effective_date string",
+    ).selectExpr("k", "attr", "CAST(effective_date AS DATE) effective_date")
+    out = scd2_apply(existing, incoming, ["k"])
+    rows = {(r.k, r.attr, str(r.valid_from), str(r.valid_to)) for r in out.collect()}
+    assert rows == {
+        (1, "a", "2020-01-01", "2022-01-01"),
+        (1, "b", "2022-01-01", "2024-06-01"),
+        (1, "c", "2024-06-01", "None"),
+        (2, "x", "2020-01-01", "None"),
+        (3, "new", "2024-06-01", "None"),
+    }
