@@ -868,3 +868,89 @@ SELECT c_custkey, c_name, c_acctbal, eff, NULL FROM changed
 
 QUERIES["scd2_customer_history"] = scd2_customer_history
 ORACLE["scd2_customer_history"] = _SCD2_SQL
+
+
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar suite. DuckDB parity: ``regexp_replace`` needs the
+    'g' flag to replace all (Spark always does)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_word"),
+        F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0).alias("vowel_runs"),
+        F.regexp_replace("p_type", r"[AEIOU]", "_").alias("type_masked"),
+    )
+
+
+_REGEXP_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+       regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+       regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked
+FROM part WHERE p_partkey % 13 = 0
+"""
+
+
+def explode_outer_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive as NULL — the
+    LEFT-JOIN-shaped unnest."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 23 == 0)
+    zwords = F.filter(F.split("p_name", " "), lambda w: w.startswith("s"))
+    return p.select(
+        "p_partkey", F.explode_outer(zwords).alias("s_word")
+    )
+
+
+_EXPLODE_OUTER_SQL = """
+SELECT p_partkey,
+       unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS s_word
+FROM (SELECT p_partkey,
+             list_filter(string_split(p_name, ' '), w -> w LIKE 's%') AS l
+      FROM part WHERE p_partkey % 23 = 0)
+"""
+
+
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: carry the last known (non-null) balance forward per
+    nation in customer-key order — `last(ignorenulls)` over a running
+    frame, the time-series imputation primitive."""
+    c = _t(spark, sf_dir, "customer")
+    sparse = F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal"))
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        sparse.alias("sparse_bal"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled_bal"),
+    )
+
+
+_FFILL_SQL = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS sparse_bal,
+       last_value(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END IGNORE NULLS)
+         OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_bal
+FROM customer
+"""
+
+QUERIES.update(
+    {
+        "regexp_funcs": regexp_funcs,
+        "explode_outer_words": explode_outer_words,
+        "forward_fill": forward_fill,
+    }
+)
+ORACLE.update(
+    {
+        "regexp_funcs": _REGEXP_SQL,
+        "explode_outer_words": _EXPLODE_OUTER_SQL,
+        "forward_fill": _FFILL_SQL,
+    }
+)
