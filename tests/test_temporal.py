@@ -148,3 +148,45 @@ def test_asof_matches_pandas_merge_asof(spark, case):
         v = None if pd.isna(row.v) else row.v
         rt = None if pd.isna(row.rt) else int(row.rt)
         assert got[row.lid] == (v, rt), (row.lid, got[row.lid], (v, rt))
+
+
+@st.composite
+def _interval_case(draw):
+    keys = st.integers(0, 2)
+    pts = draw(st.lists(st.tuples(keys, st.integers(0, 100)), max_size=20))
+    ivs = draw(
+        st.lists(
+            st.tuples(keys, st.integers(0, 100), st.integers(0, 40)), max_size=10
+        )
+    )
+    return pts, [(k, lo, lo + w) for k, lo, w in ivs]
+
+
+@settings(max_examples=10, deadline=None)
+@given(_interval_case(), st.sampled_from([7, 25, 60]))
+def test_interval_join_matches_naive(spark, case, width):
+    """Property: bucketed interval join ≡ naive non-equi join for any
+    bucket width."""
+    pts_rows, iv_rows = case
+    if not pts_rows or not iv_rows:
+        return
+    pts = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pts_rows)], "k int, t long, pid int"
+    )
+    ivs = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(iv_rows)],
+        "k int, lo long, hi long, iid int",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_point_join(
+            pts, ivs, point_ts="t", start="lo", end="hi", by=["k"], bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, t) in enumerate(pts_rows)
+        for j, (ik, lo, hi) in enumerate(iv_rows)
+        if pk == ik and lo <= t <= hi
+    }
+    assert got == want
