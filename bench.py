@@ -16,7 +16,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gcp_cloudsql_airflow_bigquery_spark.plans import events, llmdata, relational
+from gcp_cloudsql_airflow_bigquery_spark.plans import (
+    events,
+    llmdata,
+    relational,
+    scale,
+    temporal,
+)
 from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
 
 HEADLINE = [
@@ -28,9 +34,12 @@ HEADLINE = [
     ("window_running", relational.QUERIES),
     ("dedup_exact", relational.QUERIES),
     ("events_session", events.QUERIES),
+    ("events_asof_purchase", temporal.QUERIES),
+    ("salted_agg_hot_keys", scale.QUERIES),
     ("doc_dedup_minhash", llmdata.QUERIES),
     ("knn_bruteforce", llmdata.QUERIES),
     ("doc_token_stats", llmdata.QUERIES),
+    ("doc_tfidf_top_term", llmdata.QUERIES),
 ]
 
 

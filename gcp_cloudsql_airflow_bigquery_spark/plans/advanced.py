@@ -954,3 +954,60 @@ ORACLE.update(
         "forward_fill": _FFILL_SQL,
     }
 )
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: Pearson correlation + sample covariance of
+    price vs quantity per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+_AGG_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def events_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral rollup: events enriched through customer→nation dims
+    (broadcast), aggregated per (nation, event_type) — the events-side
+    realization of the reference's Fact⋈Dim model."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(c), "user_id")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT n_name, event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, event_type
+"""
+
+QUERIES.update({"agg_corr": agg_corr, "events_user_rollup": events_user_rollup})
+ORACLE.update(
+    {"agg_corr": _AGG_CORR_SQL, "events_user_rollup": _EVENTS_ROLLUP_SQL}
+)

@@ -407,3 +407,131 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["media_features"] = media_features
+
+
+def doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: the documents table with non-canonical
+    near-duplicates removed (canonical = min doc_id per Jaccard>=0.5
+    cluster). Anti-join of the corpus against the non-canonical member
+    set — the shape every training-data pipeline ships."""
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_KEEP_CANONICAL_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT id, len(sh) AS n_sh FROM nonempty),
+inv AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good
+          UNION SELECT id_b, id_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
+"""
+
+
+def doc_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composed cleaning pass: language gate + quality gate +
+    token-count band, emitting the per-source survival stats a data
+    curator reads first."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        textstats.detect_lang(t).alias("det_lang"),
+        textstats.quality_score(t).alias("quality"),
+        textstats.token_count(t).alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("det_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 5000)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+_CORPUS_FILTER_SQL = None  # assembled below from the existing parity SQL
+
+
+QUERIES["doc_dedup_keep_canonical"] = doc_dedup_keep_canonical
+ORACLE["doc_dedup_keep_canonical"] = _KEEP_CANONICAL_SQL
+QUERIES["doc_corpus_filter"] = doc_corpus_filter
+
+
+_CORPUS_FILTER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+), r AS (
+  SELECT doc_id, source, n_tok, s_en, s_de, s_es, s_fr,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_r,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_r
+  FROM m
+), q AS (
+  SELECT doc_id, source, n_tok,
+         ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - punct_r * 5) * 0.25 +
+               LEAST(stop_r * 4, 1.0) * 0.25, 6) AS quality,
+         CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS det_lang
+  FROM r
+)
+SELECT source, COUNT(*) AS n_kept,
+       ROUND(AVG(n_tok), 4) AS avg_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM q
+WHERE det_lang = 'en' AND quality >= 0.5 AND n_tok BETWEEN 5 AND 5000
+GROUP BY source
+"""
+
+ORACLE["doc_corpus_filter"] = _CORPUS_FILTER_SQL
