@@ -19,6 +19,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     relational,
     scale,
     temporal,
+    tpch,
 )
 
 
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(events.QUERIES)
     out.update(temporal.QUERIES)
     out.update(scale.QUERIES)
+    out.update(tpch.QUERIES)
     return out
 
 
@@ -50,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(events.ORACLE)
     out.update(temporal.ORACLE)
     out.update(scale.ORACLE)
+    out.update(tpch.ORACLE)
     return out
