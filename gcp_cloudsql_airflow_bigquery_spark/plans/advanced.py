@@ -1011,3 +1011,43 @@ QUERIES.update({"agg_corr": agg_corr, "events_user_rollup": events_user_rollup})
 ORACLE.update(
     {"agg_corr": _AGG_CORR_SQL, "events_user_rollup": _EVENTS_ROLLUP_SQL}
 )
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL over projections of the fact table (the
+    fixture's planted duplicate rows make ALL vs DISTINCT observable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return a.exceptAll(b)
+
+
+_SET_EXCEPT_ALL_SQL = """
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25
+EXCEPT ALL
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_discount") >= 0.02).select("l_orderkey", "l_partkey")
+    return a.intersectAll(b)
+
+
+_SET_INTERSECT_ALL_SQL = """
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 25
+INTERSECT ALL
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount >= 0.02
+"""
+
+QUERIES.update(
+    {"set_except_all": set_except_all, "set_intersect_all": set_intersect_all}
+)
+ORACLE.update(
+    {
+        "set_except_all": _SET_EXCEPT_ALL_SQL,
+        "set_intersect_all": _SET_INTERSECT_ALL_SQL,
+    }
+)
