@@ -1051,3 +1051,29 @@ ORACLE.update(
         "set_intersect_all": _SET_INTERSECT_ALL_SQL,
     }
 )
+
+
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer robust outliers (>= 2 MADs from the customer's
+    median order price) via the grouped-map ``applyInPandas`` surface
+    (`operators/stats.mad_outliers`) — oracle-checked against DuckDB's
+    native median/mad."""
+    from ..operators.stats import mad_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    return mad_outliers(o, "o_custkey", "o_totalprice", "o_orderkey")
+
+
+_MAD_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT o_custkey, median(o_totalprice) AS med, mad(o_totalprice) AS md
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROUND(ABS(o_totalprice - med) / md, 6) AS mad_score
+FROM orders JOIN stats USING (o_custkey)
+WHERE md > 0 AND ROUND(ABS(o_totalprice - med) / md, 6) >= 2.0
+"""
+
+QUERIES["order_price_outliers"] = order_price_outliers
+ORACLE["order_price_outliers"] = _MAD_OUTLIERS_SQL
