@@ -1077,3 +1077,32 @@ WHERE md > 0 AND ROUND(ABS(o_totalprice - med) / md, 6) >= 2.0
 
 QUERIES["order_price_outliers"] = order_price_outliers
 ORACLE["order_price_outliers"] = _MAD_OUTLIERS_SQL
+
+
+def price_histogram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning (floor arithmetic — the portable width_bucket)
+    plus bitwise aggregates per bin."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("price_bin"),
+        F.col("l_linenumber").cast("bigint").alias("ln"),
+    )
+    return binned.groupBy("price_bin").agg(
+        F.count("*").alias("n"),
+        F.bit_and("ln").alias("ln_and"),
+        F.bit_or("ln").alias("ln_or"),
+        F.bit_xor("ln").alias("ln_xor"),
+    )
+
+
+_HISTOGRAM_BITS_SQL = """
+SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+       COUNT(*) AS n,
+       BIT_AND(CAST(l_linenumber AS BIGINT)) AS ln_and,
+       BIT_OR(CAST(l_linenumber AS BIGINT)) AS ln_or,
+       BIT_XOR(CAST(l_linenumber AS BIGINT)) AS ln_xor
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["price_histogram_bits"] = price_histogram_bits
+ORACLE["price_histogram_bits"] = _HISTOGRAM_BITS_SQL
