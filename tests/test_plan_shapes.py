@@ -52,3 +52,32 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path_factory):
+    """Date-partitioned layout (the engine's snapshot/partition story):
+    a literal filter prunes at plan time (PartitionFilters), and a join
+    against a filtered dim prunes at runtime (dynamic partition
+    pruning) — both asserted on the physical plan."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("orders_by_year"))
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("yr", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "yr"
+    ).parquet(out)
+    po = spark.read.parquet(out)
+
+    static = po.filter(F.col("yr") == 1997)
+    splan = static._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in splan and "(yr" in splan, splan
+
+    dim = spark.createDataFrame(
+        [(1997, "keep"), (1999, "drop")], "yr int, tag string"
+    ).filter(F.col("tag") == "keep")
+    joined = po.join(F.broadcast(dim), "yr").select("o_orderkey", "tag")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan
+    assert joined.count() == po.filter(F.col("yr") == 1997).count()
