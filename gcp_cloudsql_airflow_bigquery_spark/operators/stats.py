@@ -46,3 +46,17 @@ def mad_outliers(
     return df.select(group_col, id_col, value_col).groupBy(group_col).applyInPandas(
         kernel, schema=schema
     )
+
+
+def geomean_udaf():
+    """Grouped-agg pandas UDF: geometric mean (Arrow-batched). Defined
+    here so the ``pd.Series`` type hint resolves against this module's
+    globals (pyspark evaluates stringified hints)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return geomean

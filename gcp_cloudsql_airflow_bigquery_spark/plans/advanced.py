@@ -1106,3 +1106,71 @@ FROM lineitem GROUP BY 1
 
 QUERIES["price_histogram_bits"] = price_histogram_bits
 ORACLE["price_histogram_bits"] = _HISTOGRAM_BITS_SQL
+
+
+def geomean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: grouped-agg pandas UDF (Arrow-batched
+    geometric mean) — the aggregation class Spark's built-ins lack."""
+    from ..operators.stats import geomean_udaf
+
+    geomean = geomean_udaf()
+    li = _t(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("price_geomean")
+    )
+
+
+_GEOMEAN_SQL = """
+SELECT l_returnflag,
+       ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS price_geomean
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: sentence-split documents
+    through a lateral join — the UDTF class of SURVEY §2b's UDF row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            parts = [p for p in re.split(r"[.!?]+\s+", text) if p != ""]
+            for i, p in enumerate(parts):
+                yield i + 1, p
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs, LATERAL split_sentences(text) s
+        """
+    )
+
+
+_SENTENCES_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\s+'), p -> p <> '') AS ps
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id,
+       generate_subscripts(ps, 1) AS sent_idx,
+       unnest(ps) AS sentence
+FROM parts
+"""
+
+QUERIES.update(
+    {"geomean_prices": geomean_prices, "sentences_udtf": sentences_udtf}
+)
+ORACLE.update(
+    {"geomean_prices": _GEOMEAN_SQL, "sentences_udtf": _SENTENCES_SQL}
+)
