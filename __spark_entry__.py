@@ -20,6 +20,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     scale,
     temporal,
     tpch,
+    tpch2,
 )
 
 
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(temporal.QUERIES)
     out.update(scale.QUERIES)
     out.update(tpch.QUERIES)
+    out.update(tpch2.QUERIES)
     return out
 
 
@@ -53,4 +55,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal.ORACLE)
     out.update(scale.ORACLE)
     out.update(tpch.ORACLE)
+    out.update(tpch2.ORACLE)
     return out
