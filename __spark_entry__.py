@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gcp_cloudsql_airflow_bigquery_spark.plans import (
     advanced,
+    curation,
     events,
     llmdata,
     relational,
@@ -37,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(advanced.QUERIES)
+    out.update(curation.QUERIES)
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
     out.update(temporal.QUERIES)
@@ -50,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(advanced.ORACLE)
+    out.update(curation.ORACLE)
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)
     out.update(temporal.ORACLE)

@@ -1,0 +1,105 @@
+"""Training-corpus curation operators: chunking, balanced sampling,
+deterministic split assignment.
+
+These are the end-stage ops of an LLM data pipeline (after dedup /
+quality filtering — see :mod:`.dedup`, :mod:`.textstats`): break
+documents into model-window-sized pieces, rebalance over-represented
+sources, and assign stable train/val/test splits.
+
+Scale notes (100 TB):
+
+- ``chunk_text`` is a narrow per-row transform (sequence + posexplode)
+  — zero shuffles, streams through whole-stage codegen, and the output
+  explodes ~len/stride× so it should be written partitioned, never
+  collected.
+- ``balanced_sample`` needs one shuffle (window over ``source``).  The
+  hash ordering makes it deterministic across runs/engines — re-running
+  on a grown corpus keeps a stable prefix per source, unlike
+  ``ORDER BY rand()``.  With heavily skewed sources, AQE skew-split
+  handles the window's sort spill; a pre-filter on the hash prefix
+  (keep only hashes < quota/est_count quantile) can cut the shuffled
+  volume by orders of magnitude before the exact window runs.
+- ``assign_splits`` is stateless per-row hashing — no shuffle, no state,
+  and membership is reproducible from the id alone (a new pipeline run
+  never moves a document between train and test, which would leak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# first hex digit of md5 → 16 uniform buckets; 12/2/2 ≈ 75/12.5/12.5
+TRAIN_DIGITS = tuple("0123456789ab")
+VAL_DIGITS = ("c", "d")
+TEST_DIGITS = ("e", "f")
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 120,
+    stride: int = 100,
+) -> DataFrame:
+    """Fixed-size character chunks with ``size - stride`` overlap.
+
+    One output row per (document, window start); ``chunk_idx`` counts
+    windows from 0.  ``stride < size`` gives overlapping chunks (the
+    usual setting so no token span is split across a boundary in every
+    chunk).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.expr(f"substring({text_col}, start + 1, {size})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    per_group: int = 10,
+) -> DataFrame:
+    """Deterministic per-group quota sample: the ``per_group`` rows with
+    the smallest md5(id) per group.  Portable (same result in any
+    engine with md5) and stable under corpus growth."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_group)
+        .drop("rk")
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stable train/val/test assignment from the first hex digit of
+    md5(id): 12/16 train, 2/16 val, 2/16 test.  Pure row-local hashing:
+    membership never changes as the corpus grows."""
+    digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(digit.isin(*TRAIN_DIGITS), "train")
+        .when(digit.isin(*VAL_DIGITS), "val")
+        .otherwise("test"),
+    )
