@@ -88,14 +88,96 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel: one aggregation
+    pass builds each user's first-touch time per stage (conditional MIN
+    — single shuffle on user_id), then one global row counts strictly
+    ordered progressions.  Millisecond truncation keeps the strict `<`
+    comparisons identical across Spark (µs) and DuckDB (ns) timestamp
+    precision."""
+    e = _events(spark, sf_dir)
+    ms = F.date_trunc("millisecond", F.col("ts"))
+    first = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ms)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", ms)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", ms)).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return first.agg(
+        F.sum(viewed.cast("long")).alias("n_view"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(bought.cast("long")).alias("n_view_click_purchase"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH first AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN date_trunc('ms', ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN date_trunc('ms', ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('ms', ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
+       SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+         AS n_view_click_purchase
+FROM first
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    distinct active users per (cohort week × week offset).  Two
+    aggregations sharing the user_id partitioning — the cohort map
+    re-joins on user_id before the final rollup (classic BigQuery-style
+    product-analytics query the reference delegates)."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.distinct()
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id
+)
+SELECT cohort_wk,
+       CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT wk.user_id) AS n_active
+FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+GROUP BY 1, 2 ORDER BY cohort_wk, week_offset
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_session": events_session,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLE: dict[str, str] = {
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_session": _SESSION_SQL,
+    "events_funnel": _FUNNEL_SQL,
+    "events_cohort_retention": _COHORT_SQL,
 }
