@@ -535,3 +535,38 @@ GROUP BY source
 """
 
 ORACLE["doc_corpus_filter"] = _CORPUS_FILTER_SQL
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding column — the
+    k-means E-step / class-prototype primitive, exploded to
+    (label, dim, value) rows.
+
+    Scale: posexplode → single map-side-combinable AVG shuffle on
+    (label, dim).  dim fan-out is the embedding width (fixed, small), so
+    shuffle volume is width × |rows| scalars — no wide collect_list or
+    driver-side vector math anywhere; at 100 TB the partial aggregation
+    collapses each partition to |labels|·width running sums before the
+    exchange."""
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v,
+       COUNT(*) AS n_vecs
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+QUERIES["embedding_centroids"] = embedding_centroids
+ORACLE["embedding_centroids"] = _CENTROIDS_SQL
