@@ -130,18 +130,31 @@ FROM first
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen week, then
-    distinct active users per (cohort week × week offset).  Two
-    aggregations sharing the user_id partitioning — the cohort map
-    re-joins on user_id before the final rollup (classic BigQuery-style
-    product-analytics query the reference delegates)."""
-    e = _events(spark, sf_dir).select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    distinct active users per (cohort week × week offset) — the classic
+    BigQuery-style product-analytics query the reference delegates.
+
+    Two shuffles total: ``collect_set(week)`` per user folds dedup +
+    cohort-min into ONE user_id aggregation (weeks-per-user is bounded —
+    even a decade of activity is ~500 elements), the cohort week comes
+    from ``array_min`` with no self-join, and the exploded offsets go
+    straight to the final rollup.  The naive distinct → groupBy → join
+    formulation costs 4 shuffles of the full event set."""
+    weeks = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .select(
+            "user_id",
+            F.array_min("wks").alias("cohort_wk"),
+            F.explode("wks").alias("wk"),
+        )
     )
-    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
-        e.distinct()
-        .join(cohort, "user_id")
-        .groupBy(
+        weeks.groupBy(
             "cohort_wk",
             (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
             .cast("int")

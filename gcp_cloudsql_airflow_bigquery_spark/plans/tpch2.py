@@ -315,7 +315,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_name", "s_suppkey")
         .orderBy("s_name", "s_suppkey")
     )
