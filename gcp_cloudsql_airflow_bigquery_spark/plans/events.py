@@ -179,12 +179,62 @@ GROUP BY 1, 2 ORDER BY cohort_wk, week_offset
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts/probabilities between consecutive event
+    types per user — the sequence-mining primitive behind funnel
+    discovery and anomaly detection.  One shuffle on user_id for the
+    LEAD window; the per-from-state normalization reuses the grouped
+    (tiny, |types|²) result with a second lightweight window.  Ordering
+    key is (ms-truncated ts, event_id) in both engines so µs-vs-ns
+    parquet precision cannot flip tie order."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('ms', ts), event_id) AS to_type
+  FROM events
+), g AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM g ORDER BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_session": events_session,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_transition_matrix": events_transition_matrix,
 }
 
 ORACLE: dict[str, str] = {
@@ -193,4 +243,5 @@ ORACLE: dict[str, str] = {
     "events_session": _SESSION_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
+    "events_transition_matrix": _TRANSITION_SQL,
 }
