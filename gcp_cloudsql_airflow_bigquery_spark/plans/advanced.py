@@ -1174,3 +1174,56 @@ QUERIES.update(
 ORACLE.update(
     {"geomean_prices": _GEOMEAN_SQL, "sentences_udtf": _SENTENCES_SQL}
 )
+
+
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic derived snapshots of orders:
+    yesterday = keys with o_orderkey % 7 != 0; today = keys with
+    o_orderkey % 5 != 0 and a 10% price bump on keys % 3 == 0.  Exercises
+    insert (% 7 == 0 keys appearing), delete (% 5 == 0 keys vanishing)
+    and update (price-bumped keys) through ``pipeline.snapshot_diff``'s
+    single full-outer join."""
+    from ..pipeline import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_SNAPSHOT_CDC_SQL = """
+WITH old AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0
+), j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'update' END AS change_type,
+         COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+         COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+         COALESCE(n.o_orderdate, o.o_orderdate) AS o_orderdate,
+         COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority
+  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM j WHERE change_type IS NOT NULL
+"""
+
+QUERIES["snapshot_cdc_diff"] = snapshot_cdc_diff
+ORACLE["snapshot_cdc_diff"] = _SNAPSHOT_CDC_SQL

@@ -205,3 +205,31 @@ def test_scd2_new_key_and_unchanged(spark):
         (2, "x", "2020-01-01", "None"),
         (3, "new", "2024-06-01", "None"),
     }
+
+
+def test_snapshot_diff_classifies_and_skips_unchanged(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, None, None), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # unchanged rows (incl. the all-NULL-attribute row 3) are absent
+    assert set(out) == {2, 4, 5}
+    assert out[2].change_type == "update" and out[2].v == 25.0
+    assert out[4].change_type == "delete" and out[4].v == 40.0
+    assert out[5].change_type == "insert" and out[5].v == 50.0
+
+
+def test_snapshot_diff_all_null_row_insert_delete(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(2, None)], "k int, v string")
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "delete", 2: "insert"}
