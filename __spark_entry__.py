@@ -17,6 +17,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     curation,
     events,
     llmdata,
+    quality,
     relational,
     scale,
     temporal,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(advanced.QUERIES)
     out.update(curation.QUERIES)
+    out.update(quality.QUERIES)
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
     out.update(temporal.QUERIES)
@@ -53,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE)
     out.update(advanced.ORACLE)
     out.update(curation.ORACLE)
+    out.update(quality.ORACLE)
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)
     out.update(temporal.ORACLE)

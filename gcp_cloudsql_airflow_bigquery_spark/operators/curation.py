@@ -22,12 +22,20 @@ Scale notes (100 TB):
 - ``assign_splits`` is stateless per-row hashing — no shuffle, no state,
   and membership is reproducible from the id alone (a new pipeline run
   never moves a document between train and test, which would leak).
+- ``decontaminate`` broadcasts the benchmark's distinct shingles (eval
+  suites are KBs–MBs against a 100 TB corpus), so the contamination
+  scan is a map-side hash probe — one narrow pass, no corpus shuffle.
+- ``pack_bins`` is one shuffle (window over the pack key); bin ids are
+  a pure function of (key, order, budget), so re-packing a grown corpus
+  only appends bins.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .textstats import token_count, word_ngrams
 
 # first hex digit of md5 → 16 uniform buckets; 12/2/2 ≈ 75/12.5/12.5
 TRAIN_DIGITS = tuple("0123456789ab")
@@ -102,4 +110,61 @@ def assign_splits(
         F.when(digit.isin(*TRAIN_DIGITS), "train")
         .when(digit.isin(*VAL_DIGITS), "val")
         .otherwise("test"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word ``n``-grams it shares with *any* benchmark document
+    (the standard eval-leak test; n = 8–13 in published pipelines).
+    Returns ``(id, n_shared)`` for contaminated docs only — anti-join
+    it against the corpus to drop them.
+
+    The benchmark side is deduplicated then broadcast: contamination
+    checks always have a tiny eval side, so the 100 TB train side is
+    scanned once with a map-side hash probe and the only shuffle is the
+    final partial-agged count per doc id."""
+    grams = F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+    bench_grams = benchmark.select(grams.alias("gram")).distinct()
+    return (
+        train.select(F.col(id_col), grams.alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for model windows: concatenate documents per
+    ``key_col`` in ``id_col`` order and cut at every ``budget`` tokens;
+    a document is assigned to the bin its first token lands in.  Adds
+    ``n_tokens``, the running ``tok_start`` offset, and ``bin_id``.
+
+    This is the streaming concat-and-split packer (one window shuffle,
+    deterministic bin ids) rather than best-fit bin packing, which is
+    NP-hard and order-unstable — at corpus scale stable ids matter more
+    than the last few % of fill."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", token_count(F.col(text_col)))
+        .withColumn("tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.floor(F.col("tok_start") / budget))
     )

@@ -1,0 +1,60 @@
+r"""PII detection and redaction over a text column.
+
+A pretraining corpus has to be scrubbed of emails, URLs, phone numbers
+and bare IPs before the data ships; the reference pipeline has no such
+stage (it moves trusted warehouse rows), so this is part of the
+north-star LLM-data surface (BASELINE.json), not reference parity.
+
+Everything is built-in ``regexp_*`` — JVM-side, whole-stage codegen,
+zero shuffles: a pure narrow map over the corpus, so at 100 TB it runs
+at parquet scan speed and composes with any downstream filter without
+adding a stage boundary.
+
+The patterns avoid lookaround and backreferences on purpose so they
+mean the same thing in Java regex (Spark) and RE2 (DuckDB / Go / Rust
+scrubbers) — the oracle check depends on that, and so does anyone
+re-validating the scrub with a non-JVM tool.
+
+Redaction is *sequential* (emails → URLs → IPs → phones), each stage
+matching against the previous stage's output: URLs and emails contain
+digit runs that the looser phone pattern would otherwise re-match, and
+IPv4s are a strict subset of the phone pattern's language. Counts are
+taken on the same intermediate strings, so ``n_phones`` never
+double-counts an IP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+# (name, pattern, replacement token) in the order redaction must run
+PII_STAGES: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("url", URL_RE, "<URL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-type match counts (``n_email`` …) and a fully
+    scrubbed ``redacted`` column.  Stage *k*'s count is measured on the
+    text after stages 1..k-1 replaced their matches, mirroring the
+    sequential rewrite, so the counts always sum to the number of
+    replacement tokens in ``redacted``."""
+    out = df
+    cur: Column = F.col(text_col)
+    for name, pattern, token in PII_STAGES:
+        out = out.withColumn(f"n_{name}", _count(cur, pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return out.withColumn("redacted", cur)

@@ -139,6 +139,58 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram shingles of the normalized text as an array of
+    space-joined strings (empty array when the doc has < n words).
+    Pure array HOFs — narrow, zero-shuffle."""
+    toks = tokens(normalize_text(text))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the share
+    of all word-bigram occurrences taken by the single most frequent
+    bigram, and the duplicate fraction of 5-gram occurrences.
+
+    The 5-gram side is zero-shuffle (``array_distinct`` inside the
+    row); its two small ints ride along through the bigram explode so
+    no re-join against the corpus is needed.  Two partial-aggregated
+    shuffles total — (id, gram, count) triples then (id) — both already
+    reduced map-side, never raw text."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        word_ngrams(t, 2).alias("grams2"),
+        word_ngrams(t, 5).alias("grams5"),
+    ).select(
+        id_col,
+        F.size("grams5").alias("n_grams5"),
+        F.size(F.array_distinct("grams5")).alias("n_distinct5"),
+        F.explode("grams2").alias("gram"),
+    )
+    counts = base.groupBy(id_col, "gram").agg(
+        F.count("*").alias("c"),
+        F.first("n_grams5").alias("n_grams5"),
+        F.first("n_distinct5").alias("n_distinct5"),
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.first("n_grams5").alias("n_grams5"),
+        F.round(
+            (F.first("n_grams5") - F.first("n_distinct5"))
+            / F.greatest(F.first("n_grams5"), F.lit(1)),
+            6,
+        ).alias("dup5_frac"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

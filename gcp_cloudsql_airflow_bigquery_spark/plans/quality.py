@@ -1,0 +1,273 @@
+r"""Data-quality and safety plans: PII redaction, Gopher-style
+repetition stats, benchmark decontamination, sequence packing, table
+profiling.  All five oracle-checked against DuckDB.
+
+``doc_pii_redact`` injects deterministic synthetic PII (the fixture
+corpus is clean word-salad) *inside the query on both engines* so the
+redaction regexes are exercised with non-zero counts and the scrubbed
+text is byte-compared via md5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import curation, privacy, profiling, textstats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- PII redaction -------------------------------------------------------
+
+def _inject_pii(df: DataFrame) -> DataFrame:
+    """Append synthetic PII derived from doc_id: every doc an email,
+    every 2nd a URL, every 3rd a phone, every 5th an IPv4."""
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" see http://ex"), sid, F.lit(".org/a"), sid),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" tel +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return df.select("doc_id", injected.alias("text"))
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return privacy.redact_pii(_inject_pii(_docs(spark, sf_dir))).select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_ip",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").alias("redacted_len"),
+    )
+
+
+_INJECT_SQL = """
+SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ' see http://ex' || CAST(doc_id AS VARCHAR)
+                         || '.org/a' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' tel +1 (555) 010-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                    ELSE '' END AS text
+FROM documents
+"""
+
+_PII_SQL = f"""
+WITH t0 AS ({_INJECT_SQL}),
+t1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{privacy.EMAIL_RE}')) AS n_email,
+              regexp_replace(text, '{privacy.EMAIL_RE}', '<EMAIL>', 'g') AS text
+       FROM t0),
+t2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(text, '{privacy.URL_RE}')) AS n_url,
+              regexp_replace(text, '{privacy.URL_RE}', '<URL>', 'g') AS text
+       FROM t1),
+t3 AS (SELECT doc_id, n_email, n_url,
+              len(regexp_extract_all(text, '{privacy.IPV4_RE}')) AS n_ip,
+              regexp_replace(text, '{privacy.IPV4_RE}', '<IP>', 'g') AS text
+       FROM t2),
+t4 AS (SELECT doc_id, n_email, n_url, n_ip,
+              len(regexp_extract_all(text, '{privacy.PHONE_RE}')) AS n_phone,
+              regexp_replace(text, '{privacy.PHONE_RE}', '<PHONE>', 'g') AS text
+       FROM t3)
+SELECT doc_id, n_email, n_url, n_ip, n_phone,
+       md5(text) AS redacted_md5, length(text) AS redacted_len
+FROM t4
+"""
+
+
+# --- repetition / Gopher quality signals ---------------------------------
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# normalized words ≡ textstats.normalize_text + tokens
+_WORDS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+_REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                            i -> words[i] || ' ' || words[i + 1]) AS grams2,
+             list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+                            i -> array_to_string(words[i : i + 4], ' ')) AS grams5
+      FROM w),
+ex AS (SELECT doc_id, len(grams5) AS n_grams5,
+              len(list_distinct(grams5)) AS n_distinct5,
+              unnest(grams2) AS gram
+       FROM g),
+c AS (SELECT doc_id, gram, COUNT(*) AS c,
+             any_value(n_grams5) AS n_grams5, any_value(n_distinct5) AS n_distinct5
+      FROM ex GROUP BY doc_id, gram)
+SELECT doc_id,
+       SUM(c) AS n_bigrams,
+       MAX(c) AS top_bigram_n,
+       ROUND(MAX(c) / SUM(c), 6) AS top_bigram_frac,
+       any_value(n_grams5) AS n_grams5,
+       ROUND((any_value(n_grams5) - any_value(n_distinct5))
+             / greatest(any_value(n_grams5), 1), 6) AS dup5_frac
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- benchmark decontamination -------------------------------------------
+
+def doc_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing ≥1 distinct 8-gram with the held-out test
+    split (the eval-leak audit; drop these before training)."""
+    docs = curation.assign_splits(_docs(spark, sf_dir))
+    train = docs.filter(F.col("split") == "train")
+    bench = docs.filter(F.col("split") == "test")
+    return curation.decontaminate(train, bench, n=8).orderBy("doc_id")
+
+
+_SPLIT_CASE = """
+CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+          ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+     ELSE 'test' END
+"""
+
+_DECONTAM_SQL = f"""
+WITH s AS (SELECT doc_id, {_WORDS} AS words, {_SPLIT_CASE} AS split
+           FROM documents),
+g AS (SELECT doc_id, split,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(words) - 7, 0)),
+                 i -> array_to_string(words[i : i + 7], ' '))) AS grams
+      FROM s),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'test'),
+train AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE split = 'train')
+SELECT train.doc_id, COUNT(*) AS n_shared
+FROM train JOIN bench USING (gram)
+GROUP BY train.doc_id ORDER BY train.doc_id
+"""
+
+
+# --- sequence packing ------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def doc_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, bin) packing audit at a 512-token budget: how many
+    docs and tokens each concatenated model window holds."""
+    packed = curation.pack_bins(_docs(spark, sf_dir), budget=_PACK_BUDGET)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (SELECT source, doc_id,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+           FROM documents),
+r AS (SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+      FROM t)
+SELECT source,
+       CAST(FLOOR(tok_start / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS bin_tokens
+FROM r GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+# --- table profiling -------------------------------------------------------
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(18,2)").cast("string")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value profile of ``orders`` — the post-extract validation the
+    reference never runs (it only introspects INFORMATION_SCHEMA
+    *types*, reference ``dags/cloudsql_to_bigquery.py:141``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.profile_table(
+        orders,
+        exact_distinct=True,
+        render={"o_totalprice": _dec},
+    )
+
+
+def _profile_col_sql(col: str, render: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       CAST({render.format(expr=f"MIN({col})")} AS VARCHAR) AS min_value,
+       CAST({render.format(expr=f"MAX({col})")} AS VARCHAR) AS max_value
+FROM orders
+"""
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, r)
+    for c, r in [
+        ("o_orderkey", "{expr}"),
+        ("o_custkey", "{expr}"),
+        ("o_orderstatus", "{expr}"),
+        ("o_totalprice", "CAST({expr} AS DECIMAL(18,2))"),
+        ("o_orderdate", "{expr}"),
+        ("o_orderpriority", "{expr}"),
+    ]
+)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_pii_redact": doc_pii_redact,
+    "doc_repetition": doc_repetition,
+    "doc_decontaminated": doc_decontaminated,
+    "doc_packed_bins": doc_packed_bins,
+    "table_profile": table_profile,
+}
+
+ORACLE: dict[str, str] = {
+    "doc_pii_redact": _PII_SQL,
+    "doc_repetition": _REPETITION_SQL,
+    "doc_decontaminated": _DECONTAM_SQL,
+    "doc_packed_bins": _PACK_SQL,
+    "table_profile": _PROFILE_SQL,
+}
