@@ -1,0 +1,97 @@
+"""Unit tests for the data-quality operators: PII redaction sequencing,
+sequence-packing invariants, decontamination on handcrafted frames, and
+table profiling with nulls."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_airflow_bigquery_spark.operators import (
+    curation,
+    privacy,
+    profiling,
+)
+
+
+# --- privacy -------------------------------------------------------------
+
+def test_redact_all_pii_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co see https://x.io/p?q=1 host 10.0.0.1 tel +1 555-010-9999 done")],
+        "doc_id long, text string",
+    )
+    row = privacy.redact_pii(df).first()
+    assert (row.n_email, row.n_url, row.n_ip, row.n_phone) == (1, 1, 1, 1)
+    assert row.redacted == "mail <EMAIL> see <URL> host <IP> tel <PHONE> done"
+
+
+def test_redact_no_double_count(spark):
+    # an IP and a URL both contain digit runs the phone pattern matches;
+    # sequential staging must not re-count them as phones
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3 and http://a.io/1234567890 only")],
+        "doc_id long, text string",
+    )
+    row = privacy.redact_pii(df).first()
+    assert row.n_ip == 1 and row.n_url == 1 and row.n_phone == 0
+    assert "<PHONE>" not in row.redacted
+
+
+def test_redact_clean_text_is_identity(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here")], "doc_id long, text string")
+    row = privacy.redact_pii(df).first()
+    assert row.redacted == "nothing sensitive here"
+    assert row.n_email == row.n_url == row.n_ip == row.n_phone == 0
+
+
+# --- packing -------------------------------------------------------------
+
+def test_pack_bins_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        curation.pack_bins(df, budget=0)
+
+
+def test_pack_bins_offsets_and_bins(spark):
+    # 3 docs of 4 tokens each in one source at budget 6:
+    # starts 0,4,8 -> bins 0,0,1
+    rows = [(i, "w w w w", "s") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in curation.pack_bins(df, budget=6).collect()}
+    assert [out[i].tok_start for i in range(3)] == [0, 4, 8]
+    assert [out[i].bin_id for i in range(3)] == [0, 0, 1]
+    # offsets are gapless: start_{i+1} = start_i + n_tokens_i
+    assert all(out[i + 1].tok_start == out[i].tok_start + out[i].n_tokens for i in range(2))
+
+
+# --- decontamination -----------------------------------------------------
+
+def test_decontaminate_finds_only_true_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix words the quick brown fox jumps over the lazy dog suffix")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared for r in curation.decontaminate(train, bench, n=8).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+
+
+# --- profiling -----------------------------------------------------------
+
+def test_profile_counts_nulls_and_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 5), (4, 9)], "k long, v long"
+    )
+    prof = {r.column_name: r for r in profiling.profile_table(df, exact_distinct=True).collect()}
+    assert prof["v"].n_nulls == 1
+    assert prof["v"].n_distinct == 2
+    assert prof["v"].min_value == "5" and prof["v"].max_value == "9"
+    assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
