@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import curation
+from ..operators import curation, mixing
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,14 +81,106 @@ GROUP BY 1, 2 ORDER BY source, split
 """
 
 
+# --- temperature mixing / training-order sharding ------------------------
+
+_MIX_T = 0.5  # temperature: en (218 docs) downsamples, fr (64) upsamples
+
+
+def doc_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates for a temperature-0.5 mix — the
+    plan a pipeline inspects before materializing the resample."""
+    rates = mixing.mix_rates(_docs(spark, sf_dir), source_col="lang", temperature=_MIX_T)
+    return rates.select(
+        "lang",
+        "n_docs",
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("rate"),
+    ).orderBy("lang")
+
+
+_RATES_CTE = f"""
+c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT lang, n_docs,
+             pow(n_docs, {_MIX_T}) AS w_raw,
+             SUM(pow(n_docs, {_MIX_T})) OVER () AS w_sum,
+             SUM(n_docs) OVER () AS n_total
+      FROM c)
+"""
+
+_MIX_RATES_SQL = f"""
+WITH {_RATES_CTE}
+SELECT lang, n_docs,
+       ROUND(w_raw / w_sum, 6) AS weight,
+       ROUND(w_raw / w_sum * n_total / n_docs, 6) AS rate
+FROM r ORDER BY lang
+"""
+
+
+def doc_mix_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized mix: every kept (doc, epoch) copy.  Membership
+    is a pure hash function of doc_id, so DuckDB reproduces it."""
+    docs = _docs(spark, sf_dir)
+    rates = mixing.mix_rates(docs, source_col="lang", temperature=_MIX_T)
+    out = mixing.resample(docs, rates, source_col="lang")
+    return out.select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")
+
+
+# u = first 8 md5 hex chars of (seed || id) as a 32-bit int scaled to [0,1)
+def _u_sql(seed: str, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{seed}' || CAST({key} AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) / 4294967296.0"
+    )
+
+
+_MIX_RESAMPLED_SQL = f"""
+WITH {_RATES_CTE},
+rate AS (SELECT lang, w_raw / w_sum * n_total / n_docs AS rate FROM r),
+m AS (SELECT d.doc_id, d.lang,
+             CAST(FLOOR(rate) AS BIGINT)
+             + CASE WHEN {_u_sql("mix-v1", "d.doc_id")} < rate - FLOOR(rate)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rate USING (lang))
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) - 1 AS epoch
+FROM m WHERE n_copies > 0 ORDER BY doc_id, epoch
+"""
+
+_N_SHARDS = 8
+
+
+def doc_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: stable (shard, position)
+    per document, reproducible from the seed alone."""
+    out = mixing.shard_order(_docs(spark, sf_dir), n_shards=_N_SHARDS)
+    return out.select("doc_id", "shard", "position").orderBy("shard", "position")
+
+
+_SHARD_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  CAST(FLOOR({_u_sql("shuffle-v1-shard", "doc_id")} * {_N_SHARDS}) AS INT) AS shard,
+                  {_u_sql("shuffle-v1-order", "doc_id")} AS u
+           FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) AS INT) - 1 AS position
+FROM h ORDER BY shard, position
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": doc_chunks,
     "doc_balanced_sample": doc_balanced_sample,
     "doc_split_counts": doc_split_counts,
+    "doc_mix_rates": doc_mix_rates,
+    "doc_mix_resampled": doc_mix_resampled,
+    "doc_shard_order": doc_shard_order,
 }
 
 ORACLE: dict[str, str] = {
     "doc_chunks": _CHUNKS_SQL,
     "doc_balanced_sample": _BALANCED_SQL,
     "doc_split_counts": _SPLITS_SQL,
+    "doc_mix_rates": _MIX_RATES_SQL,
+    "doc_mix_resampled": _MIX_RESAMPLED_SQL,
+    "doc_shard_order": _SHARD_SQL,
 }

@@ -95,3 +95,58 @@ def test_profile_counts_nulls_and_extremes(spark):
     assert prof["v"].n_distinct == 2
     assert prof["v"].min_value == "5" and prof["v"].max_value == "9"
     assert prof["k"].n_rows == 4 and prof["k"].n_nulls == 0
+
+
+# --- mixing --------------------------------------------------------------
+
+def test_mix_rates_weights_sum_to_one(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixing.mix_rates(docs, source_col="lang", temperature=0.5).collect()
+    assert abs(sum(r.weight for r in rates) - 1.0) < 1e-9
+    # skewed corpus: the largest source downsamples, the smallest upsamples
+    by_n = sorted(rates, key=lambda r: r.n_docs)
+    assert by_n[-1].rate < 1.0 < by_n[0].rate
+
+
+def test_resample_hits_expected_sizes(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixing.mix_rates(docs, source_col="lang", temperature=0.5)
+    out = mixing.resample(docs, rates, source_col="lang")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {r.lang: r.rate * r.n_docs for r in rates.collect()}
+    for lang, target in want.items():
+        # hash-Bernoulli on the fractional part: binomial tolerance
+        assert abs(got.get(lang, 0) - target) <= max(4 * (target ** 0.5), 4), lang
+    # determinism: second materialization is identical
+    again = mixing.resample(docs, rates, source_col="lang")
+    assert out.select("doc_id", "epoch").exceptAll(again.select("doc_id", "epoch")).count() == 0
+
+
+def test_shard_order_positions_gapless(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixing.shard_order(docs, n_shards=4)
+    stats = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("position").alias("lo"), F.max("position").alias("hi")
+    ).collect()
+    assert {r.shard for r in stats} <= set(range(4))
+    for r in stats:
+        assert r.lo == 0 and r.hi == r.n - 1  # dense 0..n-1 within shard
+
+
+def test_mixing_rejects_bad_params(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import mixing
+
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mixing.mix_rates(df, temperature=0.0)
+    with pytest.raises(ValueError):
+        mixing.shard_order(df, n_shards=0)
