@@ -17,8 +17,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gcp_cloudsql_airflow_bigquery_spark.plans import (
+    curation,
     events,
     llmdata,
+    quality,
     relational,
     scale,
     temporal,
@@ -40,6 +42,10 @@ HEADLINE = [
     ("knn_bruteforce", llmdata.QUERIES),
     ("doc_token_stats", llmdata.QUERIES),
     ("doc_tfidf_top_term", llmdata.QUERIES),
+    ("doc_repetition", quality.QUERIES),
+    ("doc_decontaminated", quality.QUERIES),
+    ("doc_mix_resampled", curation.QUERIES),
+    ("doc_packed_bins", quality.QUERIES),
 ]
 
 

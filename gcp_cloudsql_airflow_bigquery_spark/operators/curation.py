@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import token_count, word_ngrams
+from .textstats import token_count, word_ngram_hashes
 
 # first hex digit of md5 → 16 uniform buckets; 12/2/2 ≈ 75/12.5/12.5
 TRAIN_DIGITS = tuple("0123456789ab")
@@ -129,8 +129,11 @@ def decontaminate(
     The benchmark side is deduplicated then broadcast: contamination
     checks always have a tiny eval side, so the 100 TB train side is
     scanned once with a map-side hash probe and the only shuffle is the
-    final partial-agged count per doc id."""
-    grams = F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+    final partial-agged count per doc id.  Both sides join on the
+    64-bit gram hash, not the gram string — the probe table and every
+    exploded row carry 8 bytes instead of an n-word string, and the
+    overlap count is hash-collision-exact to ~|grams|²/2⁶⁴."""
+    grams = F.explode(F.array_distinct(word_ngram_hashes(F.col(text_col), n)))
     bench_grams = benchmark.select(grams.alias("gram")).distinct()
     return (
         train.select(F.col(id_col), grams.alias("gram"))

@@ -49,6 +49,26 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 64-bit ``xxhash64`` shingles — same construction as
+    ``word_shingles`` but the n token slots feed the hash directly, so
+    no shingle string is ever allocated and every downstream
+    explode/join/shuffle moves 8-byte longs instead of n-word text.
+    Set-cardinality semantics are hash-collision-exact to ~m²/2⁶⁴."""
+    toks = tokens(normalize_text(text))
+    size = F.size(toks)
+    shifted = [toks.alias("w0")] + [
+        F.slice(toks, i + 1, F.greatest(size - i, F.lit(0))).alias(f"w{i}")
+        for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    last = f"w{n - 1}"
+    complete = F.filter(zipped, lambda s: s[last].isNotNull())
+    return F.array_distinct(
+        F.transform(complete, lambda s: F.xxhash64(*[s[f"w{i}"] for i in range(n)]))
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -121,14 +141,16 @@ def ngram_jaccard_pairs(
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Inverted index: one (id, shingle) row per distinct shingle.  The
-    shingle pipeline (tokenize -> slice -> concat) runs exactly once per
-    document here; every MinHash/Jaccard consumer reuses these rows
+    """Inverted index: one (id, shingle-hash) row per distinct shingle.
+    The shingle pipeline (tokenize -> slice -> hash) runs exactly once
+    per document here; every MinHash/Jaccard consumer reuses these rows
     instead of re-deriving arrays (projection collapse would otherwise
-    re-evaluate the whole chain once per derived column)."""
+    re-evaluate the whole chain once per derived column).  Shingles are
+    64-bit hashes, not strings — intersection/union counts are
+    identical w.h.p. and the index shuffles 8 bytes per entry."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(word_shingle_hashes(F.col(text_col), n)).alias("shingle"),
     )
 
 

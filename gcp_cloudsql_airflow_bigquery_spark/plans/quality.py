@@ -111,7 +111,10 @@ FROM t4
 # --- repetition / Gopher quality signals ---------------------------------
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    # no orderBy: the driver compare is order-insensitive, and a sort
+    # here would make the range-partition sampler evaluate the whole
+    # narrow stats projection twice (measured 2× at sf0.1)
+    return textstats.repetition_stats(_docs(spark, sf_dir))
 
 
 # normalized words ≡ textstats.normalize_text + tokens
