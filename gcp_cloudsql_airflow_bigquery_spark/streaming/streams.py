@@ -171,6 +171,55 @@ def run_to_memory(
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's click(s) in the preceding ``within`` interval (click→purchase
+    attribution).
+
+    Both sides carry a watermark AND the join condition bounds
+    ``purchase_ts`` to a finite window after ``click_ts`` — that pair is
+    what lets Spark expire buffered rows; an unbounded-time stream-stream
+    join would accumulate state forever.  State per side ≈ watermark
+    horizon of rows for the filtered event types only, not the full
+    stream."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enriched_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (broadcast) static dimension — no stream-side shuffle, no state. The

@@ -118,3 +118,36 @@ def test_stream_foreach_batch_merge(spark, event_dir, tmp_path):
     assert merged.count() == merged.select("event_id").distinct().count()
     src = spark.read.schema(streams.EVENT_SCHEMA).json(event_dir)
     assert merged.count() == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_attribution_join(spark, event_dir):
+    stream = streams.read_event_stream(spark, event_dir)
+    streams.run_to_memory(
+        streams.attribution_join_stream(stream), "t_attrib", output_mode="append"
+    )
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table("t_attrib").collect()
+    }
+    # batch equivalent over the same files
+    batch = spark.read.schema(streams.EVENT_SCHEMA).json(event_dir)
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert want, "fixture should produce at least one attributed pair"
+    # every batch pair must be found by the stream (watermark may not drop
+    # any here: the fixture replays in bounded micro-batches)
+    assert got == want
