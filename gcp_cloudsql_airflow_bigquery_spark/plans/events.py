@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import graph
 from ..streaming import windows
 
 
@@ -228,6 +229,22 @@ FROM g ORDER BY from_type, to_type
 """
 
 
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (nodes = event
+    types, edge weight = observed transition count) — which states the
+    user journey gravitates to.  Iterative power iteration
+    (``operators/graph.pagerank``), so no SQL oracle: the driver's
+    rows-only check applies; convergence is unit-tested against numpy
+    power iteration in tests/test_quality_ops.py."""
+    edges = events_transition_matrix(spark, sf_dir)
+    ranks = graph.pagerank(
+        edges, src="from_type", dst="to_type", weight="n", tol=1e-9
+    )
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
@@ -235,6 +252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
+    "event_type_pagerank": event_type_pagerank,
 }
 
 ORACLE: dict[str, str] = {

@@ -150,3 +150,44 @@ def test_mixing_rejects_bad_params(spark):
         mixing.mix_rates(df, temperature=0.0)
     with pytest.raises(ValueError):
         mixing.shard_order(df, n_shards=0)
+
+
+# --- pagerank ------------------------------------------------------------
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators import graph
+
+    # weighted digraph with a dangling node (3 has no out-edges)
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, weight="w", tol=1e-12, max_iter=100).collect()
+    }
+
+    n, d = 4, 0.85
+    P = np.zeros((n, n))
+    for s, t, w in edges:
+        P[s, t] = w
+    out = P.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        emitted = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                emitted += r[s] * P[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (emitted + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_event_type_pagerank_runs(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.plans import events as ev
+
+    rows = ev.QUERIES["event_type_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == 5  # five event types
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
