@@ -300,3 +300,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization:
+    ``struct(q: array<int>, scale: double)`` with
+    ``q_i = round(x_i * 127 / max|x|)`` and ``scale = max|x| / 127``
+    (so ``x_i ≈ q_i * scale``).  All-zero vectors quantize to zeros
+    with scale 0.
+
+    The 100 TB lever for the similarity stack: a stored corpus shrinks
+    4× vs float32 (16× vs float64) and int dot products scan
+    correspondingly faster; recall loss is bounded by the per-dim step
+    ``scale/2``.  Implemented as a single-element ``transform``
+    let-binding so ``max|x|`` is computed once per vector — a naive
+    lambda capture would re-derive the array max per element (O(d²))."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    bound = F.struct(
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("m"),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(bound),
+            lambda s: F.struct(
+                F.when(
+                    s["m"] == 0.0,
+                    F.transform(s["v"], lambda x: F.lit(0)),
+                )
+                .otherwise(
+                    F.transform(
+                        s["v"],
+                        lambda x: F.round(x * 127.0 / s["m"]).cast("int"),
+                    )
+                )
+                .alias("q"),
+                (s["m"] / 127.0).alias("scale"),
+            ),
+        ),
+        1,
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``x_i ≈ q_i * scale``."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

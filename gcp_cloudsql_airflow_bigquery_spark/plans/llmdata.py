@@ -570,3 +570,38 @@ GROUP BY 1, 2 ORDER BY label, dim
 
 QUERIES["embedding_centroids"] = embedding_centroids
 ORACLE["embedding_centroids"] = _CENTROIDS_SQL
+
+
+def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    4×-compression storage path for the ANN stack.  Narrow per-row
+    transform, zero shuffle; output is integer-exact across engines
+    (both compute q_i = round(x_i·127/max|x|) in float64)."""
+    q = similarity.quantize_int8(F.col("embedding"))
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        q.getField("q").alias("q"),
+        F.round(q.getField("scale"), 9).alias("scale_r9"),
+    )
+
+
+_QUANTIZED_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN mx = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                                x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+                                          AS INT))
+       END AS q,
+       ROUND(mx / 127.0, 9) AS scale_r9
+FROM m
+"""
+
+QUERIES["embedding_quantized"] = embedding_quantized
+ORACLE["embedding_quantized"] = _QUANTIZED_SQL

@@ -191,3 +191,38 @@ def test_event_type_pagerank_runs(spark, sf_dir):
     rows = ev.QUERIES["event_type_pagerank"](spark, sf_dir).collect()
     assert len(rows) == 5  # five event types
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+
+
+# --- embedding quantization ----------------------------------------------
+
+def test_quantize_int8_roundtrip_bound(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(F.col("embedding"))
+    checked = emb.select(
+        F.col("embedding").alias("x"), q.getField("q").alias("q"), q.getField("scale").alias("s")
+    ).select(
+        F.array_max(
+            F.zip_with(
+                similarity.dequantize(F.col("q"), F.col("s")),
+                F.transform("x", lambda v: v.cast("double")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        F.col("s"),
+        F.array_max(F.transform("q", F.abs)).alias("max_q"),
+    )
+    bad = checked.filter(
+        (F.col("max_err") > F.col("s") / 2 + 1e-12) | (F.col("max_q") > 127)
+    ).count()
+    assert bad == 0
+
+
+def test_quantize_int8_zero_vector(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    row = df.select(similarity.quantize_int8(F.col("embedding")).alias("qs")).first()
+    assert row.qs.q == [0, 0, 0] and row.qs.scale == 0.0
