@@ -605,3 +605,15 @@ FROM m
 
 QUERIES["embedding_quantized"] = embedding_quantized
 ORACLE["embedding_quantized"] = _QUANTIZED_SQL
+
+
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8-quantized corpus (the 4×-compressed storage
+    scan path).  Rows-only: scores are quantization-dependent; recall
+    ≥0.9 vs the exact scan is asserted in tests/test_quality_ops.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk_int8(emb, queries, k=10)
+
+
+QUERIES["knn_int8"] = knn_int8

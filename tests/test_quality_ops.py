@@ -226,3 +226,17 @@ def test_quantize_int8_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
     row = df.select(similarity.quantize_int8(F.col("embedding")).alias("qs")).first()
     assert row.qs.q == [0, 0, 0] and row.qs.scale == 0.0
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.limit(20)
+    exact = similarity.brute_force_topk(emb, qs, k=10)
+    quant = similarity.brute_force_topk_int8(emb, qs, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    assert recall >= 0.9, recall
