@@ -259,15 +259,158 @@ _PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+# --- end-to-end curation funnel ------------------------------------------
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one audited funnel — raw corpus →
+    C4-style quality gate → exact dedup (canonical per content hash) →
+    benchmark decontamination of the train/val portion → final split
+    sizes.  One row per stage with surviving doc counts: the report a
+    data curator signs off before a training run.
+
+    Composition of the individually-oracle-checked stages; every stage
+    reuses the operator modules (never re-implements a gate), so this
+    is also a regression net across operator boundaries."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import (
+        detect_lang,
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    kept = docs.select(
+        "doc_id",
+        "text",
+        detect_lang(t).alias("det_lang"),
+        quality_score(t).alias("quality"),
+        token_count(t).alias("n_tokens"),
+    ).filter(
+        (F.col("det_lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 5000)
+    ).select("doc_id", "text")
+    wh = Window.partitionBy("content_hash")
+    deduped = (
+        kept.withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+        .withColumn("canonical", F.col("doc_id") == F.min("doc_id").over(wh))
+        .filter("canonical")
+        .select("doc_id", "text")
+    )
+    splits_deduped = curation.assign_splits(deduped)
+    bench = curation.assign_splits(docs).filter(F.col("split") == "test")
+    tv = splits_deduped.filter(F.col("split") != "test")
+    contaminated = curation.decontaminate(tv, bench, n=8).select("doc_id")
+    clean = splits_deduped.join(contaminated, "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("1_raw", docs)
+        .unionAll(stage("2_quality", kept))
+        .unionAll(stage("3_exact_dedup", deduped))
+        .unionAll(stage("4_decontaminated", clean))
+        .unionAll(
+            clean.groupBy("split")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.concat(F.lit("5_"), F.col("split")).alias("stage"), "n_docs")
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    # reuse the proven parity fragments from the llmdata plans
+    from .llmdata import _NORM, _STOPLIST_SQL, _lang_list_sql
+
+    gmax = "GREATEST(s_en, s_de, s_es, s_fr)"
+    grams8 = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(w) - 7, 0)), "
+        "i -> array_to_string(w[i : i + 7], ' ')))"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+), q AS (
+  SELECT doc_id, n_tok,
+         ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - (CASE WHEN n_chars > 0
+                                         THEN n_punct / n_chars
+                                         ELSE 0.0 END) * 5) * 0.25 +
+               LEAST((CASE WHEN n_tok > 0
+                           THEN n_stop / n_tok
+                           ELSE 0.0 END) * 4, 1.0) * 0.25, 6) AS quality,
+         CASE WHEN {gmax} = 0 THEN 'und'
+              WHEN s_en = {gmax} THEN 'en'
+              WHEN s_de = {gmax} THEN 'de'
+              WHEN s_es = {gmax} THEN 'es'
+              ELSE 'fr' END AS det_lang
+  FROM m
+), kept AS (
+  SELECT doc_id FROM q
+  WHERE det_lang = 'en' AND quality >= 0.5 AND n_tok BETWEEN 5 AND 5000
+), deduped AS (
+  SELECT d.doc_id FROM documents d JOIN kept USING (doc_id)
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM}))
+), splits AS (
+  SELECT doc_id, {_SPLIT_CASE} AS split FROM documents
+), words AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), bgrams AS (
+  SELECT DISTINCT unnest({grams8}) AS gram
+  FROM words JOIN splits USING (doc_id) WHERE split = 'test'
+), dgrams AS (
+  SELECT doc_id, unnest({grams8}) AS gram
+  FROM words
+  WHERE doc_id IN (SELECT doc_id FROM deduped)
+    AND doc_id IN (SELECT doc_id FROM splits WHERE split <> 'test')
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (gram)
+), clean AS (
+  SELECT d.doc_id, s.split
+  FROM deduped d JOIN splits s USING (doc_id)
+  WHERE s.split = 'test'
+     OR d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '2_quality', COUNT(*) FROM kept
+UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM deduped
+UNION ALL SELECT '4_decontaminated', COUNT(*) FROM clean
+UNION ALL SELECT '5_' || split, COUNT(*) FROM clean GROUP BY split
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": doc_pii_redact,
     "doc_repetition": doc_repetition,
     "doc_decontaminated": doc_decontaminated,
     "doc_packed_bins": doc_packed_bins,
     "table_profile": table_profile,
+    "corpus_funnel": corpus_funnel,
 }
 
 ORACLE: dict[str, str] = {
+    "corpus_funnel": _funnel_sql(),
     "doc_pii_redact": _PII_SQL,
     "doc_repetition": _REPETITION_SQL,
     "doc_decontaminated": _DECONTAM_SQL,
