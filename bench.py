@@ -46,6 +46,7 @@ HEADLINE = [
     ("doc_decontaminated", quality.QUERIES),
     ("doc_mix_resampled", curation.QUERIES),
     ("doc_packed_bins", quality.QUERIES),
+    ("corpus_funnel", quality.QUERIES),
 ]
 
 
