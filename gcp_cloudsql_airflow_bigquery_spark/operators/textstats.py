@@ -289,3 +289,38 @@ def tfidf_top_terms(
         .filter(F.col("rn") == 1)
         .select(id_col, F.col("term").alias("top_term"), "tfidf")
     )
+
+
+# C0/C1 control characters except \t and \n
+_CTL_RANGE = r"[\x00-\x08\x0B-\x1F\x7F-\x9F]"
+_CTL_RE = None  # compiled lazily inside the UDF workers
+
+
+def nfc_clean_udf():
+    """Vectorized unicode cleaner: NFC normalization + C0/C1 control
+    stripping (keeps tab/newline), as an Arrow-batched pandas UDF.
+
+    This is the one text op that genuinely needs Python — Spark SQL has
+    no NFC built-in — so it takes the sanctioned slow path: a scalar
+    ``pandas_udf`` (Arrow batches, not per-row pickling), applied as a
+    narrow map with no shuffle.  Both Python's ``unicodedata`` and
+    DuckDB's ``nfc_normalize`` implement Unicode NFC, so the result is
+    byte-identical across engines (oracle-checked)."""
+    import pandas as pd  # noqa: F401 (referenced by the UDF type hints)
+    from pyspark.sql.functions import pandas_udf
+
+    def _clean(s):
+        import re
+        import unicodedata
+
+        ctl = re.compile(_CTL_RANGE)
+        return s.map(
+            lambda x: None
+            if x is None
+            else ctl.sub("", unicodedata.normalize("NFC", x))
+        )
+
+    # annotate with the real pandas types (the module-wide lazy
+    # annotations can't be resolved by pandas_udf's hint inference)
+    _clean.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_clean, "string")

@@ -259,6 +259,48 @@ _PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+# --- unicode cleaning (pandas-UDF path) ----------------------------------
+
+def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization + control-char strip via the Arrow-batched
+    pandas UDF (`textstats.nfc_clean_udf`) — the sanctioned Python path
+    for the one text op Spark SQL can't express.  Unicode is injected
+    in-query on both engines (combining accent, ﬁ-ligature, C0/C1
+    controls) since the fixture corpus is ASCII; outputs are md5/length
+    of the cleaned text, byte-compared against DuckDB's
+    ``nfc_normalize`` + regexp strip."""
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" café ﬁne \x07ctl \x9f"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Åring")).otherwise(F.lit("")),
+    )
+    clean = textstats.nfc_clean_udf()(injected)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+_UNICODE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' ' || chr(64257) || 'ne ' || chr(7)
+              || 'ctl ' || chr(159)
+              || CASE WHEN doc_id % 3 = 0 THEN 'A' || chr(778) || 'ring'
+                      ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(nfc_normalize(text),
+                        '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS clean
+  FROM t
+)
+SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS INT) AS clean_len
+FROM c
+"""
+
+
 # --- end-to-end curation funnel ------------------------------------------
 
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,10 +449,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_packed_bins": doc_packed_bins,
     "table_profile": table_profile,
     "corpus_funnel": corpus_funnel,
+    "doc_unicode_clean": doc_unicode_clean,
 }
 
 ORACLE: dict[str, str] = {
     "corpus_funnel": _funnel_sql(),
+    "doc_unicode_clean": _UNICODE_SQL,
     "doc_pii_redact": _PII_SQL,
     "doc_repetition": _REPETITION_SQL,
     "doc_decontaminated": _DECONTAM_SQL,
