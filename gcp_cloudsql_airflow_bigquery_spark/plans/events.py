@@ -229,6 +229,37 @@ FROM g ORDER BY from_type, to_type
 """
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VariantType: ``parse_json``
+    once into the binary Variant encoding, then typed ``variant_get``
+    extraction.  At 100 TB this is the right JSON shape — the document
+    is parsed a single time into a columnar-friendly binary form
+    instead of per-access string re-parsing (``get_json_object``), and
+    the narrow parse stays in the scan stage."""
+    e = _events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (nodes = event
     types, edge weight = observed transition count) — which states the
@@ -252,6 +283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_transition_matrix": events_transition_matrix,
+    "events_variant_props": events_variant_props,
     "event_type_pagerank": event_type_pagerank,
 }
 
@@ -262,4 +294,5 @@ ORACLE: dict[str, str] = {
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
+    "events_variant_props": _VARIANT_SQL,
 }

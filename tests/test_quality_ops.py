@@ -240,3 +240,42 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
     q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
     recall = len(e & q) / len(e)
     assert recall >= 0.9, recall
+
+
+# --- pack_bins property test ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+_pack_case = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(1, 40), st.sampled_from(["a", "b"])),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_pack_case, st.sampled_from([7, 32, 100]))
+def test_pack_bins_matches_pandas_cumsum(case, budget):
+    # hypothesis can't inject pytest fixtures; reuse the session singleton
+    from gcp_cloudsql_airflow_bigquery_spark.operators import curation
+    from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(doc_id, " ".join(["w"] * n_words), src) for doc_id, n_words, src in case]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_start, r.bin_id)
+        for r in curation.pack_bins(df, budget=budget).collect()
+    }
+    # pandas reference: per-source cumulative offsets in doc_id order
+    import pandas as pd
+
+    pdf = pd.DataFrame(case, columns=["doc_id", "n", "src"]).sort_values(["src", "doc_id"])
+    pdf["start"] = pdf.groupby("src")["n"].cumsum() - pdf["n"]
+    for r in pdf.itertuples():
+        n, start, bin_id = got[r.doc_id]
+        assert n == r.n
+        assert start == r.start
+        assert bin_id == r.start // budget
