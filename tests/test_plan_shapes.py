@@ -81,3 +81,35 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path_factory):
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in jplan.lower(), jplan
     assert joined.count() == po.filter(F.col("yr") == 1997).count()
+
+
+def test_repetition_stats_is_fully_narrow(spark, sf_dir):
+    # the per-doc quality signals must never pay a corpus exchange
+    # (the explode/groupBy formulation was ~20× slower at sf0.1)
+    from gcp_cloudsql_airflow_bigquery_spark.plans import quality
+
+    df = quality.QUERIES["doc_repetition"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_decontaminate_probes_broadcast_benchmark(spark, sf_dir):
+    # corpus side must stay a map-side broadcast-hash probe; the only
+    # hash exchanges are the tiny bench-side distinct + final count
+    from gcp_cloudsql_airflow_bigquery_spark.plans import quality
+
+    df = quality.QUERIES["doc_decontaminated"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_mix_resample_broadcasts_rates(spark, sf_dir):
+    # the corpus pass of the resampler is a narrow filter/explode over a
+    # broadcast rate table — no corpus shuffle at any temperature
+    from gcp_cloudsql_airflow_bigquery_spark.plans import curation
+
+    df = curation.QUERIES["doc_mix_resampled"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
