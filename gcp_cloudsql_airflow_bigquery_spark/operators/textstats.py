@@ -111,16 +111,23 @@ def rolling_fingerprints(text: Column, window: int = 8) -> Column:
     """Rolling (Rabin-style) fingerprint set: xxhash64 over each
     ``window``-token shingle of the normalized text.  Used for
     winnowing-style near-dup detection; engine-specific hash, so
-    checked by property tests rather than a SQL oracle."""
+    checked by property tests rather than a SQL oracle.  Same
+    zip-of-shifted-slices + let-bound tokens shape as
+    :func:`word_ngram_hashes` (the index-lambda formulation re-runs the
+    tokenizer per shingle)."""
     toks = tokens(normalize_text(text))
-    n = F.size(toks)
-    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
-    )
+
+    def fps(tk: Column) -> Column:
+        m = F.greatest(F.size(tk) - window + 1, F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(tk, i + 1, m) for i in range(window)])
+        return F.transform(
+            zipped,
+            lambda s: F.xxhash64(
+                F.concat_ws(" ", *[s[str(i)] for i in range(window)])
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks), fps), 1)
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
