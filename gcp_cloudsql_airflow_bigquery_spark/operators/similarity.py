@@ -191,8 +191,17 @@ def lsh_topk(
 
 
 def _normalize(vec: Column) -> Column:
-    n = norm(vec)
-    return F.transform(vec, lambda x: x / n)
+    # let-bind (vec, norm) in a single-element transform: a lambda that
+    # captured `norm(vec)` directly would re-reduce the whole vector
+    # once per element (O(d²) — HOF lambdas re-evaluate captures)
+    bound = F.struct(vec.alias("v"), norm(vec).alias("n"))
+    return F.element_at(
+        F.transform(
+            F.array(bound),
+            lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+        ),
+        1,
+    )
 
 
 def ivf_build(
