@@ -342,3 +342,40 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Winnowing-style near-dup candidates: rolling ``window``-token
+    fingerprints, mod-sampled (keep fp where ``fp % sample_mod == 0`` —
+    the hash-uniform simplification of winnowing's per-window min), then
+    a self-join on the sampled fingerprint.  Catches *local* overlap
+    (shared passages) that whole-document MinHash dilutes; the standard
+    plagiarism/boilerplate detector.
+
+    Scale shape: explode is rows × (tokens/sample_mod); the join key is
+    a uniform 64-bit hash, so no skew; output is distinct candidate
+    pairs, to be verified by exact Jaccard like the MinHash path."""
+    from .textstats import rolling_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                rolling_fingerprints(F.col(text_col), window=window),
+                lambda h: h % sample_mod == 0,
+            )
+        ).alias("fp"),
+    ).distinct()
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

@@ -617,3 +617,13 @@ def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["knn_int8"] = knn_int8
+
+
+def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style shared-passage candidates (mod-sampled rolling
+    fingerprints).  Rows-only: fingerprints are engine-specific
+    xxhash64; the shared-passage property is unit-tested."""
+    return dedup.winnow_candidates(_docs(spark, sf_dir))
+
+
+QUERIES["doc_winnow_candidates"] = doc_winnow_candidates

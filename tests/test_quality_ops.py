@@ -279,3 +279,21 @@ def test_pack_bins_matches_pandas_cumsum(case, budget):
         assert n == r.n
         assert start == r.start
         assert bin_id == r.start // budget
+
+
+def test_winnow_finds_shared_passage(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import dedup
+
+    passage = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [
+        (1, "unrelated preamble words here " + passage),
+        (2, passage + " followed by a totally different ending entirely"),
+        (3, "no overlap with anything else at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_candidates(df, window=8, sample_mod=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
