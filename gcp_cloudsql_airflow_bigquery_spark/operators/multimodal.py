@@ -152,3 +152,37 @@ def sample_video_frames(
     return frames.withColumn(
         "frame_key", F.concat_ws(":", "media_id", "frame_ms")
     )
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` variant of the feature plumbing: the kernel sees
+    raw Arrow ``RecordBatch``es, so fixed-width stats over the binary
+    column (``binary_length``) run as vectorized Arrow compute with NO
+    pandas object boxing — at 100 TB of blobs that's the difference
+    between a zero-copy scan and materializing every payload as a
+    Python ``bytes``.  Only the genuinely scalar step (crc32) touches
+    Python objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index("content"))
+            n_bytes = pc.coalesce(pc.binary_length(content), pa.scalar(0))
+            checksum = pa.array(
+                [0 if b is None else zlib.crc32(b.as_py()) for b in content],
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    batch.column(batch.schema.get_field_index("kind")),
+                    n_bytes.cast(pa.int64()),
+                    checksum,
+                ],
+                names=["media_id", "kind", "n_bytes", "checksum"],
+            )
+
+    return media.mapInArrow(
+        kernel, schema="media_id long, kind string, n_bytes long, checksum long"
+    )

@@ -297,3 +297,20 @@ def test_winnow_finds_shared_passage(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_map_in_arrow_matches_pandas_path(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_fake_media(docs)
+    via_arrow = {
+        r.media_id: (r.n_bytes, r.checksum)
+        for r in multimodal.extract_features_arrow(media).collect()
+    }
+    via_pandas = {
+        r.media_id: (r.n_bytes, r.checksum)
+        for r in multimodal.extract_features(media).collect()
+    }
+    assert via_arrow == via_pandas
