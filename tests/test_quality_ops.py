@@ -314,3 +314,36 @@ def test_map_in_arrow_matches_pandas_path(spark, sf_dir):
         for r in multimodal.extract_features(media).collect()
     }
     assert via_arrow == via_pandas
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100_000), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=3,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([0.3, 0.7, 1.0]),
+)
+def test_mix_rates_match_closed_form(case, temperature):
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators import mixing
+    from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    df = spark.createDataFrame(case, "doc_id long, source string")
+    got = {r.source: r for r in mixing.mix_rates(df, temperature=temperature).collect()}
+    counts: dict[str, int] = {}
+    for _, s in case:
+        counts[s] = counts.get(s, 0) + 1
+    total = sum(counts.values())
+    wsum = sum(n ** temperature for n in counts.values())
+    for s, n in counts.items():
+        w = n ** temperature / wsum
+        assert math.isclose(got[s].weight, w, rel_tol=1e-9), s
+        assert math.isclose(got[s].rate, w * total / n, rel_tol=1e-9), s
+    # at T=1 the mix is the natural distribution: every rate is exactly 1
+    if temperature == 1.0:
+        assert all(math.isclose(r.rate, 1.0, rel_tol=1e-12) for r in got.values())
