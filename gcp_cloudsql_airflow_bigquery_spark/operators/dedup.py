@@ -379,3 +379,30 @@ def winnow_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def materialize_shingle_index(
+    df: DataFrame,
+    table: str = "shingle_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Build the inverted shingle index ONCE and persist it bucketed by
+    shingle hash — the production shape for a dedup stack at 100 TB.
+
+    Every near-dup pass (exact Jaccard, MinHash verify, incremental
+    re-dedup of a corpus delta) self-joins or aggregates this index on
+    ``shingle``; bucketing by the hash pre-pays that shuffle at write
+    time, so each subsequent pass joins bucket-locally with zero
+    Exchange (same mechanism as ``pipeline.write_bucketed``, asserted
+    there).  Re-computing shingles per pass, by contrast, re-tokenizes
+    the whole corpus every time.
+
+    Returns the persisted index re-read from the catalog."""
+    from ..pipeline import write_bucketed
+
+    inv = shingle_index(df, text_col, id_col, n)
+    write_bucketed(inv, table, ["shingle"], n_buckets, sort_keys=["shingle"])
+    return df.sparkSession.table(table)

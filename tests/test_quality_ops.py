@@ -347,3 +347,31 @@ def test_mix_rates_match_closed_form(case, temperature):
     # at T=1 the mix is the natural distribution: every rate is exactly 1
     if temperature == 1.0:
         assert all(math.isclose(r.rate, 1.0, rel_tol=1e-12) for r in got.values())
+
+
+def test_materialized_shingle_index_joins_without_exchange(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    inv = dedup.materialize_shingle_index(docs, table="t_shidx", n_buckets=8)
+    # the recurring dedup self-join: bucket-local, no shuffle on shingle
+    joined = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id"), F.col("b.id"))
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shingle" not in plan, plan
+    # and it produces the same pair counts as the on-the-fly index
+    fresh = dedup.shingle_index(docs)
+    want = (
+        fresh.alias("a")
+        .join(fresh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id"), F.col("b.id"))
+        .count()
+    )
+    assert joined.exceptAll(want).count() == 0 and want.exceptAll(joined).count() == 0
