@@ -406,3 +406,45 @@ def materialize_shingle_index(
     inv = shingle_index(df, text_col, id_col, n)
     write_bucketed(inv, table, ["shingle"], n_buckets, sort_keys=["shingle"])
     return df.sparkSession.table(table)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a corpus DELTA against the existing (materialized) shingle
+    index without touching old documents' text: new docs' shingles join
+    the index, overlap counts become Jaccard via the stored per-id
+    shingle counts.  Output: ``(new_id, old_id, jaccard)`` for pairs at
+    or above ``threshold``.
+
+    This is the nightly-ingest shape at 100 TB — the daily delta is
+    O(delta) work against a bucket-local index join, not an O(corpus)
+    re-shingle.  New-vs-new duplicates are found by the standard pass
+    over the (small) delta itself."""
+    new_inv = shingle_index(new_docs, text_col, id_col, n)
+    new_sizes = new_inv.groupBy("id").agg(F.count("*").alias("n_new"))
+    old_sizes = index.groupBy("id").agg(F.count("*").alias("n_old"))
+    inter = (
+        new_inv.select(F.col("id").alias("new_id"), "shingle")
+        .join(index.select(F.col("id").alias("old_id"), "shingle"), "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(new_sizes.select(F.col("id").alias("new_id"), "n_new"), "new_id")
+        .join(old_sizes.select(F.col("id").alias("old_id"), "n_old"), "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_new") + F.col("n_old") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )

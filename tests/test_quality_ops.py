@@ -375,3 +375,23 @@ def test_materialized_shingle_index_joins_without_exchange(spark, sf_dir):
         .count()
     )
     assert joined.exceptAll(want).count() == 0 and want.exceptAll(joined).count() == 0
+
+
+def test_incremental_near_dups_against_index(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    index = dedup.materialize_shingle_index(docs, table="t_shidx_inc", n_buckets=8)
+    # the delta: one exact copy of an existing doc (new id) + one fresh doc
+    base = docs.limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [
+            (999_001, base.text),
+            (999_002, "entirely novel words never appearing in the corpus fixture"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = dedup.incremental_near_dups(delta, index, threshold=0.5).collect()
+    assert any(r.new_id == 999_001 and r.old_id == base.doc_id and r.jaccard == 1.0 for r in hits)
+    assert all(r.new_id != 999_002 for r in hits)
