@@ -178,6 +178,12 @@ def minhash_signatures(
     transforms, whose projection collapse re-derives the shingle array
     once per signature slot."""
     inv = shingle_index(df, text_col, id_col, shingle_n)
+    return minhash_signatures_from_index(inv, num_hashes)
+
+
+def minhash_signatures_from_index(inv: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures over a prebuilt (id, shingle) index — lets a
+    lineage-cut or catalog-materialized index feed every consumer."""
     mins = inv.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -201,8 +207,16 @@ def minhash_lsh_candidates(
     ``num_hashes//bands`` rows; docs sharing any band bucket become a
     candidate pair.  The shuffle key is (band_idx, band_hash) — uniform
     by construction."""
+    inv = shingle_index(df, text_col, id_col, shingle_n)
+    return minhash_lsh_candidates_from_index(inv, num_hashes, bands)
+
+
+def minhash_lsh_candidates_from_index(
+    inv: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding over a prebuilt (id, shingle) index."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures_from_index(inv, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -246,9 +260,15 @@ def minhash_near_dups(
     """The full scale pipeline: LSH candidates → exact Jaccard verify.
     Only candidate pairs (tiny vs n²) pay the verification join, and it
     runs over the inverted index (shingle-count intersection) rather
-    than shuffling full shingle arrays."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    inv = shingle_index(df, text_col, id_col, shingle_n)
+    than shuffling full shingle arrays.
+
+    The index is lineage-cut (lazy ``localCheckpoint``) because four
+    subtrees consume it — signatures, sizes, and both verify sides;
+    without the cut each consumer re-tokenizes the corpus.  In a
+    recurring pipeline, point the consumers at
+    :func:`materialize_shingle_index` instead."""
+    inv = shingle_index(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    cand = minhash_lsh_candidates_from_index(inv, num_hashes, bands)
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(inv.select(F.col("id").alias("id_a"), "shingle"), "id_a")
