@@ -83,3 +83,29 @@ def salted_join(
         _SALT, F.pmod(F.xxhash64(big_salt_on), F.lit(n_salts)).cast("int")
     )
     return big_salted.join(small_rep, on + [_SALT], how).drop(_SALT)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key for two non-negative int columns: bit i of
+    each input lands at bit 2i / 2i+1 of the key.  Sorting a table by
+    this key before writing clusters rows that are close in BOTH
+    dimensions into the same parquet row groups, so min/max statistics
+    prune scans for 2-D predicates (date × customer, region × price) —
+    the poor-man's Delta ZORDER, pure expressions, no shuffle beyond
+    the write-time sort.
+
+    Inputs are clamped to ``bits`` bits (callers bucket/scale first —
+    rank or quantile-bucket skewed columns for a balanced curve)."""
+    mask = (1 << bits) - 1
+    ca = F.shiftrightunsigned(a.bitwiseAND(F.lit(mask)), 0).cast("long")
+    cb = F.shiftrightunsigned(b.bitwiseAND(F.lit(mask)), 0).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            + bit_a * F.lit(1 << (2 * i)).cast("long")
+            + bit_b * F.lit(1 << (2 * i + 1)).cast("long")
+        )
+    return key

@@ -395,3 +395,26 @@ def test_incremental_near_dups_against_index(spark, sf_dir):
     hits = dedup.incremental_near_dups(delta, index, threshold=0.5).collect()
     assert any(r.new_id == 999_001 and r.old_id == base.doc_id and r.jaccard == 1.0 for r in hits)
     assert all(r.new_id != 999_002 for r in hits)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import skew
+
+    def morton(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 1024, 65535)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", skew.zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b), (a, b)
+    # locality: the 2x2 block (0,0),(1,0),(0,1),(1,1) occupies keys 0..3
+    block = sorted(morton(a, b) for a in (0, 1) for b in (0, 1))
+    assert block == [0, 1, 2, 3]
