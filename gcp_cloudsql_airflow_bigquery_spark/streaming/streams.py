@@ -268,3 +268,59 @@ def foreach_batch_merge(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    target_path: str,
+    *,
+    threshold: float = 0.7,
+    query_name: str = "dedup_ingest",
+    timeout_s: float = 120.0,
+) -> None:
+    """Streaming corpus ingest with near-dup suppression: each
+    micro-batch of documents is (1) deduped against everything already
+    ingested via :func:`operators.dedup.incremental_near_dups` — an
+    O(batch) index join, never an O(corpus) re-scan — then (2) deduped
+    within the batch itself (exact), and only novel docs are appended.
+
+    The production shape for continuous pretraining-corpus ingestion:
+    the dedup cost per micro-batch is proportional to the batch, the
+    state is the corpus itself (no executor state to bound), and a
+    restart replays idempotently because duplicate suppression is
+    content-driven."""
+    from ..operators import dedup
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = dedup.exact_dedup(batch)  # within-batch exact dedup
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:  # first batch bootstraps the corpus  # noqa: BLE001
+            batch.write.mode("overwrite").parquet(target_path)
+            return
+        index = dedup.shingle_index(existing)
+        dups = dedup.incremental_near_dups(
+            batch, index, threshold=threshold
+        ).select(F.col("new_id").alias("doc_id")).distinct()
+        novel = batch.join(dups, "doc_id", "left_anti")
+        novel.select(*existing.columns).write.mode("append").parquet(target_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", target_path + "__dedup_ingest_chk"
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_s)

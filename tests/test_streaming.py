@@ -151,3 +151,36 @@ def test_stream_stream_attribution_join(spark, event_dir):
     # every batch pair must be found by the stream (watermark may not drop
     # any here: the fixture replays in bounded micro-batches)
     assert got == want
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    import json as _json
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    target = str(tmp_path / "corpus")
+    passage = "the quick brown fox jumps over the lazy dog again and again today"
+    # batch files: doc 2 is an exact duplicate of doc 1 (different id),
+    # doc 3 is novel, doc 4 duplicates doc 1 within the same file
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": passage}) + "\n"
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _json.dumps({"doc_id": 2, "text": passage}),
+                _json.dumps({"doc_id": 3, "text": "completely novel content with distinct wording throughout here"}),
+                _json.dumps({"doc_id": 4, "text": passage}),
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema(streams.DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    streams.dedup_ingest_stream(stream, target, threshold=0.7)
+    final = {r.doc_id for r in spark.read.parquet(target).collect()}
+    assert 1 in final and 3 in final
+    assert 2 not in final and 4 not in final
