@@ -13,9 +13,11 @@ reference proxies (``yaml/sql_proxy_mysql_deployment.yaml:48``,
 ``yaml/sql_proxy_postgresql_deployment_with_sa.yaml:57``,
 ``dags/mssql_to_bigquery.py:2``) — are all plain JDBC URLs here.
 
-No JDBC driver jars ship in this container, so tests exercise the
-option-assembly logic only; at deploy time add the driver jar to
-``spark.jars``.
+No MySQL/PostgreSQL/MSSQL driver jars ship in this container; at deploy
+time add the driver jar to ``spark.jars``.  The extract path itself IS
+live-tested against the embedded Derby engine Spark already carries
+(``tests/test_quality_ops.py``): real JDBC roundtrip, query pushdown,
+and range-partitioned parallel extract.
 """
 
 from __future__ import annotations
