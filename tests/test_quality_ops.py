@@ -464,3 +464,37 @@ def test_jdbc_partitioned_parallel_extract(spark):
     assert df.rdd.getNumPartitions() == 4  # real range-partitioned extract
     assert df.count() == 20
     assert abs(sum(r.SCORE for r in df.collect()) - sum(i + 0.5 for i in range(1, 21))) < 1e-9
+
+
+def test_full_reference_shape_pipeline_from_live_jdbc(spark, tmp_path):
+    """The reference's whole v2 DAG, live: JDBC extract (real Derby) ->
+    lossy type map -> name sanitization -> WRITE_TRUNCATE load ->
+    stage_final_query finalize (the declared-but-unwired op I, made
+    real)."""
+    from gcp_cloudsql_airflow_bigquery_spark.config import PipelineSpec, SourceSpec
+    from gcp_cloudsql_airflow_bigquery_spark import pipeline as pl
+
+    url = _derby_seed(spark, "t_pipe")
+    spec = PipelineSpec(
+        export_table="people",
+        source=SourceSpec(
+            kind="jdbc", url=url, driver="org.apache.derby.jdbc.EmbeddedDriver"
+        ),
+        export_query="SELECT id, name, score FROM people WHERE id <= 10",
+        source_types={"ID": "int", "NAME": "varchar", "SCORE": "double"},
+        type_mode="legacy",
+        stage_final_query=(
+            "SELECT COUNT(*) AS n_rows, SUM(SCORE) AS total FROM people_stage"
+        ),
+        final_table="people_summary",
+    )
+    wh = pl.Warehouse(str(tmp_path / "wh"))
+    res = pl.run_pipeline(spark, spec, wh)
+    assert res.rows_written == 10 and res.attempts == 1
+    staged = spark.read.parquet(wh.path("people"))
+    # legacy type map: INT -> LongType, DOUBLE stays double, VARCHAR -> string
+    kinds = dict(staged.dtypes)
+    assert kinds["ID"] == "bigint" and kinds["SCORE"] == "double"
+    final = spark.read.parquet(wh.path("people_summary")).first()
+    assert final.n_rows == 10
+    assert abs(final.total - sum(i + 0.5 for i in range(1, 11))) < 1e-9
