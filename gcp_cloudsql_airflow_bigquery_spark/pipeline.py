@@ -143,11 +143,28 @@ def finalize(
     spark: SparkSession, spec: PipelineSpec, warehouse: Warehouse
 ) -> str | None:
     """Op I made real: run ``stage_final_query`` over the staged tables
-    (registered as ``<table>_stage`` views) and write ``final_table``."""
+    (registered as ``<table>_stage`` views) and write ``final_table``.
+
+    EVERY table already staged in the warehouse is registered, not just
+    this spec's own — the reference's declared intent is a query that
+    "joins the stage table with the existing table" (reference
+    ``dags/cloudsql_to_bigquery.py:11``), i.e. finalize sees the whole
+    staged star schema (fact ⋈ dims), not one table in isolation."""
     if not spec.stage_final_query:
         return None
-    stage_df = spark.read.parquet(warehouse.path(spec.stage_table))
-    stage_df.createOrReplaceTempView(f"{spec.stage_table}_stage")
+    import os
+
+    for entry in sorted(os.listdir(warehouse.root)) if os.path.isdir(
+        warehouse.root
+    ) else []:
+        if entry.endswith(("__merge_stage", "__stream_stage")):
+            continue
+        try:
+            spark.read.parquet(warehouse.path(entry)).createOrReplaceTempView(
+                f"{entry}_stage"
+            )
+        except Exception:  # non-table artifacts in the root  # noqa: BLE001
+            continue
     final_df = spark.sql(spec.stage_final_query)
     out = warehouse.path(spec.final_table or f"{spec.stage_table}_final")
     final_df.write.mode("overwrite").parquet(out)

@@ -498,3 +498,54 @@ def test_full_reference_shape_pipeline_from_live_jdbc(spark, tmp_path):
     final = spark.read.parquet(wh.path("people_summary")).first()
     assert final.n_rows == 10
     assert abs(final.total - sum(i + 0.5 for i in range(1, 11))) < 1e-9
+
+
+def test_reference_three_table_dag_with_join_finalize(spark, tmp_path):
+    """The reference's exact table set (2 dims + 1 fact, README.md:6,
+    get_tables() at cloudsql_to_bigquery.py:82-84) through the pipeline
+    loop, then the docstring's step 3 — 'join the stage table with the
+    existing table' (cloudsql_to_bigquery.py:11) — actually executed."""
+    from gcp_cloudsql_airflow_bigquery_spark.config import PipelineSpec, SourceSpec
+    from gcp_cloudsql_airflow_bigquery_spark import pipeline as pl
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:t_dag;create=true")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE DimAge (age_id INT, bracket VARCHAR(10))")
+    st.execute("INSERT INTO DimAge VALUES (1,'young'),(2,'old')")
+    st.execute("CREATE TABLE DimPerson (person_id INT, name VARCHAR(20))")
+    st.execute("INSERT INTO DimPerson VALUES (10,'ada'),(11,'bob')")
+    st.execute("CREATE TABLE FactPerson (person_id INT, age_id INT, amount DOUBLE)")
+    st.execute("INSERT INTO FactPerson VALUES (10,1,5.0),(11,2,7.0),(10,2,3.0)")
+    st.close()
+    src = SourceSpec(
+        kind="jdbc",
+        url="jdbc:derby:memory:t_dag",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    specs = [
+        PipelineSpec(export_table="DimAge", source=src),
+        PipelineSpec(export_table="DimPerson", source=src),
+        PipelineSpec(
+            export_table="FactPerson",
+            source=src,
+            stage_final_query="""
+                SELECT p.NAME AS name, a.BRACKET AS bracket,
+                       SUM(f.AMOUNT) AS total
+                FROM FactPerson_stage f
+                JOIN DimPerson_stage p ON f.PERSON_ID = p.PERSON_ID
+                JOIN DimAge_stage a ON f.AGE_ID = a.AGE_ID
+                GROUP BY p.NAME, a.BRACKET
+            """,
+            final_table="person_rollup",
+        ),
+    ]
+    wh = pl.Warehouse(str(tmp_path / "wh"))
+    results = pl.run_pipelines(spark, specs, wh)
+    assert [r.rows_written for r in results] == [2, 2, 3]
+    rollup = {
+        (r.name, r.bracket): r.total
+        for r in spark.read.parquet(wh.path("person_rollup")).collect()
+    }
+    assert rollup == {("ada", "young"): 5.0, ("ada", "old"): 3.0, ("bob", "old"): 7.0}
