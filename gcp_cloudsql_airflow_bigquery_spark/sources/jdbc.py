@@ -67,3 +67,26 @@ def read_jdbc(
     for k, v in jdbc_reader_options(spec, query=query, table=table).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def scan_schema(
+    spark: SparkSession,
+    spec: SourceSpec,
+    table: str,
+    information_schema_query: str | None = None,
+) -> DataFrame:
+    """Op B literal: the reference exports ``(COLUMN_NAME, DATA_TYPE)``
+    from INFORMATION_SCHEMA ordered by position (reference
+    ``dags/cloudsql_to_bigquery.py:141``) to drive its type mapper.
+
+    With Spark this is usually unnecessary — a JDBC read carries the
+    schema via ResultSetMetaData — but the scan is kept for parity and
+    for engines whose catalogs disagree with their drivers.  The query
+    is dialect-specific; the default targets INFORMATION_SCHEMA
+    (MySQL/PostgreSQL/MSSQL).  For embedded Derby (tests) pass its
+    SYS-catalog equivalent."""
+    q = information_schema_query or (
+        "SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS "
+        f"WHERE TABLE_NAME = '{table}' ORDER BY ORDINAL_POSITION"
+    )
+    return read_jdbc(spark, spec, query=q)

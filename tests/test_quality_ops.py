@@ -549,3 +549,27 @@ def test_reference_three_table_dag_with_join_finalize(spark, tmp_path):
         for r in spark.read.parquet(wh.path("person_rollup")).collect()
     }
     assert rollup == {("ada", "young"): 5.0, ("ada", "old"): 3.0, ("bob", "old"): 7.0}
+
+
+def test_jdbc_schema_scan_parity(spark):
+    """Op B against a live catalog: Derby's SYS tables standing in for
+    INFORMATION_SCHEMA.COLUMNS (same projection, same ordering)."""
+    from gcp_cloudsql_airflow_bigquery_spark.config import SourceSpec
+    from gcp_cloudsql_airflow_bigquery_spark.functions.typemap import bq_type_for
+    from gcp_cloudsql_airflow_bigquery_spark.sources import jdbc
+
+    url = _derby_seed(spark, "t_schema")
+    spec = SourceSpec(kind="jdbc", url=url, driver="org.apache.derby.jdbc.EmbeddedDriver")
+    derby_q = """
+        SELECT c.COLUMNNAME AS column_name,
+               CAST(c.COLUMNDATATYPE AS VARCHAR(40)) AS data_type
+        FROM SYS.SYSCOLUMNS c
+        JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+        WHERE t.TABLENAME = 'PEOPLE'
+        ORDER BY c.COLUMNNUMBER
+    """
+    rows = jdbc.scan_schema(spark, spec, "PEOPLE", derby_q).collect()
+    assert [r.COLUMN_NAME for r in rows] == ["ID", "NAME", "SCORE"]
+    # and the scanned types drive the reference's 5-type collapse (op C)
+    mapped = [bq_type_for(r.DATA_TYPE) for r in rows]
+    assert mapped == ["INTEGER", "STRING", "FLOAT"]
