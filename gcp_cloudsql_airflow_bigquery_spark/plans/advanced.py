@@ -156,16 +156,22 @@ GROUP BY word
 
 
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Emit the sorted key list as a comma-joined string: array-valued
+    # columns are not hashable by the driver's pandas canonicalizer, and
+    # a flat string is the portable cross-engine representation anyway.
     s = _t(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("s_suppkey")).cast("array<string>"),
+            ",",
+        ).alias("supp_keys"),
         F.count("*").alias("n_suppliers"),
     )
 
 
 _ARRAY_AGG_SQL = """
 SELECT s_nationkey,
-       LIST_SORT(LIST(s_suppkey)) AS supp_keys,
+       ARRAY_TO_STRING(LIST_SORT(LIST(s_suppkey)), ',') AS supp_keys,
        COUNT(*) AS n_suppliers
 FROM supplier GROUP BY s_nationkey
 """
@@ -627,33 +633,41 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's NULL on out-of-bounds."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 9 == 0)
     seq = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+
+    def s(arr: F.Column) -> F.Column:
+        # array columns are not hashable by the driver's pandas
+        # canonicalizer — emit the comma-joined string form
+        return F.array_join(arr.cast("array<string>"), ",")
+
     return p.select(
         "p_partkey",
-        seq.alias("seq"),
+        s(seq).alias("seq"),
         F.array_contains(seq, 3).alias("has3"),
         F.try_element_at(seq, F.lit(4)).alias("fourth"),
-        F.slice(seq, 1, 2).alias("first2"),
+        s(F.slice(seq, 1, 2)).alias("first2"),
         F.size(seq).alias("n"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
-        F.transform(seq, lambda x: x * 10).alias("tens"),
+        s(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
+        s(F.transform(seq, lambda x: x * 10)).alias("tens"),
         F.aggregate(seq, F.lit(0), lambda a, x: a + x).alias("total"),
-        F.sort_array(
-            F.array_distinct(F.concat(seq, F.array(F.lit(1), F.lit(2))))
+        s(
+            F.sort_array(
+                F.array_distinct(F.concat(seq, F.array(F.lit(1), F.lit(2))))
+            )
         ).alias("dedup_sorted"),
     )
 
 
 _ARRAY_FUNCS_SQL = """
 SELECT p_partkey,
-       range(1, p_size % 5 + 2) AS seq,
+       array_to_string(range(1, p_size % 5 + 2), ',') AS seq,
        list_contains(range(1, p_size % 5 + 2), 3) AS has3,
        range(1, p_size % 5 + 2)[4] AS fourth,
-       list_slice(range(1, p_size % 5 + 2), 1, 2) AS first2,
+       array_to_string(list_slice(range(1, p_size % 5 + 2), 1, 2), ',') AS first2,
        len(range(1, p_size % 5 + 2)) AS n,
-       list_filter(range(1, p_size % 5 + 2), x -> x % 2 = 0) AS evens,
-       list_transform(range(1, p_size % 5 + 2), x -> x * 10) AS tens,
+       COALESCE(array_to_string(list_filter(range(1, p_size % 5 + 2), x -> x % 2 = 0), ','), '') AS evens,
+       array_to_string(list_transform(range(1, p_size % 5 + 2), x -> x * 10), ',') AS tens,
        list_reduce(range(1, p_size % 5 + 2), (a, x) -> a + x) AS total,
-       list_sort(list_distinct(range(1, p_size % 5 + 2) || [1, 2])) AS dedup_sorted
+       array_to_string(list_sort(list_distinct(range(1, p_size % 5 + 2) || [1, 2])), ',') AS dedup_sorted
 FROM part WHERE p_partkey % 9 = 0
 """
 
@@ -878,7 +892,9 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_word"),
-        F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0).alias("vowel_runs"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0), ","
+        ).alias("vowel_runs"),
         F.regexp_replace("p_type", r"[AEIOU]", "_").alias("type_masked"),
     )
 
@@ -887,7 +903,7 @@ _REGEXP_SQL = r"""
 SELECT p_partkey,
        regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
        regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
-       regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+       array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
        regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked
 FROM part WHERE p_partkey % 13 = 0
 """

@@ -121,10 +121,10 @@ WITH first AS (
          MIN(CASE WHEN event_type = 'purchase' THEN date_trunc('ms', ts) END) AS t_buy
   FROM events GROUP BY user_id
 )
-SELECT SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
-       SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
-         AS n_view_click_purchase
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view_click_purchase
 FROM first
 """
 
@@ -253,7 +253,7 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type

@@ -576,11 +576,13 @@ def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     4×-compression storage path for the ANN stack.  Narrow per-row
     transform, zero shuffle; output is integer-exact across engines
-    (both compute q_i = round(x_i·127/max|x|) in float64)."""
+    (both compute q_i = round(x_i·127/max|x|) in float64).  The q
+    vector is emitted comma-joined — array cells are not hashable by
+    the driver's pandas canonicalizer."""
     q = similarity.quantize_int8(F.col("embedding"))
     return _emb(spark, sf_dir).select(
         "vec_id",
-        q.getField("q").alias("q"),
+        F.array_join(q.getField("q").cast("array<string>"), ",").alias("q"),
         F.round(q.getField("scale"), 9).alias("scale_r9"),
     )
 
@@ -593,12 +595,13 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id,
-       CASE WHEN mx = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                                x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
-                                          AS INT))
-       END AS q,
+       array_to_string(
+         CASE WHEN mx = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx)
+                                            AS INT))
+         END, ',') AS q,
        ROUND(mx / 127.0, 9) AS scale_r9
 FROM m
 """

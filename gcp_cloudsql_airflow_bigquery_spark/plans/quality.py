@@ -138,7 +138,7 @@ c AS (SELECT doc_id, gram, COUNT(*) AS c,
              any_value(n_grams5) AS n_grams5, any_value(n_distinct5) AS n_distinct5
       FROM ex GROUP BY doc_id, gram)
 SELECT doc_id,
-       SUM(c) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
        MAX(c) AS top_bigram_n,
        ROUND(MAX(c) / SUM(c), 6) AS top_bigram_frac,
        any_value(n_grams5) AS n_grams5,
@@ -212,7 +212,7 @@ r AS (SELECT source, doc_id, n_tokens,
 SELECT source,
        CAST(FLOOR(tok_start / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS bin_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
 FROM r GROUP BY source, bin_id ORDER BY source, bin_id
 """
 

@@ -767,7 +767,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
