@@ -79,14 +79,81 @@ def cosine_neardup_pairs(
     subset_filter: Column | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup detection).
-    Exact and quadratic — restrict with ``subset_filter`` or use
-    :func:`lsh_neardup_pairs` at scale."""
+    Exact and quadratic — the TEST ORACLE for
+    :func:`lsh_neardup_pairs`, which is the declared/scale path;
+    restrict with ``subset_filter`` if running it directly."""
     base = embeddings if subset_filter is None else embeddings.filter(subset_filter)
     v = base.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    subset_filter: Column | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH
+    candidate generation + exact-cosine verification.
+
+    Candidates = pairs sharing a bucket in any of ``num_tables``
+    hash tables (``num_planes`` sign bits each); only candidates pay
+    the cosine, so the corpus-wide shape is a uniform (table, bucket)
+    self-join instead of the O(n²) cross join of
+    :func:`cosine_neardup_pairs` — which remains the exact oracle this
+    operator is recall-tested against (tests/test_llmdata.py).
+
+    Recall per table is ``p^planes`` with ``p = 1 - arccos(cos θ)/π``;
+    for true near-dups (cosine ≥ 0.95, p ≈ 0.9) the defaults give
+    per-table ≈ 0.66 and overall ≈ 1 - (1-0.66)^16 ≈ 1-3e-8.  At loose
+    thresholds raise ``num_tables`` (the fixture check at 0.25 runs
+    24 tables for exhaustive recall).  Verification is exact, so
+    precision is always 1.0.
+
+    Shuffle profile: bucket explode is rows × tables; the self-join
+    key (table, bucket) is hash-uniform; the two id joins that fetch
+    vectors for verification touch candidates only."""
+    base = embeddings if subset_filter is None else embeddings.filter(subset_filter)
+    v = base.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    tables = [
+        [_hyperplane(dim, t * 1000 + i) for i in range(num_planes)]
+        for t in range(num_tables)
+    ]
+    bucketed = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
+    cand = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["table", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
         .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

