@@ -56,13 +56,19 @@ def chunk_text(
     windows from 0.  ``stride < size`` gives overlapping chunks (the
     usual setting so no token span is split across a boundary in every
     chunk).
+
+    Starts stop as soon as a window reaches the end of the document:
+    the last start is the smallest stride multiple with
+    ``start + size >= len`` (upper bound ``len - size + stride - 1``),
+    so no trailing chunk is wholly contained in its predecessor (which
+    would duplicate training text downstream), and empty documents
+    yield no chunks at all.
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
-        F.lit(stride),
+    length = F.length(F.col(text_col))
+    starts = F.when(length <= size, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(0), length - size + (stride - 1), F.lit(stride))
     )
     return (
         df.select(
@@ -76,6 +82,7 @@ def chunk_text(
             F.expr(f"substring({text_col}, start + 1, {size})").alias("chunk"),
         )
         .withColumn("chunk_len", F.length("chunk"))
+        .filter(F.col("chunk_len") > 0)
     )
 
 

@@ -448,12 +448,23 @@ def incremental_near_dups(
     over the (small) delta itself."""
     new_inv = shingle_index(new_docs, text_col, id_col, n)
     new_sizes = new_inv.groupBy("id").agg(F.count("*").alias("n_new"))
-    old_sizes = index.groupBy("id").agg(F.count("*").alias("n_old"))
     inter = (
         new_inv.select(F.col("id").alias("new_id"), "shingle")
         .join(index.select(F.col("id").alias("old_id"), "shingle"), "shingle")
         .groupBy("new_id", "old_id")
         .agg(F.count("*").alias("inter"))
+    )
+    # size only the old docs that actually collided with the delta —
+    # a semi-join first keeps the per-call work O(delta); aggregating
+    # the whole index here would re-scan the corpus every ingest
+    old_sizes = (
+        index.join(
+            inter.select(F.col("old_id").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("n_old"))
     )
     return (
         inter.join(new_sizes.select(F.col("id").alias("new_id"), "n_new"), "new_id")

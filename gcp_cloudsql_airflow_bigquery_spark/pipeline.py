@@ -100,26 +100,61 @@ def _write_snapshot(df: DataFrame, spec: PipelineSpec, out: str) -> None:
     )
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def merge_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    merge_keys: list[str],
+) -> None:
+    """Key-based upsert into a parquet table: incoming rows win on
+    ``merge_keys``, unmatched existing rows survive.  Anti-join
+    existing←incoming on keys, union — the only shuffle is on the merge
+    keys.
+
+    The merged result is written ONCE, to a versioned sibling
+    directory, then swapped into place with filesystem renames —
+    metadata-only pointer moves, never a second copy of the data.
+    (Parquet can't overwrite a path it is still reading from, and a
+    stage-then-rewrite answer costs 2× the table's I/O per merge —
+    untenable when the table is the 100 TB side.)  On a store without
+    native rename (S3) the same structure maps to a catalog/view
+    pointer swap or a Delta/Iceberg ``MERGE``."""
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:  # first run: nothing to merge  # noqa: BLE001
+        incoming.write.mode("overwrite").parquet(target_path)
+        return
+    keys = list(merge_keys)
+    survivors = existing.join(
+        incoming.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    merged = survivors.unionByName(incoming.select(*existing.columns))
+    version = time.strftime("%Y%m%d%H%M%S")
+    vdir = f"{target_path}__v{version}"
+    merged.write.mode("overwrite").parquet(vdir)  # the ONE data write
+    p_out, fs = _hadoop_path(spark, target_path)
+    p_new, _ = _hadoop_path(spark, vdir)
+    p_old, _ = _hadoop_path(spark, f"{target_path}__old{version}")
+    if not fs.rename(p_out, p_old):
+        raise RuntimeError(f"merge swap: could not move {target_path} aside")
+    if not fs.rename(p_new, p_out):
+        fs.rename(p_old, p_out)  # restore the previous table state
+        raise RuntimeError(f"merge swap: could not move {vdir} into place")
+    fs.delete(p_old, True)
+
+
 def _write_merge(
     spark: SparkSession, df: DataFrame, spec: PipelineSpec, out: str
 ) -> None:
-    """Key-based upsert: incoming rows win on merge_keys, unmatched
-    existing rows survive.  Anti-join existing←incoming on keys, union,
-    overwrite — the only shuffle is on the merge keys."""
     if not spec.merge_keys:
         raise ValueError("write_mode='merge' requires merge_keys")
-    try:
-        existing = spark.read.parquet(out)
-    except Exception:  # first run: nothing to merge  # noqa: BLE001
-        df.write.mode("overwrite").parquet(out)
-        return
-    keys = list(spec.merge_keys)
-    survivors = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
-    merged = survivors.unionByName(df.select(*existing.columns))
-    # parquet overwrite-while-reading needs a staging write
-    stage = out + "__merge_stage"
-    merged.write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write.mode("overwrite").parquet(out)
+    merge_parquet(spark, df, out, list(spec.merge_keys))
 
 
 def load(
@@ -153,17 +188,31 @@ def finalize(
     if not spec.stage_final_query:
         return None
     import os
+    import re
 
+    final_names = {
+        s for s in (spec.final_table, f"{spec.stage_table}_final") if s
+    }
     for entry in sorted(os.listdir(warehouse.root)) if os.path.isdir(
         warehouse.root
     ) else []:
-        if entry.endswith(("__merge_stage", "__stream_stage")):
+        # skip transient merge/stream artifacts and previously written
+        # *_final outputs — a finalize query must see stage tables, not
+        # its own (or a sibling's) prior results
+        if entry.endswith("__stream_stage") or re.search(r"__(v|old)\d*$", entry):
+            continue
+        if entry in final_names or entry.endswith("_final"):
             continue
         try:
             spark.read.parquet(warehouse.path(entry)).createOrReplaceTempView(
                 f"{entry}_stage"
             )
-        except Exception:  # non-table artifacts in the root  # noqa: BLE001
+        except Exception:  # noqa: BLE001
+            if entry == spec.stage_table:
+                # the spec's own stage table MUST register; swallowing
+                # this defers failure to an opaque "table not found"
+                raise
+            log.warning("finalize: skipping unreadable %s", entry)
             continue
     final_df = spark.sql(spec.stage_final_query)
     out = warehouse.path(spec.final_table or f"{spec.stage_table}_final")

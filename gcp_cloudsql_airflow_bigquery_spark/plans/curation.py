@@ -31,7 +31,12 @@ SELECT doc_id,
        substr(text, CAST(start AS INT) + 1, 120) AS chunk,
        length(substr(text, CAST(start AS INT) + 1, 120)) AS chunk_len
 FROM documents,
-     UNNEST(generate_series(0, greatest(length(text) - 1, 0), 100)) AS t(start)
+     UNNEST(generate_series(
+         0,
+         CASE WHEN length(text) <= 120 THEN 0
+              ELSE length(text) - 120 + 99 END,
+         100)) AS t(start)
+WHERE length(substr(text, CAST(start AS INT) + 1, 120)) > 0
 """
 
 

@@ -239,22 +239,13 @@ def foreach_batch_merge(
     key-merged into a parquet target (incoming rows win on merge_keys) —
     the streaming realization of the reference's declared-but-unwired
     join-merge finalize (reference ``dags/cloudsql_to_bigquery.py:11``).
-    At scale the same callback body targets Delta/Iceberg ``MERGE``."""
+    Each batch pays ONE data write (``pipeline.merge_parquet``'s
+    versioned-directory + rename swap); at scale the same callback body
+    targets Delta/Iceberg ``MERGE``."""
+    from ..pipeline import merge_parquet
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:  # first batch: nothing to merge  # noqa: BLE001
-            batch.write.mode("overwrite").parquet(target_path)
-            return
-        survivors = existing.join(
-            batch.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
-        )
-        merged = survivors.unionByName(batch.select(*existing.columns))
-        stage = target_path + "__stream_stage"
-        merged.write.mode("overwrite").parquet(stage)
-        spark.read.parquet(stage).write.mode("overwrite").parquet(target_path)
+        merge_parquet(batch.sparkSession, batch, target_path, list(merge_keys))
 
     q = (
         stream.writeStream.foreachBatch(_merge)
@@ -300,6 +291,8 @@ def dedup_ingest_stream(
     from ..operators import dedup
 
     def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        from ..operators.textstats import normalize_text
+
         spark = batch.sparkSession
         batch = dedup.exact_dedup(batch)  # within-batch exact dedup
         try:
@@ -307,6 +300,18 @@ def dedup_ingest_stream(
         except Exception:  # first batch bootstraps the corpus  # noqa: BLE001
             batch.write.mode("overwrite").parquet(target_path)
             return
+        # exact content-hash anti-join FIRST: docs shorter than the
+        # shingle width produce no index entries, so a replayed batch
+        # would re-append them if only the near-dup check ran — this
+        # cheap md5 join is what makes restart replay idempotent for
+        # every document length
+        content = F.md5(normalize_text(F.col("text")))
+        seen = existing.select(content.alias("content_hash")).distinct()
+        batch = (
+            batch.withColumn("content_hash", content)
+            .join(seen, "content_hash", "left_anti")
+            .drop("content_hash")
+        )
         index = dedup.shingle_index(existing)
         dups = dedup.incremental_near_dups(
             batch, index, threshold=threshold

@@ -48,6 +48,35 @@ def test_chunk_bounds(spark, sf_dir):
     assert chunks.filter(F.col("chunk_len") <= 0).count() == 0
 
 
+def test_chunk_no_contained_trailing_and_no_empty(spark):
+    """A trailing window wholly contained in its predecessor must not
+    be emitted (it would duplicate training text), and empty documents
+    produce no chunks."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 110),  # len < size: exactly one chunk
+            (2, ""),  # empty: no chunks
+            (3, "y" * 250),  # needs starts 0,100,200 to reach the end
+            (4, "z" * 120),  # len == size: one chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation.chunk_text(docs, size=120, stride=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc.get(1, [])) == 1 and by_doc[1][0].chunk_len == 110
+    assert 2 not in by_doc
+    got3 = sorted((r.chunk_idx, r.chunk_len) for r in by_doc[3])
+    assert got3 == [(0, 120), (1, 120), (2, 50)]
+    assert len(by_doc.get(4, [])) == 1 and by_doc[4][0].chunk_len == 120
+    # coverage: every char position of doc 3 appears in some chunk
+    covered = set()
+    for r in by_doc[3]:
+        covered.update(range(r.chunk_idx * 100, r.chunk_idx * 100 + r.chunk_len))
+    assert covered == set(range(250))
+
+
 def test_balanced_sample_quota_and_determinism(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s1 = curation.balanced_sample(docs, per_group=7)

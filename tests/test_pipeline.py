@@ -91,6 +91,44 @@ def test_merge_upsert(spark, sf_dir, warehouse):
     assert bumped == orig.filter("c_custkey < 75").count()
 
 
+def test_merge_single_data_write(spark, sf_dir, warehouse, monkeypatch):
+    """A merge must write the merged data exactly once (versioned dir +
+    rename swap), not stage-then-rewrite at 2x the table's I/O."""
+    import pyspark.sql.readwriter as rw
+
+    base = _parquet_spec(sf_dir, write_mode="overwrite")
+    run_pipeline(spark, base, warehouse)
+
+    writes: list[str] = []
+    orig = rw.DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        writes.append(path)
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", spy)
+    inc = _parquet_spec(
+        sf_dir,
+        write_mode="merge",
+        merge_keys=("c_custkey",),
+        export_query=(
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1 AS c_acctbal,"
+            " c_mktsegment FROM customer WHERE c_custkey < 10"
+        ),
+    )
+    run_pipeline(spark, inc, warehouse)
+    merge_writes = [p for p in writes if "customer" in p]
+    assert len(merge_writes) == 1, f"expected 1 data write, saw {merge_writes}"
+    # the swap must leave the table at its canonical path with no
+    # versioned leftovers
+    df = spark.read.parquet(warehouse.path("customer"))
+    assert df.count() == 150
+    import os
+
+    leftovers = [e for e in os.listdir(warehouse.root) if "__v" in e or "__old" in e]
+    assert leftovers == []
+
+
 def test_finalize_runs_stage_final_query(spark, sf_dir, warehouse):
     spec = _parquet_spec(
         sf_dir,

@@ -184,3 +184,37 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     final = {r.doc_id for r in spark.read.parquet(target).collect()}
     assert 1 in final and 3 in final
     assert 2 not in final and 4 not in final
+
+
+def test_streaming_dedup_ingest_replay_idempotent_short_docs(spark, tmp_path):
+    """A replayed micro-batch must not re-append docs shorter than the
+    shingle width: they produce zero index entries, so only the exact
+    content-hash anti-join can suppress them on replay."""
+    import json as _json
+    import shutil
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    target = str(tmp_path / "corpus")
+    rows = [
+        {"doc_id": 1, "text": "hi"},  # 1 token < shingle width 3
+        {"doc_id": 2, "text": "one two"},  # 2 tokens < shingle width 3
+        {"doc_id": 3, "text": "a proper document with enough tokens to shingle"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(streams.DOC_SCHEMA)
+            .load(str(src))
+        )
+        streams.dedup_ingest_stream(stream, target, threshold=0.7)
+
+    run()
+    assert spark.read.parquet(target).count() == 3
+    # simulate a checkpoint loss + replay of the same batch file
+    shutil.rmtree(str(tmp_path / "corpus__dedup_ingest_chk"))
+    run()
+    got = spark.read.parquet(target).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 1, 3: 1}
