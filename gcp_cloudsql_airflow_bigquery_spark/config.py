@@ -28,6 +28,8 @@ class SourceSpec:
     path: str | None = None  # file sources
     url: str | None = None  # jdbc
     driver: str | None = None
+    database: str | None = None  # jdbc: scopes catalog scans (op B)
+    db_schema: str | None = None  # jdbc: namespace (public/dbo/APP)
     properties: dict[str, str] = field(default_factory=dict)
     partition_column: str | None = None
     lower_bound: int | None = None

@@ -82,11 +82,23 @@ def scan_schema(
     With Spark this is usually unnecessary — a JDBC read carries the
     schema via ResultSetMetaData — but the scan is kept for parity and
     for engines whose catalogs disagree with their drivers.  The query
-    is dialect-specific; the default targets INFORMATION_SCHEMA
-    (MySQL/PostgreSQL/MSSQL).  For embedded Derby (tests) pass its
-    SYS-catalog equivalent."""
-    q = information_schema_query or (
-        "SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS "
-        f"WHERE TABLE_NAME = '{table}' ORDER BY ORDINAL_POSITION"
-    )
-    return read_jdbc(spark, spec, query=q)
+    comes from the engine's dialect (``sources.dialects``, inferred
+    from the URL), which validates the table identifier and applies the
+    reference's database/schema predicate
+    (``spec.database``/``spec.db_schema``) so same-named tables in
+    other schemas never bleed in.  A custom
+    ``information_schema_query`` overrides everything."""
+    if information_schema_query is None:
+        from .dialects import dialect_for_url, validate_ident
+
+        validate_ident(table)
+        d = dialect_for_url(spec.url or "")
+        if d is None:
+            raise ValueError(
+                f"cannot infer JDBC dialect from url {spec.url!r}; "
+                "pass information_schema_query explicitly"
+            )
+        information_schema_query = d.schema_query(
+            table, database=spec.database, schema=spec.db_schema
+        )
+    return read_jdbc(spark, spec, query=information_schema_query)
