@@ -52,3 +52,26 @@ def read_ndjson(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    chunk_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """NDJSON export (op G).  ``chunk_rows`` caps rows per output file —
+    the Spark-native form of v2's ``filename_{}`` counter-suffixed chunk
+    convention (reference ``dags/copy_cloudsql_to_bigquery_v2.py:88``):
+    the Airflow operator cuts a new chunk file every N rows; here
+    ``maxRecordsPerFile`` makes each task roll to a new part file at the
+    same bound, and the directory read (``read_ndjson``) is the wildcard
+    reload (``:102-103``).  Unlike a fixed chunk count, the bound holds
+    at any scale — 1000 executors each roll their own files with zero
+    coordination."""
+    writer = df.write.mode(mode)
+    if chunk_rows is not None:
+        if chunk_rows <= 0:
+            raise ValueError("chunk_rows must be positive")
+        writer = writer.option("maxRecordsPerFile", str(chunk_rows))
+    writer.json(path)

@@ -144,6 +144,32 @@ def test_finalize_runs_stage_final_query(spark, sf_dir, warehouse):
     assert set(final.columns) == {"c_mktsegment", "n"}
 
 
+def test_ndjson_chunked_export(spark, sf_dir, tmp_path):
+    """Op G chunk parity: chunk_rows bounds rows per NDJSON file, so
+    file count scales with the bound (reference v2's filename_{} chunk
+    counter, dags/copy_cloudsql_to_bigquery_v2.py:88)."""
+    import glob
+
+    from gcp_cloudsql_airflow_bigquery_spark.sources.files import (
+        read_ndjson,
+        write_ndjson,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").coalesce(1)  # 150 rows
+    counts = {}
+    for chunk in (50, 25):
+        out = str(tmp_path / f"nd_{chunk}")
+        write_ndjson(df, out, chunk_rows=chunk)
+        files = glob.glob(f"{out}/part-*")
+        counts[chunk] = len(files)
+        assert counts[chunk] == 150 // chunk  # bound respected per task
+        # wildcard reload (the v2 re-import path) sees every chunk
+        assert read_ndjson(spark, out).count() == 150
+    assert counts[25] == 2 * counts[50]
+    with pytest.raises(ValueError, match="chunk_rows"):
+        write_ndjson(df, str(tmp_path / "bad"), chunk_rows=0)
+
+
 def test_retry_then_fail(spark, warehouse):
     spec = PipelineSpec(
         export_table="missing",
