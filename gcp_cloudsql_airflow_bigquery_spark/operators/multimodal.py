@@ -2,12 +2,20 @@
 columns"): image/audio/video as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed: ``decode_backend="fake"`` produces deterministic features from
-the bytes (real Spark plumbing — schema, batching, partitioning — with a
-fake kernel), and ``decode_backend="pil"``/... raise
-``NotImplementedError`` unless the library imports.  Swapping in a real
-decoder changes only the per-batch kernel, nothing in the plan.
+Decode backends:
+
+- ``"pure"`` — a REAL end-to-end decode path with no third-party
+  dependency: binary PPM (P6) images and RIFF/WAVE PCM16 audio are
+  parsed byte-for-byte by the pure-Python codecs below
+  (``decode_ppm``/``decode_wav_pcm16``) and reduced to real signal
+  features (channel means, luma stats / RMS, zero-crossing rate).
+- ``"fake"`` — deterministic features from the raw bytes (digest
+  expansion) for blobs in formats this container can't decode.
+- ``"pil"``/``"ffmpeg"`` — gated on the real libraries, which aren't in
+  this container: ``NotImplementedError`` unless importable.
+
+Swapping backends changes only the per-batch kernel, nothing in the
+plan — schema, Arrow batching and partitioning are identical.
 
 Scale notes: media bytes dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` modest so a partition of blobs
@@ -80,6 +88,201 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --- pure-Python codecs (the de-stubbed decode path) -----------------------
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6): ASCII header + raw interleaved RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb payload must be width*height*3 bytes")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) image: returns (width, height, rgb).
+    Accepts the whitespace/comment grammar of the format; raises
+    ``ValueError`` on anything malformed — a real parser, not a stub."""
+    if not b or not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    rgb = b[pos : pos + width * height * 3]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM payload")
+    return width, height, rgb
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE container around little-endian PCM16 mono."""
+    import struct
+
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    byte_rate = rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, list[int]]:
+    """Parse a RIFF/WAVE file: returns (sample_rate, samples).  Walks
+    the chunk list (so extra chunks before ``data`` are fine); PCM16
+    mono only."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"unsupported WAV format code {fmt}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError("only PCM16 mono supported")
+    n = len(data) // 2
+    return rate, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def _image_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """Real image features from decoded pixels: dimensions, per-channel
+    means, luma statistics, and a coarse 8-bin luma histogram."""
+    n = width * height
+    r = rgb[0::3]
+    g = rgb[1::3]
+    bch = rgb[2::3]
+    luma = [
+        0.299 * r[i] + 0.587 * g[i] + 0.114 * bch[i] for i in range(n)
+    ]
+    mean_l = sum(luma) / n
+    var_l = sum((x - mean_l) ** 2 for x in luma) / n
+    hist = [0.0] * 8
+    for x in luma:
+        hist[min(7, int(x) >> 5)] += 1.0
+    out = [
+        width / 4096.0,
+        height / 4096.0,
+        sum(r) / n / 255.0,
+        sum(g) / n / 255.0,
+        sum(bch) / n / 255.0,
+        mean_l / 255.0,
+        var_l**0.5 / 255.0,
+        min(luma) / 255.0,
+    ] + [h / n for h in hist]
+    return out[:FEATURE_DIM]
+
+
+def _audio_features(rate: int, samples: list[int]) -> list[float]:
+    """Real audio features from decoded PCM: rate, length, RMS, peak,
+    zero-crossing rate, mean, and a coarse 8-bin amplitude histogram."""
+    n = max(len(samples), 1)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    zc = sum(
+        1 for i in range(1, len(samples)) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    hist = [0.0] * 8
+    for s in samples:
+        hist[min(7, abs(s) >> 12)] += 1.0
+    out = [
+        rate / 48000.0,
+        len(samples) / 1e6,
+        rms / 32768.0,
+        max((abs(s) for s in samples), default=0) / 32768.0,
+        zc / n,
+        (sum(samples) / n) / 32768.0,
+        min(samples, default=0) / 32768.0,
+        max(samples, default=0) / 32768.0,
+    ] + [h / n for h in hist]
+    return out[:FEATURE_DIM]
+
+
+def attach_codec_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-format media blobs from an id column: PPM
+    images and WAV PCM16 audio synthesized and *encoded* per row (video
+    keeps an opaque payload — no pure-Python container format to
+    honestly encode).  Runs as an Arrow-batched ``mapInPandas`` so blob
+    construction is distributed, exactly like a real ingest."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 3 == 0:  # 8×8 PPM with an id-dependent gradient
+                    w = h = 8
+                    rgb = bytes(
+                        (x * 31 + y * 17 + mid * c + mid) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    rows.append(
+                        (mid, "image", encode_ppm(w, h, rgb), "image/x-portable-pixmap",
+                         w, h, None)
+                    )
+                elif mid % 3 == 1:  # 64-sample PCM16 WAV, id-seeded wave
+                    samples = [
+                        ((mid * 2654435761 + i * 40503) % 65536) - 32768
+                        for i in range(64)
+                    ]
+                    rows.append(
+                        (mid, "audio", encode_wav_pcm16(samples, 16000),
+                         "audio/wav", None, None, 4)
+                    )
+                else:
+                    payload = hashlib.sha256(f"video:{mid}".encode()).digest()
+                    rows.append(
+                        (mid, "video", payload * 4, "video/x-fake", None, None,
+                         mid % 10000)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "content", "mime", "width", "height",
+                    "duration_ms",
+                ],
+            )
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _pure_decode_features(kind: str, content: bytes) -> list[float]:
+    if kind == "image":
+        return _image_features(*decode_ppm(content))
+    if kind == "audio":
+        return _audio_features(*decode_wav_pcm16(content))
+    return _fake_features(content)  # no honest pure-Python video codec
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic pseudo-feature vector from the raw bytes (digest
     expansion) — stands in for a CNN/fbank feature extractor."""
@@ -110,14 +313,22 @@ def extract_features(
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
                 "decode_backend='pil' requires Pillow, not present in this "
-                "container; use decode_backend='fake' for plumbing tests"
+                "container; use decode_backend='pure' (real PPM/WAV codecs) "
+                "or 'fake' instead"
             ) from e
-    elif decode_backend != "fake":
+    elif decode_backend not in ("fake", "pure"):
         raise NotImplementedError(f"unknown decode backend {decode_backend!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            if decode_backend == "pure":
+                feature = [
+                    _pure_decode_features(k, b)
+                    for k, b in zip(pdf["kind"], content)
+                ]
+            else:
+                feature = content.map(_fake_features)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -126,7 +337,7 @@ def extract_features(
                     "checksum": content.map(
                         lambda b: zlib.crc32(b) if b is not None else 0
                     ),
-                    "feature": content.map(_fake_features),
+                    "feature": feature,
                 }
             )
 

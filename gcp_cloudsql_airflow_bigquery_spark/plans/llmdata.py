@@ -428,6 +428,31 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["media_features"] = media_features
 
 
+def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DE-STUBBED multimodal path (rows-only: features depend on
+    the codec): real PPM/WAV blobs are encoded distributedly, then
+    decoded back through the same Arrow-batched ``mapInPandas``
+    plumbing by the pure-Python codecs
+    (:func:`..operators.multimodal.decode_ppm` /
+    :func:`..operators.multimodal.decode_wav_pcm16`) into real signal
+    features; per-kind summary proves the full encode→decode→feature
+    loop.  Byte-level codec correctness is unit-tested in
+    tests/test_llmdata.py."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    feats = multimodal.extract_features(media, decode_backend="pure")
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(F.element_at("feature", 3)), 6).alias("avg_f2"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
+
+
+QUERIES["media_codec_features"] = media_codec_features
+
+
 def doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: the documents table with non-canonical
     near-duplicates removed (canonical = min doc_id per Jaccard>=0.5

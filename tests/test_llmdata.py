@@ -199,6 +199,57 @@ def test_multimodal_video_frame_sampling(spark, docs):
     assert {r.media_id: r["count"] for r in got} == expected
 
 
+def test_ppm_codec_roundtrip():
+    rgb = bytes((x * 7 + c) % 256 for x in range(16) for c in range(3))
+    blob = multimodal.encode_ppm(4, 4, rgb)
+    assert multimodal.decode_ppm(blob) == (4, 4, rgb)
+    # comment + whitespace grammar
+    with_comment = b"P6\n# a comment\n4 4\n255\n" + rgb
+    assert multimodal.decode_ppm(with_comment) == (4, 4, rgb)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n4 4\n255\n" + rgb)  # wrong magic
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(blob[:-1])  # truncated payload
+
+
+def test_wav_codec_roundtrip():
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    blob = multimodal.encode_wav_pcm16(samples, rate=8000)
+    assert multimodal.decode_wav_pcm16(blob) == (8000, samples)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(blob[:20])  # missing data chunk
+
+
+def test_multimodal_pure_decode_end_to_end(spark, docs):
+    """The de-stubbed path: REAL PPM/WAV blobs encoded distributedly,
+    decoded through the same mapInPandas plumbing, features checked
+    against a driver-side reference decode of the same blob."""
+    media = multimodal.attach_codec_media(docs.limit(30))
+    blobs = {r.media_id: (r.kind, bytes(r.content)) for r in media.collect()}
+    # the payloads really are the claimed formats
+    assert any(b.startswith(b"P6") for _, b in blobs.values())
+    assert any(b.startswith(b"RIFF") for _, b in blobs.values())
+
+    feats = multimodal.extract_features(media, decode_backend="pure")
+    rows = {r.media_id: list(r.feature) for r in feats.collect()}
+    assert len(rows) == 30
+    for mid, (kind, blob) in blobs.items():
+        want = multimodal._pure_decode_features(kind, blob)
+        got = rows[mid]
+        assert len(got) == multimodal.FEATURE_DIM
+        assert got == pytest.approx(want, rel=1e-6), (mid, kind)
+    # image features carry real pixel statistics: the luma histogram
+    # bins (last 8 slots) of any decoded image sum to 1
+    img = next(m for m, (k, _) in blobs.items() if k == "image")
+    assert sum(rows[img][8:]) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_multimodal_real_backend_gated(spark, docs):
     media = multimodal.attach_fake_media(docs.limit(5))
     with pytest.raises(NotImplementedError):
