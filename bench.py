@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gcp_cloudsql_airflow_bigquery_spark.plans import (
+    advanced,
     curation,
     events,
     llmdata,
@@ -24,6 +25,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     relational,
     scale,
     temporal,
+    tpch2,
 )
 from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
 
@@ -47,6 +49,13 @@ HEADLINE = [
     ("doc_mix_resampled", curation.QUERIES),
     ("doc_packed_bins", quality.QUERIES),
     ("corpus_funnel", quality.QUERIES),
+    # r2 additions: the heaviest join/agg shapes (TPC-H q9/q18/q21
+    # equivalents) + the iterative connected-components path, so
+    # round-over-round regressions in those plans stay visible
+    ("q9_product_type_profit", tpch2.QUERIES),
+    ("large_volume_orders", advanced.QUERIES),  # Q18 shape
+    ("lone_late_supplier", advanced.QUERIES),  # Q21 shape
+    ("doc_dup_clusters", llmdata.QUERIES),
 ]
 
 

@@ -40,33 +40,35 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    # labels only ever decrease, so the (exact, overflow-proof) label
+    # checksum strictly decreases until the fixpoint — comparing it
+    # round-over-round replaces a join-based changed? probe with a
+    # single aggregate on the already-materialized frame
+    def _checksum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
+        # one round = ONE join: neighbor labels (messages along edges)
+        # unioned with each node's own label, then a single min-agg —
+        # the self-label union replaces the second (left) join of the
+        # naive formulation
+        msgs = sym.join(labels, sym.b == F.col("node")).select(
+            F.col("a").alias("node"), "label"
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _checksum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -116,10 +116,13 @@ def lsh_neardup_pairs(
 
     Recall per table is ``p^planes`` with ``p = 1 - arccos(cos θ)/π``;
     for true near-dups (cosine ≥ 0.95, p ≈ 0.9) the defaults give
-    per-table ≈ 0.66 and overall ≈ 1 - (1-0.66)^16 ≈ 1-3e-8.  At loose
-    thresholds raise ``num_tables`` (the fixture check at 0.25 runs
-    24 tables for exhaustive recall).  Verification is exact, so
-    precision is always 1.0.
+    per-table ≈ 0.66 and overall ≈ 1 - (1-0.66)^16 ≈ 1-3e-8; exact
+    copies (cosine 1) share every sign bit, so they collide in every
+    table — recall 1 by construction.  Loose thresholds (≲0.7) are not
+    angular-LSH territory: p per plane decays toward 1/2 (the random
+    baseline), so no table count separates candidates from noise —
+    use :func:`cosine_neardup_pairs` on a bounded subset instead.
+    Verification is exact, so precision is always 1.0.
 
     Shuffle profile: bucket explode is rows × tables; the self-join
     key (table, bucket) is hash-uniform; the two id joins that fetch

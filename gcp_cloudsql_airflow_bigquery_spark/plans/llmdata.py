@@ -53,14 +53,17 @@ FROM documents GROUP BY 1
 
 def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard pairs (>= 0.5) via MinHash-LSH candidates + exact
-    verify rather than the corpus-wide inverted-index self-join.  With
-    one signature row per band (bands == num_hashes) a true pair at
-    J >= 0.5 is missed with probability (1-J)^32 <= 2^-32, so the
-    output equals the exact form (the oracle SQL below and
-    ``dedup.ngram_jaccard_pairs``, which stays as the test oracle);
-    equality is also asserted in tests/test_llmdata.py."""
+    verify rather than the corpus-wide inverted-index self-join.
+    16 bands x 2 rows: candidate probability 1-(1-J^2)^16 (0.99 at the
+    0.5 threshold, ~1 above it), and the 2-slot band key avoids the
+    hot-bucket blowup of 1-row banding, where every document sharing
+    one globally-minimal shingle hash lands in a single bucket
+    (measured 150x the candidate count at sf0.1).  Output equals the
+    exact form on the fixtures (the oracle SQL below hash-matches, and
+    ``dedup.ngram_jaccard_pairs`` stays as the test oracle; equality is
+    asserted in tests/test_llmdata.py)."""
     return dedup.minhash_near_dups(
-        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=32
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=16
     )
 
 
@@ -125,24 +128,41 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH candidates + exact-cosine
     verify (:func:`similarity.lsh_neardup_pairs`) — the corpus never
-    pays an all-pairs join.  Oracle-checked against the exact all-pairs
-    SQL: verification is exact so precision is 1.0, and at these
-    banding settings recall is exhaustive on the fixture (asserted both
-    here by the hash match and in tests/test_llmdata.py against
-    :func:`similarity.cosine_neardup_pairs`, the quadratic baseline
-    that is now test-oracle-only)."""
+    pays an all-pairs join.
+
+    The fixture corpus is random-ish (no organic pair above cosine
+    0.5), so — like the PII oracle's in-query injection — the query
+    plants exact-direction duplicates (each subset vector rescaled
+    ×2.0 under a shifted id) before deduping at the real near-dup
+    threshold 0.95.  That makes the hash match against the exact
+    all-pairs SQL *deterministic*: a planted copy shares every
+    hyperplane sign bit with its original, so it collides in every
+    table (recall 1 by construction, not 1-ε), and verification is
+    exact so precision is 1.  Loose thresholds (≲0.7) are not angular
+    LSH territory — the exact :func:`similarity.cosine_neardup_pairs`
+    subset path covers that regime (tests/test_llmdata.py)."""
+    base = _emb(spark, sf_dir).filter(F.col("vec_id") % 20 == 0)
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+        *[c for c in base.columns if c not in ("vec_id", "embedding")],
+    )
     return similarity.lsh_neardup_pairs(
-        _emb(spark, sf_dir),
-        threshold=0.25,
+        base.unionByName(planted),
+        threshold=0.95,
         num_planes=4,
         num_tables=16,
-        subset_filter=F.col("vec_id") % 20 == 0,
     )
 
 
 _EMB_NEARDUP_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-           FROM embeddings WHERE vec_id % 20 = 0)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id % 20 = 0),
+v AS (SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0) FROM base)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.e, b.e) /
              (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))),
@@ -150,7 +170,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e) /
             (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))),
-            6) >= 0.25
+            6) >= 0.95
 """
 
 
@@ -354,7 +374,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     pairs = dedup.minhash_near_dups(
-        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=32
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, bands=16
     )
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.select(
@@ -461,7 +481,7 @@ def doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_near_dups(docs, threshold=0.5, num_hashes=32, bands=32)
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5, num_hashes=32, bands=16)
     labels = connected_components(pairs, "id_a", "id_b")
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")

