@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gcp_cloudsql_airflow_bigquery_spark.plans import (
     advanced,
     curation,
+    dq,
     events,
     llmdata,
     quality,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(advanced.QUERIES)
     out.update(curation.QUERIES)
+    out.update(dq.QUERIES)
     out.update(quality.QUERIES)
     out.update(llmdata.QUERIES)
     out.update(events.QUERIES)
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE)
     out.update(advanced.ORACLE)
     out.update(curation.ORACLE)
+    out.update(dq.ORACLE)
     out.update(quality.ORACLE)
     out.update(llmdata.ORACLE)
     out.update(events.ORACLE)

@@ -1,0 +1,106 @@
+"""Declarative data-quality checks folded into ONE aggregate pass.
+
+The reference pipeline loads extracts into BigQuery with no value
+validation at all (the only gate is schema sanitization,
+``dags/cloudsql_to_bigquery.py:141``); a warehouse engine should be
+able to answer "did this landing pass its contract?" without N
+table scans.  Every check here is an expression-level violation
+predicate, so the whole report is
+
+    one aggregate over the frame  →  one ≤1-row reduce
+    →  driver-free unpivot to (check_name, violations, n_rows)
+
+No per-check jobs, no ``collect()``.  Referential checks compose the
+same way: LEFT-join the dimension key onto the fact (broadcast for
+real dims), then assert the joined key ``not_null`` — the orphan scan
+rides the same single aggregate (see ``plans/dq.py``).
+
+Scale: exactly one pass per fact table regardless of check count;
+``unique`` keys add an exact ``count_distinct`` each (Catalyst Expand
+— one duplicated stream per distinct agg), so keep unique keys few on
+wide scans, exactly like ``profiling.profile_table``'s note.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """A named violation predicate: rows where ``violation`` is true
+    fail the check."""
+
+    name: str
+    violation: Column
+
+
+def not_null(col: str, name: str | None = None) -> Check:
+    return Check(name or f"{col}_not_null", F.col(col).isNull())
+
+
+def in_set(col: str, values: Sequence, name: str | None = None) -> Check:
+    c = F.col(col)
+    return Check(
+        name or f"{col}_domain", c.isNotNull() & ~c.isin(list(values))
+    )
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Check:
+    c = F.col(col)
+    return Check(
+        name or f"{col}_range", c.isNotNull() & ((c < lo) | (c > hi))
+    )
+
+
+def matches(col: str, regex: str, name: str | None = None) -> Check:
+    c = F.col(col)
+    return Check(name or f"{col}_format", c.isNotNull() & ~c.rlike(regex))
+
+
+def report(
+    df: DataFrame,
+    checks: Sequence[Check],
+    unique: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """Run all ``checks`` (plus ``unique`` key-duplication checks) in a
+    single aggregate and return the long-form report
+    ``(check_name, violations, n_rows)`` — one row per check.
+
+    ``unique=[["k"], ["a", "b"]]`` counts duplicate rows per key as
+    ``COUNT(*) - COUNT(DISTINCT keys)`` (null keys count as rows but
+    not as distinct combos — use a ``not_null`` check alongside when
+    null keys must also fail)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    names: list[str] = []
+    for ck in checks:
+        aggs.append(F.count(F.when(ck.violation, 1)).alias(f"v__{ck.name}"))
+        names.append(ck.name)
+    for keys in unique:
+        name = "_".join(keys) + "_unique"
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            ).alias(f"v__{name}")
+        )
+        names.append(name)
+    row = df.agg(*aggs)
+    records = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check_name"),
+                F.col(f"v__{n}").alias("violations"),
+                F.col("n_rows"),
+            )
+            for n in names
+        ]
+    )
+    return (
+        row.select(F.explode(records).alias("r"))
+        .select("r.check_name", "r.violations", "r.n_rows")
+    )

@@ -1,0 +1,178 @@
+"""Data-quality gate queries: declarative constraint reports over the
+landed extracts (``operators/validate.py``).
+
+The reference loads extracts with no value validation (schema
+sanitization only, reference ``dags/cloudsql_to_bigquery.py:141``);
+these queries are the landing contract a warehouse should check before
+anything downstream runs.  Shape at scale: one aggregate pass per fact
+table — null/domain/range/unique checks fold into the same agg, and
+referential checks ride it too via a LEFT dimension join (broadcast
+for true dims; the fact never re-scans per check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import validate as V
+
+
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing contract for ``orders``: null/range/domain/unique checks
+    plus the ``o_custkey → customer`` referential check, all in ONE
+    aggregate over one broadcast-joined scan of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dim_custkey")
+    )
+    joined = orders.join(
+        F.broadcast(customer),
+        orders.o_custkey == F.col("dim_custkey"),
+        "left",
+    )
+    return V.report(
+        joined,
+        [
+            V.not_null("o_orderkey"),
+            V.not_null("o_orderdate"),
+            V.in_range("o_totalprice", 0, 1e9),
+            V.in_set("o_orderstatus", ["F", "O", "P"]),
+            V.in_range(
+                "o_orderdate", "1992-01-01", "1998-12-31",
+                name="o_orderdate_bounds",
+            ),
+            V.Check(
+                "o_custkey_referential",
+                F.col("o_custkey").isNotNull()
+                & F.col("dim_custkey").isNull(),
+            ),
+        ],
+        unique=[["o_orderkey"]],
+    )
+
+
+_DQ_ORDERS_SQL = """
+WITH j AS (
+  SELECT o.*, c.c_custkey AS dim_custkey
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT 'o_orderkey_not_null' AS check_name,
+       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)::BIGINT AS violations,
+       COUNT(*)::BIGINT AS n_rows FROM j
+UNION ALL
+SELECT 'o_orderdate_not_null',
+       COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'o_totalprice_range',
+       COUNT(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 1e9)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'o_orderstatus_domain',
+       COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O', 'P')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'o_orderdate_bounds',
+       COUNT(CASE WHEN o_orderdate IS NOT NULL
+                   AND (o_orderdate < '1992-01-01'
+                        OR o_orderdate > '1998-12-31')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'o_custkey_referential',
+       COUNT(CASE WHEN o_custkey IS NOT NULL AND dim_custkey IS NULL
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'o_orderkey_unique',
+       (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT,
+       COUNT(*)::BIGINT FROM j
+"""
+
+
+def dq_lineitem_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing contract for ``lineitem``: range/date-coherence checks
+    plus the big-fact referential check ``l_orderkey → orders`` — a
+    shuffle join at scale (orders is not broadcastable), still one
+    pass over each side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("dim_orderkey")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == F.col("dim_orderkey"), "left"
+    )
+    return V.report(
+        joined,
+        [
+            V.not_null("l_orderkey"),
+            V.in_range("l_quantity", 1, 50),
+            V.in_range("l_discount", 0.0, 0.10),
+            V.in_set("l_returnflag", ["A", "N", "R"]),
+            V.in_set("l_linestatus", ["F", "O"]),
+            V.Check(
+                "l_orderkey_referential",
+                F.col("l_orderkey").isNotNull()
+                & F.col("dim_orderkey").isNull(),
+            ),
+        ],
+    )
+
+
+_DQ_LINEITEM_SQL = """
+WITH j AS (
+  SELECT l.*, o.o_orderkey AS dim_orderkey
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'l_orderkey_not_null' AS check_name,
+       COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END)::BIGINT AS violations,
+       COUNT(*)::BIGINT AS n_rows FROM j
+UNION ALL
+SELECT 'l_quantity_range',
+       COUNT(CASE WHEN l_quantity IS NOT NULL
+                   AND (l_quantity < 1 OR l_quantity > 50)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'l_discount_range',
+       COUNT(CASE WHEN l_discount IS NOT NULL
+                   AND (l_discount < 0.0 OR l_discount > 0.10)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'l_returnflag_domain',
+       COUNT(CASE WHEN l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A', 'N', 'R')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'l_linestatus_domain',
+       COUNT(CASE WHEN l_linestatus IS NOT NULL
+                   AND l_linestatus NOT IN ('F', 'O')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+UNION ALL
+SELECT 'l_orderkey_referential',
+       COUNT(CASE WHEN l_orderkey IS NOT NULL AND dim_orderkey IS NULL
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM j
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq_orders_report": dq_orders_report,
+    "dq_lineitem_report": dq_lineitem_report,
+}
+
+ORACLE: dict[str, str] = {
+    "dq_orders_report": _DQ_ORDERS_SQL,
+    "dq_lineitem_report": _DQ_LINEITEM_SQL,
+}

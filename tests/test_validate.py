@@ -1,0 +1,79 @@
+"""operators/validate.py — declarative single-pass DQ checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_airflow_bigquery_spark.operators import validate as V
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "F", 10.0, "a@x.com"),
+            (2, "O", -5.0, "bad-email"),
+            (2, "Z", 75.0, None),
+            (None, "F", None, "c@y.org"),
+        ],
+        "id INT, status STRING, amount DOUBLE, email STRING",
+    )
+
+
+def _report(df, **kw):
+    return {
+        r.check_name: (r.violations, r.n_rows)
+        for r in V.report(df, **kw).collect()
+    }
+
+
+def test_single_pass_checks(spark):
+    got = _report(
+        _frame(spark),
+        checks=[
+            V.not_null("id"),
+            V.in_set("status", ["F", "O"]),
+            V.in_range("amount", 0, 50),
+            V.matches("email", r"^[^@]+@[^@]+\.[^@]+$"),
+        ],
+        unique=[["id"]],
+    )
+    assert got["id_not_null"] == (1, 4)
+    assert got["status_domain"] == (1, 4)  # only 'Z'
+    assert got["amount_range"] == (2, 4)  # -5 and 75; NULL passes
+    assert got["email_format"] == (1, 4)  # NULL passes
+    # 4 rows, 2 distinct non-null ids -> 2 "duplicates" (the NULL id
+    # counts as a row but not a distinct combo, as documented)
+    assert got["id_unique"] == (2, 4)
+
+
+def test_null_values_do_not_violate_value_checks(spark):
+    df = _frame(spark).select("id", "amount")
+    got = _report(df, checks=[V.in_range("amount", 0, 100)])
+    assert got["amount_range"] == (1, 4)  # only -5
+
+
+def test_clean_frame_reports_zero(spark):
+    df = _frame(spark).filter(F.col("id") == 1)
+    got = _report(
+        df,
+        checks=[V.not_null("id"), V.in_set("status", ["F", "O"])],
+        unique=[["id"]],
+    )
+    assert all(v == 0 for v, _ in got.values())
+
+
+def test_report_is_one_aggregate(spark):
+    """The whole report must stay one aggregate over one scan — no
+    per-check subplans (at 100 TB, N checks must not mean N passes)."""
+    df = _frame(spark)
+    plan = (
+        V.report(
+            df,
+            checks=[V.not_null("id"), V.in_range("amount", 0, 50)],
+            unique=[["id"]],
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
