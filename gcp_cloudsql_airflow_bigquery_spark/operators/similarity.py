@@ -381,6 +381,57 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embeddings (deterministic spherical codebook, :func:`ivf_build`),
+    then compare pairs ONLY within a cluster and drop every vector
+    that has a same-cluster neighbor at cosine ≥ ``threshold`` with a
+    smaller id (greedy smallest-id canonical — deterministic).
+
+    Returns ``(id, cluster, keep)`` for every input vector.
+
+    Scale shape: the cluster assignment is a narrow map against the
+    broadcast k×d codebook, and the pair space collapses from O(n²)
+    to Σ|cluster|² — at 100 TB you raise ``n_centroids`` so the
+    expected cell size stays bounded (SemDeDup runs ~√n cells; the
+    inverted file written ``partitionBy(cluster)`` makes the
+    within-cell self-join a partition-local sort-merge with no global
+    shuffle).  Exact cosine inside the cell means precision 1.0
+    against the within-cluster criterion; cross-cluster near-dups are
+    the documented recall loss of the method (bounded by k-means
+    separation), which is the accepted trade for never paying an
+    all-pairs join."""
+    centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).withColumn("cluster", ivf_assign(_normalize(F.col("vec")), centroids))
+    a = v.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(dropped.withColumn("dropped", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Per-vector symmetric int8 quantization:
     ``struct(q: array<int>, scale: double)`` with

@@ -157,6 +157,27 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus with planted exact-direction
+    duplicates (same injection trick as :func:`embedding_neardup`):
+    k-means cells bound the pair space, within-cell cosine ≥ 0.95
+    drops the larger id.  A scaled copy has identical centroid dots,
+    so it deterministically lands in its original's cell and is
+    dropped — asserted in tests/test_llmdata.py; rows-only here
+    (k-means is not ANSI-SQL-expressible)."""
+    base = _emb(spark, sf_dir).filter(F.col("vec_id") % 20 == 0)
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+        *[c for c in base.columns if c not in ("vec_id", "embedding")],
+    )
+    return similarity.semantic_dedup(
+        base.unionByName(planted), threshold=0.95, n_centroids=8
+    )
+
+
 _EMB_NEARDUP_SQL = """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
               FROM embeddings WHERE vec_id % 20 = 0),
@@ -316,13 +337,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "embedding_neardup": embedding_neardup,
+    "embedding_semantic_dedup": embedding_semantic_dedup,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
 }
 
-# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh
+# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh,
+# embedding_semantic_dedup (k-means not SQL-expressible)
 ORACLE: dict[str, str] = {
     "doc_dedup_exact": _DEDUP_EXACT_SQL,
     "doc_dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,

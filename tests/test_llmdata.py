@@ -109,6 +109,39 @@ def test_lsh_neardup_planted_duplicates(spark, emb):
     assert {(i, i + 100000) for i in range(20)} <= got
 
 
+def test_semantic_dedup_drops_planted_copies(spark, emb):
+    """SemDeDup: a scaled copy has identical centroid dots, so it
+    deterministically shares its original's cluster and must be
+    dropped at cosine ≥ 0.95; originals and unrelated vectors keep."""
+    base = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "embedding"
+        ),
+    )
+    out = {
+        r.id: r.keep
+        for r in similarity.semantic_dedup(
+            base.unionByName(planted), threshold=0.95, n_centroids=4
+        ).collect()
+    }
+    n_base = base.count()
+    assert len(out) == 2 * n_base  # every input vector is labeled
+    for i in range(n_base):
+        assert out[i] is True, f"original {i} must survive"
+        assert out[i + 100000] is False, f"planted copy of {i} must drop"
+
+
+def test_semantic_dedup_no_dups_keeps_everything(spark, emb):
+    """A corpus with no within-cluster pair above threshold keeps all
+    rows (fixture max organic cosine < 0.5)."""
+    base = emb.filter(F.col("vec_id") < 40)
+    out = similarity.semantic_dedup(base, threshold=0.95, n_centroids=4)
+    assert out.filter(~F.col("keep")).count() == 0
+    assert out.count() == base.count()
+
+
 def test_minhash_band_math(docs):
     sigs = dedup.minhash_signatures(docs, num_hashes=16)
     row = sigs.first()
