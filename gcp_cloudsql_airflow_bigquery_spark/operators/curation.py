@@ -104,6 +104,35 @@ def balanced_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional stratified sample: the
+    ``ceil(fraction·|g|)`` rows with the smallest md5(id) from every
+    stratum ``g`` — each stratum is represented at exactly the global
+    rate (vs :func:`balanced_sample`'s equal quotas), and the pick is
+    portable/stable under reruns like every hash-ordered sampler here.
+
+    Scale note: exact per-stratum quotas need a rank, and a window
+    rank serializes each stratum into one task — fine up to
+    ~10⁷-row strata.  At 100 TB with huge strata, either pre-bucket
+    the rank (two-phase: per-bucket rank + running offsets) or accept
+    Bernoulli-by-hash (``mixing.resample``), which needs no shuffle at
+    all and hits the rate in expectation."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_g", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") <= F.ceil(F.lit(fraction) * F.col("n_g")))
+        .drop("rk", "n_g")
+    )
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

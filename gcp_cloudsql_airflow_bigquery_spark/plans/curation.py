@@ -59,6 +59,26 @@ FROM (
 """
 
 
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15% proportional stratified sample — every source represented
+    at the global rate, rows picked by smallest md5(doc_id) so the
+    sample is deterministic and engine-portable."""
+    return curation.stratified_sample(
+        _docs(spark, sf_dir), fraction=0.15
+    ).select("doc_id", "source", "n_chars")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_g
+  FROM documents
+) t WHERE rk <= CEIL(0.15 * n_g)
+"""
+
+
 def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source × split histogram of the stable hash-based
     train/val/test assignment (the leak-free split audit query)."""
@@ -175,6 +195,7 @@ FROM h ORDER BY shard, position
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": doc_chunks,
     "doc_balanced_sample": doc_balanced_sample,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_split_counts": doc_split_counts,
     "doc_mix_rates": doc_mix_rates,
     "doc_mix_resampled": doc_mix_resampled,
@@ -184,6 +205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "doc_chunks": _CHUNKS_SQL,
     "doc_balanced_sample": _BALANCED_SQL,
+    "doc_stratified_sample": _STRATIFIED_SQL,
     "doc_split_counts": _SPLITS_SQL,
     "doc_mix_rates": _MIX_RATES_SQL,
     "doc_mix_resampled": _MIX_RESAMPLED_SQL,

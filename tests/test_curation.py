@@ -86,6 +86,21 @@ def test_balanced_sample_quota_and_determinism(spark, sf_dir):
     assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
 
 
+def test_stratified_sample_proportional_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frac = 0.2
+    sizes = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    s1 = curation.stratified_sample(docs, fraction=frac)
+    got = {r.source: r["count"] for r in s1.groupBy("source").count().collect()}
+    import math
+
+    for src, n in sizes.items():
+        assert got.get(src, 0) == math.ceil(frac * n), src
+    # input order must not change the picked set
+    s2 = curation.stratified_sample(docs.orderBy(F.rand(seed=7)), fraction=frac)
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+
+
 def test_split_assignment_stable_and_total(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = curation.assign_splits(docs)
