@@ -138,15 +138,76 @@ def merge_parquet(
     version = time.strftime("%Y%m%d%H%M%S")
     vdir = f"{target_path}__v{version}"
     merged.write.mode("overwrite").parquet(vdir)  # the ONE data write
+    _swap_into_place(spark, target_path, vdir, version)
+
+
+def _swap_into_place(
+    spark: SparkSession, target_path: str, vdir: str, version: str
+) -> None:
+    """Swap a freshly written versioned directory over ``target_path``
+    with metadata-only renames (restore the old state if the second
+    rename fails)."""
     p_out, fs = _hadoop_path(spark, target_path)
     p_new, _ = _hadoop_path(spark, vdir)
     p_old, _ = _hadoop_path(spark, f"{target_path}__old{version}")
     if not fs.rename(p_out, p_old):
-        raise RuntimeError(f"merge swap: could not move {target_path} aside")
+        raise RuntimeError(f"swap: could not move {target_path} aside")
     if not fs.rename(p_new, p_out):
         fs.rename(p_old, p_out)  # restore the previous table state
-        raise RuntimeError(f"merge swap: could not move {vdir} into place")
+        raise RuntimeError(f"swap: could not move {vdir} into place")
     fs.delete(p_old, True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    balance: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and swap the result
+    into place (same metadata-only rename swap as :func:`merge_parquet`).
+    Returns the file count after compaction.
+
+    Incremental loads (streaming ``foreachBatch`` sinks, frequent
+    appends, per-partition chunked extracts) accrete files far smaller
+    than a scan-efficient split — at 100 TB a 10⁶-file table turns
+    every scan's planning and open() overhead into the bottleneck, so
+    compaction is maintenance the engine must own (the reference
+    delegates storage to BigQuery, which runs the same rewrite
+    invisibly).
+
+    Sizing reads only the file-listing metadata, never the data.
+    Default ``coalesce`` merges read-splits with NO shuffle (each
+    output task concatenates neighboring input files); ``balance=True``
+    pays one round-robin shuffle for evenly sized outputs when the
+    input is pathologically skewed.  Partitioned tables: compact each
+    partition directory independently (this keeps the operation
+    trivially parallel and lets a scheduler compact only partitions
+    whose file count drifted)."""
+    p, fs = _hadoop_path(spark, path)
+    total = 0
+    n_before = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith("_"):
+            total += st.getLen()
+            n_before += 1
+    n_files = max(1, -(-total // target_file_bytes))
+    if n_before <= n_files:
+        return n_before  # already compact: don't rewrite the table
+    df = spark.read.parquet(path)
+    df = df.repartition(n_files) if balance else df.coalesce(n_files)
+    version = time.strftime("%Y%m%d%H%M%S")
+    vdir = f"{path}__v{version}"
+    df.write.mode("overwrite").parquet(vdir)
+    _swap_into_place(spark, path, vdir, version)
+    p, fs = _hadoop_path(spark, path)
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
 
 
 def _write_merge(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from gcp_cloudsql_airflow_bigquery_spark.config import PipelineSpec, SourceSpec
 from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
     Warehouse,
+    compact_parquet,
     run_pipeline,
     run_pipelines,
 )
@@ -142,6 +143,46 @@ def test_finalize_runs_stage_final_query(spark, sf_dir, warehouse):
     final = spark.read.parquet(warehouse.path("customer_by_segment"))
     assert final.count() == 5
     assert set(final.columns) == {"c_mktsegment", "n"}
+
+
+def _parquet_files(path):
+    import os
+
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """Compaction must collapse a fragmented table to the size-derived
+    file count, preserve every row, and leave no versioned leftovers."""
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "frag")
+    src.repartition(16).write.parquet(out)
+    assert len(_parquet_files(out)) == 16
+    before = sorted(map(tuple, src.collect()))
+
+    n_after = compact_parquet(spark, out, target_file_bytes=1 << 30)
+    assert n_after == 1
+    assert len(_parquet_files(out)) == 1
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
+    leftovers = [e for e in tmp_path.iterdir() if "__v" in e.name or "__old" in e.name]
+    assert leftovers == []
+
+
+def test_compact_parquet_skips_already_compact(spark, sf_dir, tmp_path):
+    """An already-compact table must NOT be rewritten (idempotent
+    maintenance — no 100 TB rewrite for a no-op)."""
+    import os
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = str(tmp_path / "ok")
+    src.repartition(2).write.parquet(out)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in _parquet_files(out)}
+    n_after = compact_parquet(spark, out, target_file_bytes=1)  # wants >= 2 files
+    assert n_after == 2
+    assert {
+        f: os.path.getmtime(os.path.join(out, f)) for f in _parquet_files(out)
+    } == mtimes
 
 
 def test_ndjson_chunked_export(spark, sf_dir, tmp_path):
