@@ -7,6 +7,9 @@
   ``filename_{}`` wildcard load (``:102-103``) is Spark's native
   directory read — one file per partition.
 - Parquet: the engine's staging format of choice.
+- ORC: Spark-native columnar alternative for interchange with
+  Hive/Trino-era warehouses (built into the distribution, same
+  predicate-pushdown + column-pruning story as parquet).
 """
 
 from __future__ import annotations
@@ -52,6 +55,14 @@ def read_ndjson(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
 
 
 def write_ndjson(

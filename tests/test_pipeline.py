@@ -145,6 +145,32 @@ def test_finalize_runs_stage_final_query(spark, sf_dir, warehouse):
     assert set(final.columns) == {"c_mktsegment", "n"}
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source parity: byte-exact roundtrip and the same
+    pushdown story as parquet (filter visible at the ORC scan)."""
+    from gcp_cloudsql_airflow_bigquery_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert back.schema == src.schema
+    plan = (
+        back.filter(F.col("n_regionkey") == 2)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
 def _parquet_files(path):
     import os
 
