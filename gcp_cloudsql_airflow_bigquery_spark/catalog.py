@@ -34,18 +34,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → column pruning and predicate
     pushdown are free once downstream ops are declarative.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (``nanosAsLong``) and restore
-    a microsecond timestamp column JVM-side (no data pass through Python).
+    ``events.ts`` may be written as either a plain parquet timestamp
+    (current fixtures: TIMESTAMP(MICROS)) or as raw int64 nanoseconds
+    (older fixtures wrote TIMESTAMP(NANOS), which surfaces as ``bigint``
+    under ``spark.sql.legacy.parquet.nanosAsLong``). We read plain and
+    only convert when the column actually arrived as int64 — both
+    encodings yield ``ts: timestamp`` with microsecond precision,
+    JVM-side, no Python data pass.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(path)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_tables(

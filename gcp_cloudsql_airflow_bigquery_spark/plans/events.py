@@ -3,10 +3,11 @@ M3).  Same Catalyst expressions the streaming pipelines use; DuckDB
 oracles reproduce the window semantics (time_bucket for fixed windows,
 gaps-and-islands for sessions).
 
-Timestamp-precision note: ``events.ts`` is nanosecond-precision parquet;
-Spark reads microseconds, DuckDB keeps nanos.  Oracle-checked outputs
-therefore only expose bucket boundaries (exact at any precision) or
-millisecond-truncated session bounds.
+Timestamp-precision note: ``catalog.load_table`` normalizes
+``events.ts`` to a microsecond timestamp for either fixture encoding
+(plain TIMESTAMP(MICROS), or legacy int64 nanos).  Oracle-checked
+outputs expose bucket boundaries (exact at any precision) or
+millisecond-truncated session bounds so both engines agree.
 """
 
 from __future__ import annotations

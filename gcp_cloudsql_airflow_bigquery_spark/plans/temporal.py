@@ -2,20 +2,20 @@
 oracle-checked against DuckDB's native ``ASOF JOIN`` / range-join SQL.
 
 Timestamps are compared as raw epoch **microseconds** on both engines:
-``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads the int64 nanos
-via ``nanosAsLong`` and truncates to micros JVM-side, DuckDB truncates
-to micros at parquet read (its TIMESTAMP is µs) and exposes
-``epoch_us`` — identical int64s, no precision-truncation parity traps.
+``catalog.load_table`` normalizes ``events.ts`` to a microsecond
+timestamp regardless of the fixture's parquet encoding; ``unix_micros``
+exposes it as int64 on the Spark side, DuckDB's ``epoch_us`` on the
+oracle side — identical int64s, no precision-truncation parity traps.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..operators.temporal import asof_join, interval_point_join
 
 _BLACKOUT_US = 1_000 * 1_800_000_000  # ±30 min in epoch micros
@@ -23,10 +23,16 @@ _BLACKOUT_US = 1_000 * 1_800_000_000  # ±30 min in epoch micros
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` as the int64 microsecond timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = load_table(spark, sf_dir, "events")
+    # ts may be TIMESTAMP or TIMESTAMP_NTZ depending on fixture encoding;
+    # session tz is UTC, so the NTZ→TIMESTAMP cast is a pure reinterpret
+    # and unix_micros matches DuckDB's epoch_us on the same file.
     return df.select(
-        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type", "value"
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
     )
 
 
