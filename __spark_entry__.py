@@ -36,33 +36,35 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver hard-verifies the first 50 queries() entries in dict
+# insertion order.  Rounds 1-3 always led with relational+advanced, so
+# those have deep green history; this round leads with the modules that
+# have never had driver signal (events/llmdata/temporal/tpch/tpch2 = 47
+# entries) and lets relational/advanced rest on replica coverage.
+_MODULES = (
+    events,
+    llmdata,
+    temporal,
+    tpch,
+    tpch2,
+    quality,
+    curation,
+    dq,
+    scale,
+    relational,
+    advanced,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(advanced.QUERIES)
-    out.update(curation.QUERIES)
-    out.update(dq.QUERIES)
-    out.update(quality.QUERIES)
-    out.update(llmdata.QUERIES)
-    out.update(events.QUERIES)
-    out.update(temporal.QUERIES)
-    out.update(scale.QUERIES)
-    out.update(tpch.QUERIES)
-    out.update(tpch2.QUERIES)
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(relational.ORACLE)
-    out.update(advanced.ORACLE)
-    out.update(curation.ORACLE)
-    out.update(dq.ORACLE)
-    out.update(quality.ORACLE)
-    out.update(llmdata.ORACLE)
-    out.update(events.ORACLE)
-    out.update(temporal.ORACLE)
-    out.update(scale.ORACLE)
-    out.update(tpch.ORACLE)
-    out.update(tpch2.ORACLE)
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
     return out
