@@ -277,13 +277,22 @@ def repetition_stats(
 
 
 def tfidf_top_terms(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Per-document top TF-IDF term (tf * ln(N/df), ties broken
     lexicographically). Two token-level aggregations (map-side combined)
-    plus a broadcast of the term→df side; the corpus size joins in as a
-    single-row broadcast, never a driver-side constant baked into the
-    plan. Scales: the wide explode is rows=tokens, but both aggs reduce
+    joined on ``term``; the corpus size joins in as a single-row
+    broadcast, never a driver-side constant baked into the plan.
+
+    The term→df side joins via an ordinary shuffle join by default:
+    ``term`` is a near-uniform key and at 100-TB corpus scale an open
+    vocabulary can exceed broadcast limits, so shipping it to every
+    executor is the wrong default.  Pass ``broadcast_vocab=True`` only
+    when the vocabulary is known-bounded (e.g. a closed term list).
+    Scales: the wide explode is rows=tokens, but both aggs reduce
     before any join."""
     t = F.trim(F.lower(F.col(text_col)))
     tok = docs.filter(t != "").select(
@@ -293,7 +302,7 @@ def tfidf_top_terms(
     df_ = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(df_) if broadcast_vocab else df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             id_col,

@@ -113,3 +113,24 @@ def test_mix_resample_broadcasts_rates(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_tfidf_vocab_not_hint_broadcast_by_default(spark, sf_dir):
+    # the term->df side must NOT carry a broadcast hint at default
+    # settings: an open vocabulary at corpus scale can exceed broadcast
+    # limits, so Catalyst must stay free to pick a shuffle join on the
+    # uniform `term` key. The only sanctioned hint is the 1-row corpus
+    # count. broadcast_vocab=True opts in for known-bounded term lists.
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_hints(df):
+        lp = df._jdf.queryExecution().analyzed().toString()
+        return lp.count("UnresolvedHint broadcast") + lp.count("ResolvedHint")
+
+    assert n_hints(tfidf_top_terms(docs)) == 1  # just the 1-row n_docs
+    assert n_hints(tfidf_top_terms(docs, broadcast_vocab=True)) == 2
