@@ -218,9 +218,27 @@ def _write_merge(
     merge_parquet(spark, df, out, list(spec.merge_keys))
 
 
+#: write_mode → BigQuery writeDisposition for the sink seam (ops F/H);
+#: snapshot/merge have no disposition analogue and always stage locally.
+_MODE_DISPOSITIONS = {"overwrite": "WRITE_TRUNCATE", "append": "WRITE_APPEND"}
+
+
 def load(
-    spark: SparkSession, df: DataFrame, spec: PipelineSpec, warehouse: Warehouse
+    spark: SparkSession,
+    df: DataFrame,
+    spec: PipelineSpec,
+    warehouse: Warehouse,
+    sink=None,
 ) -> str:
+    """Stage ``df`` per ``spec.write_mode``.  With ``sink=`` (a
+    :class:`~gcp_cloudsql_airflow_bigquery_spark.sinks.BigQuerySink`),
+    overwrite/append route through the disposition seam —
+    ``WRITE_TRUNCATE``/``WRITE_APPEND`` exactly as the reference's load
+    step (``dags/copy_cloudsql_to_bigquery_v2.py:108``)."""
+    if sink is not None and spec.write_mode in _MODE_DISPOSITIONS:
+        return sink.write(
+            df, spec.stage_table, _MODE_DISPOSITIONS[spec.write_mode]
+        )
     out = warehouse.path(spec.stage_table)
     if spec.write_mode == "overwrite":
         df.write.mode("overwrite").parquet(out)
@@ -282,16 +300,22 @@ def finalize(
 
 
 def run_pipeline(
-    spark: SparkSession, spec: PipelineSpec, warehouse: Warehouse
+    spark: SparkSession,
+    spec: PipelineSpec,
+    warehouse: Warehouse,
+    sink=None,
 ) -> PipelineResult:
     """One table end-to-end with op K's retry envelope."""
     last_err: Exception | None = None
     for attempt in range(1, spec.retries + 2):
         try:
             df = transform(extract(spark, spec), spec)
-            out = load(spark, df, spec, warehouse)
+            out = load(spark, df, spec, warehouse, sink=sink)
             finalize(spark, spec, warehouse)
-            n = spark.read.parquet(out).count()
+            if sink is not None and spec.write_mode in _MODE_DISPOSITIONS:
+                n = sink.read(spark, spec.stage_table).count()
+            else:
+                n = spark.read.parquet(out).count()
             return PipelineResult(spec, n, attempt, out)
         except Exception as e:  # noqa: BLE001
             last_err = e
@@ -302,12 +326,15 @@ def run_pipeline(
 
 
 def run_pipelines(
-    spark: SparkSession, specs: list[PipelineSpec], warehouse: Warehouse
+    spark: SparkSession,
+    specs: list[PipelineSpec],
+    warehouse: Warehouse,
+    sink=None,
 ) -> list[PipelineResult]:
     """The DAG loop of op K (reference ``:273-287``).  The reference
     serializes exports only because of a Cloud SQL admin-API limit; in
     Spark the per-table jobs pipeline naturally."""
-    return [run_pipeline(spark, s, warehouse) for s in specs]
+    return [run_pipeline(spark, s, warehouse, sink=sink) for s in specs]
 
 
 def write_bucketed(

@@ -364,3 +364,45 @@ def test_snapshot_diff_all_null_row_insert_delete(spark):
     new = spark.createDataFrame([(2, None)], "k int, v string")
     out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "delete", 2: "insert"}
+
+
+def test_sink_seam_write_truncate(spark, sf_dir, warehouse):
+    # WRITE_TRUNCATE (the reference's v2 disposition,
+    # dags/copy_cloudsql_to_bigquery_v2.py:108): re-running replaces,
+    # never accretes. Connector jar absent in-sandbox -> the seam must
+    # route to the local warehouse with identical semantics.
+    from gcp_cloudsql_airflow_bigquery_spark.sinks import (
+        BigQuerySink,
+        bigquery_connector_available,
+    )
+
+    assert not bigquery_connector_available(spark)
+    sink = BigQuerySink(dataset="analytics", warehouse=warehouse)
+    spec = _parquet_spec(sf_dir)  # write_mode=overwrite -> WRITE_TRUNCATE
+    r1 = run_pipeline(spark, spec, warehouse, sink=sink)
+    r2 = run_pipeline(spark, spec, warehouse, sink=sink)
+    assert r1.rows_written == r2.rows_written == 150
+    assert sink.read(spark, "customer").count() == 150
+
+
+def test_sink_seam_write_append(spark, sf_dir, warehouse):
+    from gcp_cloudsql_airflow_bigquery_spark.sinks import BigQuerySink
+
+    sink = BigQuerySink(dataset="analytics", warehouse=warehouse)
+    spec = _parquet_spec(sf_dir, write_mode="append")  # -> WRITE_APPEND
+    run_pipeline(spark, spec, warehouse, sink=sink)
+    r2 = run_pipeline(spark, spec, warehouse, sink=sink)
+    assert r2.rows_written == 300  # two loads accrete
+    assert sink.read(spark, "customer").count() == 300
+
+
+def test_sink_seam_write_empty_and_bad_disposition(spark, sf_dir, warehouse):
+    from gcp_cloudsql_airflow_bigquery_spark.sinks import BigQuerySink
+
+    sink = BigQuerySink(dataset="analytics", warehouse=warehouse)
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    assert sink.write(df, "region", "WRITE_EMPTY").endswith("region")
+    with pytest.raises(Exception):  # WRITE_EMPTY on non-empty target fails
+        sink.write(df, "region", "WRITE_EMPTY")
+    with pytest.raises(ValueError, match="writeDisposition"):
+        sink.write(df, "region", "WRITE_NEVER")
