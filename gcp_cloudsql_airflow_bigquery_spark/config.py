@@ -57,6 +57,11 @@ class PipelineSpec:
     repair: bool = False  # op E on defective CSV inputs
     retries: int = 2  # op K parity (reference :29-30)
     retry_delay_s: float = 60.0
+    # v1 submit-then-wait contract: the reference bounds each export at
+    # 3600 s (``gcloud beta sql operations wait --timeout=3600``,
+    # reference ``dags/cloudsql_to_bigquery.py:117``); here it bounds
+    # one pipeline attempt's wall clock. None disables the bound.
+    timeout_s: float | None = 3600.0
 
     def __post_init__(self) -> None:
         if self.export_query is None:

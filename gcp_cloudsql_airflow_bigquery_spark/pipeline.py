@@ -299,6 +299,47 @@ def finalize(
     return out
 
 
+def _attempt_with_timeout(spark: SparkSession, fn, timeout_s: float | None):
+    """Run one pipeline attempt bounded by wall clock — the Spark
+    analogue of v1's submit-then-wait contract (``gcloud beta sql
+    operations wait --timeout=3600``, reference
+    ``dags/cloudsql_to_bigquery.py:117``).  Spark actions are
+    synchronous, so the bound is enforced by running the attempt in a
+    worker thread under a job group and cancelling the group on
+    expiry; the TimeoutError is an ordinary attempt failure, i.e.
+    retryable, exactly like the reference's timed-out export task."""
+    if not timeout_s:
+        return fn()
+    import threading
+    import uuid
+
+    group = f"pipeline-attempt-{uuid.uuid4().hex[:12]}"
+    box: dict = {}
+
+    def target() -> None:
+        # job-group tagging is thread-local: set it on the thread that
+        # actually triggers the Spark actions
+        spark.sparkContext.setJobGroup(group, "bounded pipeline attempt",
+                                       interruptOnCancel=True)
+        try:
+            box["result"] = fn()
+        except Exception as e:  # noqa: BLE001 — re-raised on the caller
+            box["error"] = e
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(10.0)
+        raise TimeoutError(f"pipeline attempt exceeded {timeout_s} s")
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 def run_pipeline(
     spark: SparkSession,
     spec: PipelineSpec,
@@ -306,16 +347,21 @@ def run_pipeline(
     sink=None,
 ) -> PipelineResult:
     """One table end-to-end with op K's retry envelope."""
+
+    def one_attempt() -> tuple[str, int]:
+        df = transform(extract(spark, spec), spec)
+        out = load(spark, df, spec, warehouse, sink=sink)
+        finalize(spark, spec, warehouse)
+        if sink is not None and spec.write_mode in _MODE_DISPOSITIONS:
+            n = sink.read(spark, spec.stage_table).count()
+        else:
+            n = spark.read.parquet(out).count()
+        return out, n
+
     last_err: Exception | None = None
     for attempt in range(1, spec.retries + 2):
         try:
-            df = transform(extract(spark, spec), spec)
-            out = load(spark, df, spec, warehouse, sink=sink)
-            finalize(spark, spec, warehouse)
-            if sink is not None and spec.write_mode in _MODE_DISPOSITIONS:
-                n = sink.read(spark, spec.stage_table).count()
-            else:
-                n = spark.read.parquet(out).count()
+            out, n = _attempt_with_timeout(spark, one_attempt, spec.timeout_s)
             return PipelineResult(spec, n, attempt, out)
         except Exception as e:  # noqa: BLE001
             last_err = e

@@ -406,3 +406,44 @@ def test_sink_seam_write_empty_and_bad_disposition(spark, sf_dir, warehouse):
         sink.write(df, "region", "WRITE_EMPTY")
     with pytest.raises(ValueError, match="writeDisposition"):
         sink.write(df, "region", "WRITE_NEVER")
+
+
+def test_attempt_timeout_cancels_running_job(spark):
+    # v1 parity: the reference bounds each export at 3600 s (gcloud sql
+    # operations wait --timeout, dags/cloudsql_to_bigquery.py:117); our
+    # analogue cancels the attempt's Spark job group on expiry.
+    import time
+
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
+        _attempt_with_timeout,
+    )
+
+    def slow():
+        spark.range(8).repartition(8).foreachPartition(
+            lambda it: time.sleep(60)
+        )
+
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="exceeded"):
+        _attempt_with_timeout(spark, slow, 2.0)
+    assert time.monotonic() - t0 < 30  # cancelled, not run to completion
+
+
+def test_run_pipeline_timeout_is_retryable(spark, sf_dir, warehouse, monkeypatch):
+    import time
+
+    import gcp_cloudsql_airflow_bigquery_spark.pipeline as P
+
+    real, calls = P.transform, {"n": 0}
+
+    def slow_first(df, spec):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(3)
+        return real(df, spec)
+
+    monkeypatch.setattr(P, "transform", slow_first)
+    spec = _parquet_spec(sf_dir, timeout_s=0.5)
+    r = P.run_pipeline(spark, spec, warehouse)
+    assert r.attempts == 2  # first attempt timed out, second succeeded
+    assert r.rows_written == 150
