@@ -171,6 +171,39 @@ def run_to_memory(
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
 
 
+def run_to_files(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    timeout_s: float = 120.0,
+) -> None:
+    """Drive a stream with availableNow into a file sink with a
+    checkpoint — the production shape of the reference's GCS landing
+    zone (NDJSON chunks per run, ``copy_cloudsql_to_bigquery_v2.py:88``).
+
+    The checkpoint is the exactly-once contract: a restarted query
+    resumes from the last committed offsets, so a crash between
+    micro-batches neither loses nor re-emits rows (asserted in
+    ``tests/test_streaming.py::test_stream_checkpoint_recovery``).  At
+    scale this is what makes the ingest loop safely re-runnable —
+    the batch pipeline gets the same property from overwrite/snapshot
+    idempotence."""
+    q = (
+        stream.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"file-sink stream did not finish in {timeout_s}s")
+
+
 def attribution_join_stream(
     events: DataFrame,
     within: str = "30 minutes",

@@ -218,3 +218,28 @@ def test_streaming_dedup_ingest_replay_idempotent_short_docs(spark, tmp_path):
     run()
     got = spark.read.parquet(target).groupBy("doc_id").count().collect()
     assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 1, 3: 1}
+
+
+def test_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: a file-sink stream stopped after
+    draining phase-1 input and restarted from the SAME checkpoint picks
+    up only the new files — nothing lost, nothing re-emitted."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    part1 = ev.filter(F.col("event_id") % 3 != 0)
+    part2 = ev.filter(F.col("event_id") % 3 == 0)
+
+    part1.coalesce(2).write.mode("overwrite").json(src)
+    streams.run_to_files(streams.read_event_stream(spark, src), out, ckpt)
+    assert spark.read.parquet(out).count() == part1.count()
+
+    # "crash" happened here; new chunks land, query restarts on the
+    # same checkpoint
+    part2.coalesce(1).write.mode("append").json(src)
+    streams.run_to_files(streams.read_event_stream(spark, src), out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # phase-1 files not re-ingested
+    assert got.select("event_id").distinct().count() == ev.count()
