@@ -344,8 +344,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
 }
 
-# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh,
-# embedding_semantic_dedup (k-means not SQL-expressible)
+# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh
+# (engine-specific xxhash64 seeds), embedding_semantic_dedup / knn_ivf
+# (k-means not SQL-expressible), media_* (Python-side feature UDFs),
+# doc_winnow_candidates (xxhash64), event_type_pagerank (tolerance-based
+# early exit makes cross-engine float parity fragile).  knn_int8 IS
+# oracle-checked — quantization is integer-exact across engines.
 ORACLE: dict[str, str] = {
     "doc_dedup_exact": _DEDUP_EXACT_SQL,
     "doc_dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
@@ -699,14 +703,48 @@ ORACLE["embedding_quantized"] = _QUANTIZED_SQL
 
 def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over the int8-quantized corpus (the 4×-compressed storage
-    scan path).  Rows-only: scores are quantization-dependent; recall
-    ≥0.9 vs the exact scan is asserted in tests/test_quality_ops.py."""
+    scan path).  Fully oracle-checkable: symmetric quantization is
+    integer-exact across engines (same ``round(x·127/max|x|)`` in
+    float64 — proven by ``embedding_quantized``'s hash match), so the
+    dequantized cosine ranking reproduces bit-stably in DuckDB; recall
+    ≥0.9 vs the exact scan is additionally asserted in unit tests."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.brute_force_topk_int8(emb, queries, k=10)
 
 
+_KNN_INT8_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qz AS (
+  SELECT vec_id, e,
+         list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx
+  FROM v
+),
+corpus AS (
+  SELECT vec_id AS neighbor_id,
+         CASE WHEN mx = 0 THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(
+                     e, x -> CAST(round(x * 127.0 / mx) AS INT) * (mx / 127.0))
+         END AS d
+  FROM qz
+),
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.e, c.d) /
+               (SQRT(list_dot_product(q.e, q.e)) *
+                SQRT(list_dot_product(c.d, c.d))), 6) AS cosine
+  FROM q JOIN corpus c ON q.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 QUERIES["knn_int8"] = knn_int8
+ORACLE["knn_int8"] = _KNN_INT8_SQL
 
 
 def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
