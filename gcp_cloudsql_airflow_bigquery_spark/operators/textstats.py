@@ -320,6 +320,77 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Corpus-trained unigram-LM score per document — the CCNet-style
+    perplexity-filter primitive (Wenzek et al. 2020, public): mean
+    ``-ln p(term)`` under add-alpha-smoothed unigram probabilities
+    estimated from the corpus itself, plus an ``ntile`` bucket
+    (1 = most typical … n = least).  Production pipelines keep the
+    middle buckets: the head is repetitive boilerplate, the tail is
+    noise/garbled text.
+
+    Scale shape: one explode (rows = tokens), one map-side-combined
+    term-count shuffle, one shuffle join of tokens→term-counts on the
+    near-uniform ``term`` key (NOT broadcast — open vocabulary, same
+    reasoning as :func:`tfidf_top_terms`), one per-doc aggregation.
+    Corpus totals (N, |V|) ride along as a 1-row broadcast.  Nothing
+    leaves the JVM.
+
+    Bucketing never pays a global sort: thresholds are
+    ``percentile_approx`` cut points computed in one extra 1-row
+    aggregate and applied as a broadcast comparison — the 100 TB-safe
+    replacement for a global ``ntile`` window (a single-reducer sort).
+    Exact-rank tiles, when needed for a closed-form oracle, are a
+    downstream ``ntile`` over this function's output."""
+    t = F.trim(F.lower(F.col(text_col)))
+    tok = docs.filter(t != "").select(
+        id_col, F.explode(F.split(t, r"\s+")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("vocab")
+    )
+    scored = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c") + F.lit(alpha))
+                        / (F.col("n_tokens") + F.lit(alpha) * F.col("vocab"))
+                    )
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx(
+            "avg_neg_logprob", F.array(*[F.lit(p) for p in probs]), 10_000
+        ).alias("cuts")
+    )
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + F.when(
+            F.col("avg_neg_logprob") > F.element_at("cuts", i + 1), 1
+        ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn("lm_bucket", bucket)
+        .drop("cuts")
+    )
+
+
 # C0/C1 control characters except \t and \n
 _CTL_RANGE = r"[\x00-\x08\x0B-\x1F\x7F-\x9F]"
 _CTL_RE = None  # compiled lazily inside the UDF workers

@@ -362,6 +362,36 @@ ORACLE: dict[str, str] = {
 }
 
 
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM negative log-probability — the
+    CCNet-style perplexity-filter signal.  The smoothed-LM score is
+    oracle-exact (pure arithmetic over corpus term counts); the
+    percentile bucket column is engine-specific (percentile_approx)
+    and is asserted separately in unit tests."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id", "avg_neg_logprob", "n_tok"
+    )
+
+
+_LM_SCORE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_tokens, COUNT(*) AS vocab FROM freq)
+SELECT doc_id,
+       ROUND(AVG(-ln((c + 0.5) / (n_tokens + 0.5 * vocab))), 6)
+         AS avg_neg_logprob,
+       COUNT(*) AS n_tok
+FROM tok JOIN freq USING (term), tot
+GROUP BY doc_id
+"""
+
+QUERIES["doc_lm_score"] = doc_lm_score
+ORACLE["doc_lm_score"] = _LM_SCORE_SQL
+
+
 def doc_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top TF-IDF term — the canonical keyword-extraction
     pass of a training-data pipeline."""

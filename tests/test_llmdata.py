@@ -327,3 +327,35 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # near-random fixture vectors are IVF's worst case (neighbors spread
     # over many cells); nprobe=4/16 still must beat blind 4/16 sampling
     assert recall >= 0.4, f"ivf recall {recall:.2f}"
+
+
+def test_unigram_logprob_buckets(docs):
+    # CCNet-style LM filter: score is corpus-trained mean -ln p(term);
+    # buckets come from percentile_approx cut points (never a global
+    # ntile sort). Monotonic in score, every bucket populated.
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    out = textstats.unigram_logprob(docs, n_buckets=3)
+    rows = out.orderBy("avg_neg_logprob", "doc_id").collect()
+    assert {r.lm_bucket for r in rows} == {1, 2, 3}
+    # non-decreasing bucket along the score order
+    buckets = [r.lm_bucket for r in rows]
+    assert buckets == sorted(buckets)
+    # scores are finite and positive (-ln of probabilities < 1)
+    assert all(r.avg_neg_logprob > 0 for r in rows)
+
+
+def test_unigram_logprob_rare_terms_score_higher(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="common common rareword otherrare"),
+        ]
+    )
+    got = {
+        r.doc_id: r.avg_neg_logprob
+        for r in textstats.unigram_logprob(df, n_buckets=2).collect()
+    }
+    assert got[2] > got[1]  # rare-term doc is less typical
