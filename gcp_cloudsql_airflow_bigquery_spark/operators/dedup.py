@@ -428,6 +428,139 @@ def materialize_shingle_index(
     return df.sparkSession.table(table)
 
 
+def _bit_masks() -> Column:
+    """64 single-bit long masks as an array literal (``shiftleft`` only
+    takes a Python-int shift, so masks are table-looked-up instead;
+    bit 63 is the sign bit, hence the two's-complement literal)."""
+    return F.array(
+        *[
+            F.lit((1 << b) - ((1 << 64) if b == 63 else 0)).cast("long")
+            for b in range(64)
+        ]
+    )
+
+
+def _bloom_positions(digest: Column, num_hashes: int, num_bits: int) -> Column:
+    """``num_hashes`` deterministic bit positions for a digest: seeded
+    ``xxhash64`` mod ``num_bits``.  JVM expressions only — identical on
+    every executor and every run."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(digest, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def build_digest_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """ONE-row DataFrame ``{words: array<long>}`` — a bloom-filter bitmap
+    over the corpus' content digests, ``num_bits/8`` bytes total.
+
+    Spark's own ``bloom_filter_agg`` is not registered for SQL use, so
+    the bitmap is assembled from built-ins: explode each digest's k bit
+    positions, ``bit_or`` the per-word masks (map-side partial agg makes
+    the shuffle ≤ ``num_bits/64`` rows regardless of corpus size), then
+    pack the sparse (word, bits) set into a dense array via a map
+    lookup over ``sequence``.  The result is a *model*, not data — at
+    the default 1 Mbit it broadcasts as ~128 KB no matter whether the
+    corpus is 1 GB or 100 TB, which is the whole point: the alternative
+    broadcast (the full digest set) grows linearly with the corpus.
+    """
+    n_words = num_bits // 64
+    digests = corpus.select(
+        F.md5(normalize_text(F.col(text_col))).alias("digest")
+    )
+    word_bits = (
+        digests.select(
+            F.explode(
+                _bloom_positions(F.col("digest"), num_hashes, num_bits)
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.element_at(
+                _bit_masks(), (F.col("pos") % 64).cast("int") + 1
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    packed = word_bits.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
+    )
+    return packed.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(
+    words: Column, digest: Column, num_hashes: int = 5, num_bits: int = 1 << 20
+) -> Column:
+    """True iff every one of the digest's k bloom bits is set — i.e.
+    "possibly in the corpus"; False is a *certain* miss."""
+    masks = _bit_masks()
+    return F.forall(
+        _bloom_positions(digest, num_hashes, num_bits),
+        lambda p: (
+            F.element_at(words, (p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (p % 64).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_new_docs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT set of delta rows whose normalized content digest does not
+    appear in ``corpus`` — the nightly-ingest "which of these documents
+    are actually new?" gate, bloom-pruned.
+
+    Two-phase: (1) probe every delta row against the broadcast bloom —
+    rows the bloom misses are *certainly* new and never touch the
+    corpus; (2) only the "possibly seen" candidates pay the anti-join
+    against the corpus digest set, which removes the bloom's false
+    positives, so the output is exact.  At 100 TB the corpus side of
+    phase 2 is a digest-only projection joined by a uniform 128-bit
+    key, and the candidate fraction ≈ true-dup rate + FP rate (~0.6 %
+    at the 1 Mbit/5-hash default for 10⁵ corpus digests) — the join
+    input shrinks by whatever fraction of the delta is genuinely new.
+    (A production deployment materializes the corpus digest projection
+    once per ingest cycle rather than re-deriving it per call; both
+    scans here are single-pass projections.)
+    """
+    bloom = build_digest_bloom(corpus, text_col, num_bits, num_hashes)
+    probed = new_docs.withColumn(
+        "__digest", F.md5(normalize_text(F.col(text_col)))
+    ).crossJoin(F.broadcast(bloom))
+    probed = probed.withColumn(
+        "__maybe",
+        bloom_might_contain(F.col("words"), F.col("__digest"), num_hashes, num_bits),
+    ).drop("words")
+    definite_new = probed.filter(~F.col("__maybe"))
+    candidates = probed.filter(F.col("__maybe"))
+    corpus_digests = corpus.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__digest")
+    )
+    confirmed_new = candidates.join(corpus_digests, "__digest", "left_anti")
+    return definite_new.unionByName(confirmed_new).drop("__digest", "__maybe")
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
     index: DataFrame,

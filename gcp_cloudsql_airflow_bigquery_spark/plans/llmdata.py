@@ -785,3 +785,32 @@ def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_winnow_candidates"] = doc_winnow_candidates
+
+
+def doc_bloom_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest gate: which delta documents (doc_id % 7 == 0) are
+    genuinely new vs the standing corpus (the rest)?  Bloom-pruned but
+    EXACT — the broadcast bitmap short-circuits certain-new rows and an
+    anti-join on the content digest removes the bloom's false
+    positives, so the result hash-matches a plain NOT EXISTS oracle."""
+    d = _docs(spark, sf_dir)
+    delta = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup.bloom_new_docs(delta, corpus).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_BLOOM_INCREMENTAL_SQL = f"""
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 7 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 7 <> 0
+      AND md5({_NORM.replace("text", "c.text")}) = md5({_NORM.replace("text", "d.text")})
+  )
+"""
+
+QUERIES["doc_bloom_incremental_new"] = doc_bloom_incremental_new
+ORACLE["doc_bloom_incremental_new"] = _BLOOM_INCREMENTAL_SQL

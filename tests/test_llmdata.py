@@ -359,3 +359,52 @@ def test_unigram_logprob_rare_terms_score_higher(spark):
         for r in textstats.unigram_logprob(df, n_buckets=2).collect()
     }
     assert got[2] > got[1]  # rare-term doc is less typical
+
+
+def test_bloom_new_docs_exact_and_pruning(spark):
+    """The bloom-pruned incremental gate must (a) equal the plain
+    anti-join result exactly and (b) actually short-circuit genuinely
+    new rows past the corpus join (bloom miss = certain new)."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"corpus doc {i}") for i in range(200)]
+    )
+    delta = spark.createDataFrame(
+        # 5 exact dups of corpus content (normalized), 5 new docs
+        [Row(doc_id=1000 + i, text=f"Corpus  DOC {i}") for i in range(5)]
+        + [Row(doc_id=2000 + i, text=f"fresh doc {i}") for i in range(5)]
+    )
+    got = sorted(r.doc_id for r in dedup.bloom_new_docs(delta, corpus).collect())
+    assert got == [2000, 2001, 2002, 2003, 2004]
+
+    # pruning: with 1 Mbit / 5 hashes over 200 digests, FP rate ~0 —
+    # every fresh row must be a bloom miss (never joins the corpus)
+    bloom = dedup.build_digest_bloom(corpus)
+    probed = (
+        delta.withColumn(
+            "digest",
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            ),
+        )
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            dedup.bloom_might_contain(F.col("words"), F.col("digest")).alias(
+                "maybe"
+            ),
+        )
+    )
+    maybe = {r.doc_id: r.maybe for r in probed.collect()}
+    assert all(maybe[1000 + i] for i in range(5)), "true dups must hit"
+    assert not any(maybe[2000 + i] for i in range(5)), "fresh rows must miss"
+
+
+def test_bloom_bitmap_shape(spark):
+    bloom = dedup.build_digest_bloom(
+        spark.createDataFrame([Row(text="x")]), num_bits=1 << 10
+    ).collect()
+    assert len(bloom) == 1
+    words = bloom[0].words
+    assert len(words) == (1 << 10) // 64
+    # exactly <= 5 bits set for one digest (hash collisions may overlap)
+    assert 1 <= sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 5
