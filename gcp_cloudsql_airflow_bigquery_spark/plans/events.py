@@ -90,6 +90,54 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate parity (the timeseries-DB "hypertable
+    rollup"): minute, hour and day resolutions materialized in ONE
+    fact-table scan via GROUPING SETS, instead of one scan per
+    resolution.  At 100 TB this is the difference between 1× and 3×
+    I/O for the same rollup family; the shuffle carries pre-aggregated
+    (bucket, type) partials, never raw events."""
+    e = _events(spark, sf_dir)
+    b = e.select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "user_id",
+        "value",
+    )
+    gid = F.grouping_id()
+    resolution = (
+        F.when(gid == 3, "day").when(gid == 5, "hour").otherwise("minute")
+    )
+    return (
+        b.groupingSets([["d"], ["h"], ["m"]], "d", "h", "m")
+        .agg(
+            resolution.alias("resolution"),
+            F.coalesce("d", "h", "m").alias("bucket_start"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select("resolution", "bucket_start", "n_events", "n_users", "sum_value")
+    )
+
+
+_MULTIRES_SQL = """
+SELECT CASE GROUPING(d, h, m) WHEN 3 THEN 'day' WHEN 5 THEN 'hour'
+            ELSE 'minute' END AS resolution,
+       COALESCE(d, h, m) AS bucket_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM (SELECT date_trunc('minute', ts) AS m, date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d, user_id, value
+      FROM events)
+GROUP BY GROUPING SETS ((d), (h), (m))
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase conversion funnel: one aggregation
     pass builds each user's first-touch time per stage (conditional MIN
@@ -280,6 +328,7 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
+    "events_multires_rollup": events_multires_rollup,
     "events_session": events_session,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
@@ -291,6 +340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
+    "events_multires_rollup": _MULTIRES_SQL,
     "events_session": _SESSION_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
