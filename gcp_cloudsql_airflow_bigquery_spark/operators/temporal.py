@@ -154,3 +154,58 @@ def interval_point_join(
         iv[c] for c in intervals.columns if c not in by
     ]
     return joined.select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval×interval overlap join (inclusive bounds): one output row
+    per (left, right) pair whose [start, end] ranges intersect,
+    optionally equi-matched on ``by`` first.
+
+    Same bucketed-equi-join shape as :func:`interval_point_join` — both
+    sides explode to the fixed-width buckets they cover and Catalyst
+    runs a plain shuffle join on ``(by, bucket)`` — but pair dedup is
+    free: a pair is emitted ONLY from the bucket containing the overlap
+    start ``greatest(l.start, r.start)``, which every overlapping pair
+    covers exactly once.  No ``distinct`` pass, so the only shuffle is
+    the equi-join itself; at 100 TB shuffle volume stays
+    O(rows × span/width) and the planner never sees a theta join.
+    Bounds must be integral (e.g. epoch micros); output columns =
+    left's ++ right's minus ``by`` duplicates (caller pre-aliases any
+    other collisions)."""
+    by = list(by or [])
+    w = int(bucket_width)
+    lv = left.withColumn(
+        _BUCKET,
+        F.explode(F.expr(f"sequence({left_start} div {w}, {left_end} div {w})")),
+    )
+    rv = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.expr(f"sequence({right_start} div {w}, {right_end} div {w})")
+        ),
+    )
+    cond = [lv[_BUCKET] == rv[_BUCKET]] + [lv[k] == rv[k] for k in by]
+    joined = lv.join(rv, cond, "inner").filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (
+            lv[_BUCKET]
+            == F.floor(
+                F.greatest(F.col(left_start), F.col(right_start)) / F.lit(w)
+            )
+        )
+    )
+    keep = [lv[c] for c in left.columns] + [
+        rv[c] for c in right.columns if c not in by
+    ]
+    return joined.select(*keep)

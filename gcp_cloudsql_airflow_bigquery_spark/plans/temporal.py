@@ -115,12 +115,102 @@ FROM events e JOIN events p
 """
 
 
+_GAP_US = 300_000_000  # 5 min session gap, epoch micros
+_ERRWIN_US = 900_000_000  # ±15 min error blackout
+
+
+def events_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: each user's activity sessions
+    (5-min-gap islands, end padded by the gap like ``events_session``)
+    paired with the same user's ±15 min error-blackout windows, with the
+    overlap duration.  Runs as a bucketed equi-join on
+    ``(user_id, bucket)`` — the planner never sees a theta join, and
+    the overlap-start-bucket emission rule makes pairs exact without a
+    distinct pass (see ``operators/temporal.interval_overlap_join``)."""
+    from pyspark.sql import Window
+
+    from ..operators.temporal import interval_overlap_join
+
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        (prev.isNull() | (F.col("ts_us") - prev >= _GAP_US))
+        .cast("int")
+        .alias("new_s"),
+    ).withColumn("sid", F.sum("new_s").over(run))
+    sessions = marked.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("s_start"),
+        (F.max("ts_us") + _GAP_US).alias("s_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts_us") - _ERRWIN_US).alias("b_start"),
+        (F.col("ts_us") + _ERRWIN_US).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        sessions.drop("sid"),
+        errors,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="b_start",
+        right_end="b_end",
+        by=["user_id"],
+        bucket_width=2 * _ERRWIN_US,
+    )
+    return pairs.select(
+        "user_id",
+        "s_start",
+        "error_id",
+        (
+            F.least("s_end", "b_end") - F.greatest("s_start", "b_start")
+        ).alias("overlap_us"),
+    )
+
+
+_SESSION_OVERLAP_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= {_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), s AS (
+  SELECT user_id, MIN(ts_us) AS s_start, MAX(ts_us) + {_GAP_US} AS s_end
+  FROM g GROUP BY user_id, sid
+), e AS (
+  SELECT event_id AS error_id, user_id,
+         epoch_us(ts) - {_ERRWIN_US} AS b_start,
+         epoch_us(ts) + {_ERRWIN_US} AS b_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.s_start, e.error_id,
+       LEAST(s.s_end, e.b_end) - GREATEST(s.s_start, e.b_start) AS overlap_us
+FROM s JOIN e ON s.user_id = e.user_id
+             AND s.s_start <= e.b_end AND e.b_start <= s.s_end
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_purchase": events_asof_purchase,
     "events_error_blackout": events_error_blackout,
+    "events_session_error_overlap": events_session_error_overlap,
 }
 
 ORACLE: dict[str, str] = {
     "events_asof_purchase": _ASOF_SQL,
     "events_error_blackout": _BLACKOUT_SQL,
+    "events_session_error_overlap": _SESSION_OVERLAP_SQL,
 }

@@ -190,3 +190,53 @@ def test_interval_join_matches_naive(spark, case, width):
         if pk == ik and lo <= t <= hi
     }
     assert got == want
+
+
+@st.composite
+def _overlap_case(draw):
+    keys = st.integers(0, 2)
+    mk = st.lists(
+        st.tuples(keys, st.integers(0, 100), st.integers(0, 40)), max_size=12
+    )
+    left = [(k, lo, lo + w) for k, lo, w in draw(mk)]
+    right = [(k, lo, lo + w) for k, lo, w in draw(mk)]
+    return left, right
+
+
+@settings(max_examples=10, deadline=None)
+@given(_overlap_case(), st.sampled_from([7, 25, 60]))
+def test_overlap_join_matches_naive(spark, case, width):
+    """Bucketed overlap join == naive O(n*m) overlap predicate, with
+    exactly one emission per pair (the overlap-start-bucket rule)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(left_rows)],
+        "k int, ls long, le long, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(right_rows)],
+        "k int, rs long, re long, rid int",
+    )
+    rows = interval_overlap_join(
+        left,
+        right,
+        left_start="ls",
+        left_end="le",
+        right_start="rs",
+        right_end="re",
+        by=["k"],
+        bucket_width=width,
+    ).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    want = {
+        (i, j)
+        for i, (lk, ls, le) in enumerate(left_rows)
+        for j, (rk, rs, re) in enumerate(right_rows)
+        if lk == rk and ls <= re and rs <= le
+    }
+    assert set(got) == want
+    assert len(got) == len(want), "pair emitted more than once"
