@@ -209,3 +209,108 @@ def interval_overlap_join(
         rv[c] for c in right.columns if c not in by
     ]
     return joined.select(*keep)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | str,
+) -> DataFrame:
+    """Per-key time-weighted average over irregularly-sampled values
+    (the timeseries-DB ``time_weight('locf')`` aggregate): each sample
+    holds until the next one, so its weight is the gap to its
+    successor; the last sample carries no weight.  Keys whose samples
+    span zero time are dropped (the weighting is undefined).  Samples
+    must be unique per ``(by, ts)`` — with duplicate timestamps the
+    zero-width gaps make the weighting order-dependent; pre-aggregate
+    duplicates first (same contract as :func:`asof_join`).
+
+    One window pass + one aggregation — both shuffle on ``by`` only,
+    the same single-exchange shape as any grouped aggregate.  The
+    weighted sum accumulates in DECIMAL so the result is
+    order-independent and engine-exact (double summation would make
+    the oracle hash flap with partitioning)."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w)
+    weighted = df.select(
+        *by,
+        F.col(ts_col),
+        (
+            F.col(value_col).cast("decimal(18,6)")
+            * (nxt - F.col(ts_col)).cast("decimal(18,0)")
+        ).alias("_wv"),
+    )
+    return (
+        weighted.groupBy(*by)
+        .agg(
+            F.min(ts_col).alias("_t0"),
+            F.max(ts_col).alias("_t1"),
+            F.sum("_wv").alias("_sum"),
+        )
+        .filter(F.col("_t1") > F.col("_t0"))
+        .select(
+            *by,
+            # cast the EXACT decimal sum to double before dividing —
+            # decimal division picks engine-specific result scales and
+            # rounds there, which would flap the 6th decimal vs DuckDB
+            F.round(
+                F.col("_sum").cast("double")
+                / (F.col("_t1") - F.col("_t0")).cast("double"),
+                6,
+            ).alias("twa"),
+            (F.col("_t1") - F.col("_t0")).alias("span"),
+        )
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | str,
+    step: int,
+) -> DataFrame:
+    """Regularize an irregular series: per key, emit one row per
+    ``step``-aligned grid point between the key's first and last sample
+    with the value carried forward from the latest sample at-or-before
+    it (LOCF — the timeseries-DB gap-fill/interpolate surface).
+
+    Grid points are generated from per-key bounds (an aggregate, not a
+    calendar cross-join, so empty keys cost nothing and the row count
+    is span/step per key), then filled with ONE window pass over the
+    union of samples and grid markers — ``last(value, ignoreNulls)``
+    ordered by (ts, marker-after-sample) — instead of an as-of join of
+    grid×samples.  Shuffles: one on ``by`` for the bounds, one on
+    ``by`` for the fill window.  The grid starts at the first aligned
+    point ≥ the key's first sample, so every emitted row is filled."""
+    by = [by] if isinstance(by, str) else list(by)
+    bounds = df.groupBy(*by).agg(
+        F.expr(f"(min({ts_col}) + {step} - 1) div {step}").alias("_lo"),
+        F.expr(f"max({ts_col}) div {step}").alias("_hi"),
+    )
+    grid = (
+        bounds.filter(F.col("_lo") <= F.col("_hi"))
+        .select(*by, F.explode(F.expr("sequence(_lo, _hi)")).alias("_g"))
+        .select(
+            *by,
+            (F.col("_g") * step).alias(ts_col),
+            F.lit(None).cast(df.schema[value_col].dataType).alias(value_col),
+            F.lit(1).alias("_marker"),
+        )
+    )
+    samples = df.select(*by, ts_col, value_col, F.lit(0).alias("_marker"))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col, "_marker")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = samples.unionByName(grid).withColumn(
+        "_fill", F.last(value_col, ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_marker") == 1).select(
+        *by, F.col(ts_col), F.col("_fill").alias(value_col)
+    )

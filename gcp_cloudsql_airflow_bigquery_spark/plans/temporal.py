@@ -203,14 +203,92 @@ FROM s JOIN e ON s.user_id = e.user_id
 """
 
 
+_GRID_US = 21_600_000_000  # 6 h gap-fill grid
+
+
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean of ``value`` (each sample holds until
+    the next — timeseries ``time_weight('locf')`` parity).  Events are
+    pre-aggregated to unique (user, ts) so the weighting is
+    deterministic."""
+    from ..operators.temporal import time_weighted_avg
+
+    ev = (
+        _events_us(spark, sf_dir)
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    return time_weighted_avg(ev, ts_col="ts_us", value_col="value", by="user_id")
+
+
+_TWA_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS value
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT user_id, ts_us,
+         CAST(value AS DECIMAL(18,6)) *
+         (LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) - ts_us) AS wv
+  FROM u
+)
+SELECT user_id,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / (MAX(ts_us) - MIN(ts_us)), 6) AS twa,
+       MAX(ts_us) - MIN(ts_us) AS span
+FROM g GROUP BY user_id
+HAVING MAX(ts_us) > MIN(ts_us)
+"""
+
+
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour-grid LOCF gap fill of ``value`` — the
+    regularize-an-irregular-series surface (timeseries-DB
+    gapfill/interpolate).  Unique (user, ts) pre-aggregation keeps the
+    carried value deterministic."""
+    from ..operators.temporal import gap_fill_locf
+
+    ev = (
+        _events_us(spark, sf_dir)
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    return gap_fill_locf(
+        ev, ts_col="ts_us", value_col="value", by="user_id", step=_GRID_US
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id,
+         (MIN(ts_us) + {_GRID_US} - 1) // {_GRID_US} AS lo,
+         MAX(ts_us) // {_GRID_US} AS hi
+  FROM u GROUP BY user_id
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi)) * {_GRID_US} AS ts_us
+  FROM b WHERE lo <= hi
+)
+SELECT g.user_id, g.ts_us,
+       (SELECT u.value FROM u
+        WHERE u.user_id = g.user_id AND u.ts_us <= g.ts_us
+        ORDER BY u.ts_us DESC LIMIT 1) AS value
+FROM grid g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_purchase": events_asof_purchase,
     "events_error_blackout": events_error_blackout,
     "events_session_error_overlap": events_session_error_overlap,
+    "events_time_weighted_value": events_time_weighted_value,
+    "events_gap_fill_locf": events_gap_fill_locf,
 }
 
 ORACLE: dict[str, str] = {
     "events_asof_purchase": _ASOF_SQL,
     "events_error_blackout": _BLACKOUT_SQL,
     "events_session_error_overlap": _SESSION_OVERLAP_SQL,
+    "events_time_weighted_value": _TWA_SQL,
+    "events_gap_fill_locf": _GAP_FILL_SQL,
 }

@@ -240,3 +240,46 @@ def test_overlap_join_matches_naive(spark, case, width):
     }
     assert set(got) == want
     assert len(got) == len(want), "pair emitted more than once"
+
+
+def test_time_weighted_avg_holds_until_next(spark):
+    """v=10 for 3 ticks then v=40 for 1 tick → TWA (10*3+40*1)/4 = 17.5;
+    the last sample (v=99) carries no weight; single-sample keys drop."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 3, 40.0), (1, 4, 99.0), (2, 7, 5.0)],
+        "k int, t long, v double",
+    )
+    rows = {
+        r.k: (r.twa, r.span)
+        for r in time_weighted_avg(df, ts_col="t", value_col="v", by="k").collect()
+    }
+    assert rows == {1: (17.5, 4)}
+
+
+def test_gap_fill_locf_grid_and_carry(spark):
+    """Grid starts at the first aligned point >= first sample; value is
+    the latest sample at-or-before each grid point (exact-hit wins)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        gap_fill_locf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 20, 2.0), (1, 37, 3.0), (2, 10, 7.0)],
+        "k int, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in gap_fill_locf(
+            df, ts_col="t", value_col="v", by="k", step=10
+        ).collect()
+    }
+    assert got == {
+        (1, 10): 1.0,  # carried from t=5
+        (1, 20): 2.0,  # exact hit
+        (1, 30): 2.0,  # carried from t=20
+        (2, 10): 7.0,  # exact hit at the only grid point
+    }
