@@ -138,6 +138,47 @@ GROUP BY GROUPING SETS ((d), (h), (m))
 """
 
 
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC rollup of ``value`` per event type — open/close via
+    ``min_by``/``max_by`` on the event timestamp (tie-broken by
+    event_id so both engines pick the same row), high/low plain
+    min/max.  One scan, one shuffle on the (bucket, type) key."""
+    e = _events(spark, sf_dir)
+    # millis + event_id as a single orderable tie-break key (micros ×
+    # 10⁶ would overflow int64): events sharing a millisecond resolve
+    # to the lowest event_id deterministically in both engines
+    ord_key = F.unix_millis(F.col("ts").cast("timestamp")) * 1_000_000 + F.col(
+        "event_id"
+    )
+    return (
+        e.select(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.round(F.min_by("value", "ord"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ord"), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_OHLC_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id), 6) AS close,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase conversion funnel: one aggregation
     pass builds each user's first-touch time per stage (conditional MIN
@@ -329,6 +370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_multires_rollup": events_multires_rollup,
+    "events_ohlc_hourly": events_ohlc_hourly,
     "events_session": events_session,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
@@ -341,6 +383,7 @@ ORACLE: dict[str, str] = {
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_multires_rollup": _MULTIRES_SQL,
+    "events_ohlc_hourly": _OHLC_SQL,
     "events_session": _SESSION_SQL,
     "events_funnel": _FUNNEL_SQL,
     "events_cohort_retention": _COHORT_SQL,
