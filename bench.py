@@ -56,6 +56,11 @@ HEADLINE = [
     ("large_volume_orders", advanced.QUERIES),  # Q18 shape
     ("lone_late_supplier", advanced.QUERIES),  # Q21 shape
     ("doc_dup_clusters", llmdata.QUERIES),
+    # r4 additions: the new timeseries/dedup surfaces, so their cost at
+    # sf0.1 is tracked from the round they landed
+    ("events_multires_rollup", events.QUERIES),
+    ("events_session_error_overlap", temporal.QUERIES),
+    ("doc_bloom_incremental_new", llmdata.QUERIES),
 ]
 
 

@@ -134,3 +134,44 @@ def test_tfidf_vocab_not_hint_broadcast_by_default(spark, sf_dir):
 
     assert n_hints(tfidf_top_terms(docs)) == 1  # just the 1-row n_docs
     assert n_hints(tfidf_top_terms(docs, broadcast_vocab=True)) == 2
+
+
+def test_multires_rollup_single_scan(spark, sf_dir):
+    """GROUPING SETS must materialize all three resolutions from ONE
+    events scan (the 1×-vs-3× I/O claim in SCALE.md) with a single
+    aggregation exchange over the expanded buckets."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import events
+
+    df = events.QUERIES["events_multires_rollup"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1, p
+    assert "Expand" in p, p
+
+
+def test_overlap_join_no_theta_join(spark, sf_dir):
+    """The interval-overlap join must plan as an equi-join on
+    (user, bucket) — never a BroadcastNestedLoopJoin/CartesianProduct —
+    and need no distinct exchange for pair dedup."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import temporal
+
+    df = temporal.QUERIES["events_session_error_overlap"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate(keys=[user_id" not in p.split("Join")[0], (
+        "no distinct pass should follow the join"
+    )
+
+
+def test_bloom_new_docs_broadcasts_bitmap_not_corpus(spark, sf_dir):
+    """The bloom probe must broadcast the one-row bitmap; the corpus
+    digest side of the verify join must NOT be hint-broadcast (it grows
+    with the corpus — the bitmap is the only corpus-size-free summary)."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata
+
+    df = llmdata.QUERIES["doc_bloom_incremental_new"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # bitmap probe: nested-loop broadcast of a single row is expected
+    assert "BroadcastNestedLoopJoin" in p, p
+    # gap-fill/verify side: anti join present on the digest key
+    assert "LeftAnti" in p, p
