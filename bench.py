@@ -102,7 +102,35 @@ def scale_probe(spark, sf_dir: str) -> dict:
     df.write.format("noop").mode("overwrite").save()
     dt = _t.perf_counter() - t0
     plan = df._jdf.queryExecution().executedPlan().toString()
+
+    # bloom-dedup prune ratio: fraction of the delta the bitmap lets
+    # skip the corpus join entirely (certain-new).  At 100 TB this is
+    # the fraction of ingest rows that never pay a shuffle.
+    from gcp_cloudsql_airflow_bigquery_spark.operators import dedup
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bloom = dedup.build_digest_bloom(corpus)
+    probed = (
+        delta.withColumn("d", F.md5(normalize_text(F.col("text"))))
+        .crossJoin(F.broadcast(bloom))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                dedup.bloom_might_contain(F.col("words"), F.col("d")).cast("long")
+            ).alias("maybe"),
+        )
+        .first()
+    )
+    bloom_pruned_frac = round(1.0 - probed["maybe"] / max(probed["n"], 1), 4)
+
     return {
+        "bloom_delta_rows": int(probed["n"]),
+        "bloom_pruned_frac": bloom_pruned_frac,
         "events_rows": n_events,
         "session_keys": int(ks["keys"]),
         "key_skew": round(float(ks["mx"]) / max(float(ks["mean"]), 1e-9), 2),

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.temporal import asof_join, interval_point_join
 
-_BLACKOUT_US = 1_000 * 1_800_000_000  # ±30 min in epoch micros
+_BLACKOUT_US = 1_800_000_000  # ±30 min in epoch micros
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
