@@ -128,9 +128,26 @@ def scale_probe(spark, sf_dir: str) -> dict:
     )
     bloom_pruned_frac = round(1.0 - probed["maybe"] / max(probed["n"], 1), 4)
 
+    # 10× self-scaling probe: union ten user-id-shifted copies of the
+    # events frame and sessionize — rows/sec holding near the 1× figure
+    # is direct evidence the plan scales with data, not with luck.
+    from gcp_cloudsql_airflow_bigquery_spark.streaming import windows as swin
+
+    tenx = ev
+    for i in range(1, 10):
+        tenx = tenx.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        )
+    t1 = _t.perf_counter()
+    swin.session_stats(tenx, "5 minutes").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt10 = _t.perf_counter() - t1
+
     return {
         "bloom_delta_rows": int(probed["n"]),
         "bloom_pruned_frac": bloom_pruned_frac,
+        "session_rows_per_sec_10x": int(10 * n_events / dt10) if dt10 > 0 else -1,
         "events_rows": n_events,
         "session_keys": int(ks["keys"]),
         "key_skew": round(float(ks["mx"]) / max(float(ks["mean"]), 1e-9), 2),
