@@ -1243,3 +1243,28 @@ SELECT * FROM j WHERE change_type IS NOT NULL
 
 QUERIES["snapshot_cdc_diff"] = snapshot_cdc_diff
 ORACLE["snapshot_cdc_diff"] = _SNAPSHOT_CDC_SQL
+
+
+def customer_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    edit distance 1, via deletion-neighborhood blocking
+    (``operators/fuzzy.fuzzy_name_pairs`` — equi-join on hashed
+    1-deletion variants + exact levenshtein refine; the oracle is the
+    naive O(n²) levenshtein join, so blocking recall is hash-checked,
+    not assumed)."""
+    from ..operators.fuzzy import fuzzy_name_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_name_pairs(c, "c_custkey", "c_name")
+
+
+_FUZZY_NAME_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+QUERIES["customer_name_neardup"] = customer_name_neardup
+ORACLE["customer_name_neardup"] = _FUZZY_NAME_SQL

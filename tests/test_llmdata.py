@@ -408,3 +408,38 @@ def test_bloom_bitmap_shape(spark):
     assert len(words) == (1 << 10) // 64
     # exactly <= 5 bits set for one digest (hash collisions may overlap)
     assert 1 <= sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) <= 5
+
+
+def test_fuzzy_name_pairs_edit_kinds(spark):
+    """Deletion blocking must recover every edit kind at k=1 —
+    substitution, insertion, deletion, equality — and reject k=2; the
+    plan must stay an equi-join (no nested-loop cross product)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.fuzzy import (
+        fuzzy_name_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith"),
+            (2, "smyth"),   # substitution of 1
+            (3, "smiths"),  # insertion vs 1
+            (4, "mith"),    # deletion vs 1
+            (5, "smith"),   # equal to 1
+            (6, "smythe"),  # distance 2 from smith, 1 from smyth
+        ],
+        "k int, n string",
+    )
+    got = {
+        (r.key_a, r.key_b): r.distance
+        for r in fuzzy_name_pairs(df, "k", "n").collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 0 and got[(2, 6)] == 1
+    assert (1, 6) not in got, "distance-2 pair must not match"
+    p = (
+        fuzzy_name_pairs(df, "k", "n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
