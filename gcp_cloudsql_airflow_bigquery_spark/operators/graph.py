@@ -142,3 +142,51 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Global triangle count of an undirected graph, 1-row output.
+
+    Classic degree-ordered orientation: every undirected edge is
+    directed from its lower-degree endpoint to the higher (ties broken
+    by id), which caps each vertex's out-degree at O(sqrt(|E|)) — the
+    wedge join (out-neighbors × out-neighbors) then enumerates each
+    triangle exactly once and never fans out on a skewed hub vertex.
+    Two shuffles: the wedge self-join on the pivot vertex and the
+    closing-edge semi join.  A naive undirected 3-way join counts each
+    triangle 6 times and squares on hub degrees — the orientation is
+    what survives a power-law graph at scale."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): lower-rank endpoint -> higher
+    with_deg = (
+        und.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1 = oriented.select(F.col("s").alias("p"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s").alias("p"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    ).distinct()
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    return tris.agg(F.count("*").alias("n_triangles"))

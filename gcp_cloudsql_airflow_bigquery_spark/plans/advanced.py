@@ -1268,3 +1268,41 @@ FROM customer a JOIN customer b
 
 QUERIES["customer_name_neardup"] = customer_name_neardup
 ORACLE["customer_name_neardup"] = _FUZZY_NAME_SQL
+
+
+def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #3 (with connected components + PageRank):
+    triangle count of the part co-occurrence graph (parts ordered
+    together in one order = an edge).  Runs the degree-ordered
+    orientation algorithm (``operators/graph.triangle_count``) whose
+    wedge join is hub-skew-proof; the oracle is the direct 3-way SQL
+    join, so the orientation trick is hash-verified against the naive
+    definition."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+QUERIES["part_cooccurrence_triangles"] = part_cooccurrence_triangles
+ORACLE["part_cooccurrence_triangles"] = _TRIANGLES_SQL

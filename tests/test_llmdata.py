@@ -443,3 +443,22 @@ def test_fuzzy_name_pairs_edit_kinds(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing; a
+    4-cycle without diagonals has none. Duplicate/reversed input edges
+    must not double-count."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9)] + [(j, i) for i, j in k4], "a long, b long"
+    )
+    assert triangle_count(edges).collect()[0].n_triangles == 4
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
+    )
+    assert triangle_count(square).collect()[0].n_triangles == 0
