@@ -643,3 +643,74 @@ def incremental_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", "jaccard")
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-passage extraction — the exact-substring half of
+    the classic training-data dedup recipe (suffix-array ExactSubstr),
+    re-expressed relationally so it distributes: a passage is a maximal
+    run of word ``k``-grams each of which occurs in at least
+    ``min_docs`` distinct documents.
+
+    Output: one row per (document, maximal span) with 1-based word
+    offsets ``span_start``/``span_end`` (inclusive) and the number of
+    shared ``k``-grams the span merges.  Positions index the document's
+    raw whitespace tokens, so a downstream pass can cut the span out
+    losslessly.
+
+    Scale shape:
+    - every k-gram is carried as a 64-bit ``xxhash64`` from the moment
+      of creation — the corpus-wide shuffle moves 8-byte longs, never
+      the gram text (exact up to 64-bit collisions, ~m^2/2^64);
+    - the shared-gram filter is one hash aggregation on the gram hash
+      (partial aggregation map-side; natural-language k-grams with
+      k >= 5 have no hot key worth salting);
+    - the candidate join keys on the same hash, so AQE can broadcast
+      the (small) shared-gram side when duplication is rare;
+    - the island merge (gaps-and-islands via ``pos - row_number``)
+      shuffles once on ``id_col`` — the partitioning a per-document
+      redaction step downstream would reuse.
+    """
+    from pyspark.sql import Window
+
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("ws"), i, k))
+                    ),
+                )
+            ).alias("pos0", "gh"),
+        )
+        .select(id_col, (F.col("pos0") + F.lit(1)).cast("long").alias("pos"), "gh")
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dup = grams.join(shared, "gh").drop("gh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("grp")
+    )

@@ -1,0 +1,70 @@
+"""Exact heavy-hitter mining via two-pass candidate generation.
+
+The reference's analytics surface answers "which keys dominate the
+table" with a full GROUP BY (delegated SQL, reference
+``dags/cloudsql_to_bigquery.py:70`` ``stage_final_query``).  That is
+fine when the key cardinality fits a shuffle; at 100 TB with a
+billion-key column the full aggregate materializes a billion groups to
+discard all but a handful.  This operator keeps the *exact* semantics
+while bounding the shuffle to the answer size:
+
+Pass 1 — candidate generation.  ``DataFrame.stat.freqItems`` runs the
+Karp/Shenker/Papadimitriou one-pass frequent-items algorithm per
+partition and merges the bounded summaries JVM-side (no shuffle of the
+data; the merged summary is at most ``1/support`` entries — model-sized,
+so collecting it to the driver is legitimate).  Its guarantee: every key
+with frequency > support*n is in the output (a superset; false
+positives possible, false negatives not).
+
+Pass 2 — exact verification.  Re-scan with an ``isin`` filter on the
+candidate set (pushed into the parquet scan as an IN filter) and count
+exactly.  The groupBy now shuffles only rows belonging to at most
+``1/support`` keys.  Keys failing the real threshold are dropped, so the
+result is exactly the keys with count > min_frac*n — bit-identical to
+the naive full GROUP BY ... HAVING, which is what the oracle runs.
+
+``support`` is set to ``min_frac/2`` so the pass-1 guarantee strictly
+covers the pass-2 threshold even at the boundary (freqItems promises
+only *strictly greater than* support*n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# freqItems' documented floor for the support parameter.
+_MIN_SUPPORT = 1e-4
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_frac: float,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Exactly the keys occurring in strictly more than ``min_frac`` of
+    the rows, with their exact counts.
+
+    Equivalent SQL (the oracle):
+    ``SELECT key, COUNT(*) FROM t GROUP BY key
+    HAVING COUNT(*) > min_frac * (SELECT COUNT(*) FROM t)``.
+    """
+    if not 0.0 < min_frac < 1.0:
+        raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
+    support = max(min_frac / 2.0, _MIN_SUPPORT)
+    # Pass 1: bounded one-pass summary, superset of the true answer.
+    # The returned frame is a single row holding one array — collecting
+    # it moves <= 1/support keys, never data.
+    [candidates] = (
+        df.select(key_col).stat.freqItems([key_col], support).first()
+    )
+    # count(*) on parquet resolves from footer metadata — no data scan.
+    total = df.count()
+    threshold = min_frac * total
+    return (
+        df.filter(F.col(key_col).isin(list(candidates)))
+        .groupBy(key_col)
+        .agg(F.count("*").alias(count_alias))
+        .filter(F.col(count_alias) > threshold)
+    )

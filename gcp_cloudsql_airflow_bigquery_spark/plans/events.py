@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import graph
+from ..operators import frequency, graph
 from ..streaming import windows
 
 
@@ -366,6 +366,27 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"))
 
 
+def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users generating > 0.75% of all events — exact answer via the
+    two-pass freqItems-candidates + verify plan
+    (``operators/frequency.heavy_hitters``), which bounds the shuffle to
+    the candidate keys instead of materializing every user group.
+    Materializes the per-user rollup the reference delegates to BigQuery
+    SQL (reference ``dags/cloudsql_to_bigquery.py:70``)."""
+    ev = _events(spark, sf_dir)
+    return frequency.heavy_hitters(
+        ev, "user_id", min_frac=0.0075, count_alias="n_events"
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > 0.0075 * (SELECT COUNT(*) FROM events)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
@@ -377,9 +398,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_matrix": events_transition_matrix,
     "events_variant_props": events_variant_props,
     "event_type_pagerank": event_type_pagerank,
+    "event_heavy_hitters": event_heavy_hitters,
 }
 
 ORACLE: dict[str, str] = {
+    "event_heavy_hitters": _HEAVY_HITTERS_SQL,
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_multires_rollup": _MULTIRES_SQL,

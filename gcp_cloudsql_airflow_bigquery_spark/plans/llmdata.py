@@ -814,3 +814,42 @@ WHERE d.doc_id % 7 = 0
 
 QUERIES["doc_bloom_incremental_new"] = doc_bloom_incremental_new
 ORACLE["doc_bloom_incremental_new"] = _BLOOM_INCREMENTAL_SQL
+
+
+def doc_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage spans: maximal runs of word 5-grams each
+    shared by >= 2 documents (``operators/dedup.duplicate_passages``).
+    The distributable form of suffix-array exact-substring dedup; spans
+    are 1-based offsets into the raw whitespace tokens so a downstream
+    cut is lossless.  The oracle replays the identical gram + island
+    construction on the gram *text*; Spark carries only xxhash64 of the
+    grams, so agreement also certifies the hash path."""
+    return dedup.duplicate_passages(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
+_DUP_PASSAGES_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS p
+  FROM ws WHERE len(w) >= 5
+),
+grams AS (
+  SELECT doc_id, p, array_to_string(w[p:p+4], ' ') AS gram FROM pos
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT g.doc_id, g.p,
+         g.p - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS grp
+  FROM grams g JOIN shared s USING (gram)
+)
+SELECT doc_id, MIN(p) AS span_start, MAX(p) + 4 AS span_end,
+       COUNT(*) AS n_grams
+FROM dup GROUP BY doc_id, grp
+"""
+
+QUERIES["doc_duplicate_passages"] = doc_duplicate_passages
+ORACLE["doc_duplicate_passages"] = _DUP_PASSAGES_SQL

@@ -462,3 +462,51 @@ def test_triangle_count_known_graphs(spark):
         [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
     )
     assert triangle_count(square).collect()[0].n_triangles == 0
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """Two-pass candidates+verify must equal the naive full groupBy
+    HAVING on a skewed frame, with strict-> at the boundary: key 'b'
+    lands exactly on min_frac*n and must be excluded."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.frequency import (
+        heavy_hitters,
+    )
+
+    # 100 rows: a=60, b=20, rest 20 distinct singletons; min_frac=0.2
+    rows = [("a",)] * 60 + [("b",)] * 20 + [(f"x{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r.n_rows for r in heavy_hitters(df, "k", 0.2).collect()}
+    naive = {
+        r.k: r.n
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0.2 * 100)
+        .collect()
+    }
+    assert got == naive == {"a": 60}
+
+
+def test_duplicate_passages_planted_span(spark):
+    """A 6-word passage planted in two docs yields one maximal span per
+    doc at the right 1-based word offsets (6 words -> 2 five-grams),
+    and a doc sharing nothing is absent."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.dedup import (
+        duplicate_passages,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} zeta eta theta iota kappa"),
+        (3, "totally unrelated words only here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_passages(df, k=5).collect()
+    }
+    # doc 1: shared starts at word 3 -> grams at pos 3,4 -> span [3, 8]
+    # doc 2: shared starts at word 1 -> grams at pos 1,2 -> span [1, 6]
+    assert out == {1: (3, 8, 2), 2: (1, 6, 2)}
