@@ -61,6 +61,9 @@ HEADLINE = [
     ("events_multires_rollup", events.QUERIES),
     ("events_session_error_overlap", temporal.QUERIES),
     ("doc_bloom_incremental_new", llmdata.QUERIES),
+    ("event_heavy_hitters", events.QUERIES),
+    ("doc_duplicate_passages", llmdata.QUERIES),
+    ("doc_passage_redacted", llmdata.QUERIES),
 ]
 
 

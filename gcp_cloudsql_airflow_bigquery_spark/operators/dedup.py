@@ -714,3 +714,63 @@ def duplicate_passages(
         )
         .drop("grp")
     )
+
+
+def redact_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut every duplicated passage (``duplicate_passages`` span) out of
+    every document — the apply step of exact-substring dedup.  Returns
+    one row per input document: ``clean_text`` (the surviving tokens,
+    single-space joined; empty string if the whole document was
+    duplicated) and ``n_removed`` (tokens cut).
+
+    Scale shape: the span table is tiny relative to the corpus (one row
+    per maximal duplicate run), so the word-level anti-join is an equi
+    join on ``id_col`` with the range predicate evaluated as a join
+    residual — no cartesian anywhere — and the groupBy that rebuilds the
+    text reuses the same ``id_col`` hash partitioning.  ``collect_list``
+    is per-document (document-sized, not corpus-sized)."""
+    spans = duplicate_passages(df, text_col, id_col, k, min_docs).select(
+        F.col(id_col).alias("_sdoc"),
+        "span_start",
+        "span_end",
+    )
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = df.select(F.col(id_col), F.posexplode(ws).alias("pos0", "word")).select(
+        id_col, (F.col("pos0") + F.lit(1)).cast("long").alias("p"), "word"
+    )
+    kept = words.join(
+        spans,
+        on=(
+            (words[id_col] == spans["_sdoc"])
+            & (words["p"] >= spans["span_start"])
+            & (words["p"] <= spans["span_end"])
+        ),
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(ws).alias("n_words"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

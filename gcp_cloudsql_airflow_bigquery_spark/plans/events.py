@@ -367,15 +367,26 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users generating > 0.75% of all events — exact answer via the
-    two-pass freqItems-candidates + verify plan
+    """Users generating > 1.12x the mean events-per-user — exact answer
+    via the two-pass freqItems-candidates + verify plan
     (``operators/frequency.heavy_hitters``), which bounds the shuffle to
     the candidate keys instead of materializing every user group.
     Materializes the per-user rollup the reference delegates to BigQuery
-    SQL (reference ``dags/cloudsql_to_bigquery.py:70``)."""
+    SQL (reference ``dags/cloudsql_to_bigquery.py:70``).
+
+    The 1.12x-of-mean threshold is scale-free (the fixtures' user count
+    grows with SF, so a fixed fraction-of-total goes empty at sf0.1);
+    the distinct-user count that converts it to the operator's
+    fraction-of-total contract is one partial-agg scan.  The multiplier
+    deliberately avoids integer boundaries of the count distribution so
+    Spark's ``(1.12/users)*total`` and the oracle's
+    ``1.12*(total/users)`` cannot disagree at a boundary ulp.  At a
+    true 100-TB deployment you would pass an absolute ``min_frac``
+    instead — candidate-set size is 1/support and must stay bounded."""
     ev = _events(spark, sf_dir)
+    n_users = ev.select("user_id").distinct().count()
     return frequency.heavy_hitters(
-        ev, "user_id", min_frac=0.0075, count_alias="n_events"
+        ev, "user_id", min_frac=1.12 / n_users, count_alias="n_events"
     )
 
 
@@ -383,7 +394,9 @@ _HEAVY_HITTERS_SQL = """
 SELECT user_id, COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
-HAVING COUNT(*) > 0.0075 * (SELECT COUNT(*) FROM events)
+HAVING COUNT(*) > 1.12 * (
+  (SELECT COUNT(*) FROM events)
+  / (SELECT COUNT(DISTINCT user_id) FROM events))
 """
 
 

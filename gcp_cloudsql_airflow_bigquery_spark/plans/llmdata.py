@@ -853,3 +853,56 @@ FROM dup GROUP BY doc_id, grp
 
 QUERIES["doc_duplicate_passages"] = doc_duplicate_passages
 ORACLE["doc_duplicate_passages"] = _DUP_PASSAGES_SQL
+
+
+def doc_passage_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of exact-substring dedup: every duplicated-passage
+    span cut from every document (``operators/dedup.redact_passages``),
+    with the surviving token stream re-joined.  Fully-duplicated docs
+    come back as empty strings rather than vanishing, so the output is
+    1:1 with the corpus."""
+    return dedup.redact_passages(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
+_PASSAGE_REDACT_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS p
+  FROM ws WHERE len(w) >= 5
+),
+grams AS (
+  SELECT doc_id, p, array_to_string(w[p:p+4], ' ') AS gram FROM pos
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT g.doc_id, g.p,
+         g.p - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS grp
+  FROM grams g JOIN shared s USING (gram)
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) + 4 AS span_end
+  FROM dup GROUP BY doc_id, grp
+),
+words AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS p FROM ws
+),
+kept AS (
+  SELECT wd.doc_id, wd.p, wd.word
+  FROM words wd
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = wd.doc_id AND wd.p BETWEEN s.span_start AND s.span_end)
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.word, ' ' ORDER BY k.p), '') AS clean_text,
+       len(string_split_regex(trim(d.text), '\s+')) - COUNT(k.word) AS n_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, d.text
+"""
+
+QUERIES["doc_passage_redacted"] = doc_passage_redacted
+ORACLE["doc_passage_redacted"] = _PASSAGE_REDACT_SQL

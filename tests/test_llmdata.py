@@ -510,3 +510,29 @@ def test_duplicate_passages_planted_span(spark):
     # doc 1: shared starts at word 3 -> grams at pos 3,4 -> span [3, 8]
     # doc 2: shared starts at word 1 -> grams at pos 1,2 -> span [1, 6]
     assert out == {1: (3, 8, 2), 2: (1, 6, 2)}
+
+
+def test_redact_passages_planted(spark):
+    """The planted shared passage is cut from both docs, the untouched
+    doc survives verbatim with n_removed=0, and output stays 1:1 with
+    the corpus."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.dedup import (
+        redact_passages,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} zeta eta theta iota kappa"),
+        (3, "totally unrelated words only here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in redact_passages(df, k=5).collect()
+    }
+    assert out == {
+        1: ("alpha beta gamma delta", 6),
+        2: ("zeta eta theta iota kappa", 6),
+        3: (docs[2][1], 0),
+    }
