@@ -64,6 +64,7 @@ HEADLINE = [
     ("event_heavy_hitters", events.QUERIES),
     ("doc_duplicate_passages", llmdata.QUERIES),
     ("doc_passage_redacted", llmdata.QUERIES),
+    ("doc_dedup_prefix_jaccard", llmdata.QUERIES),
 ]
 
 

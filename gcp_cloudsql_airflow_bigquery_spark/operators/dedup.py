@@ -774,3 +774,66 @@ def redact_passages(
             .alias("n_removed"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering — the
+    third candidate-generation family alongside the full inverted index
+    (``ngram_jaccard_pairs``) and MinHash banding
+    (``minhash_near_dups``), and the only one that is both EXACT (no
+    probabilistic recall) and sub-inverted-index in shuffle volume.
+
+    Prefix-filter lemma (the AllPairs/PPJoin invariant, as used by the
+    MapReduce set-similarity join of Vernica et al., SIGMOD 2010): under
+    any common total order of the token universe, two sets with
+    J >= t must share at least one token among their first
+    ``m - ceil(t*m) + 1`` tokens.  Proof: if A's prefix misses every
+    common token then ``inter <= ceil(t*|A|) - 1 < t*|A| <=
+    t*union <= inter`` — contradiction.  We use xxhash64 order (free:
+    the shingles are already hashes), so no document-frequency pass is
+    needed to define the order.
+
+    Scale shape: only the prefix — a ``(1-t)`` fraction of each shingle
+    set, half at t=0.5, a tenth at t=0.9 — is exploded and shuffled;
+    candidate pairs are then verified with one ``array_intersect`` over
+    the two full (array-valued, never exploded) shingle sets, joined by
+    id.  Shuffle keys are uniform 64-bit hashes; no hot buckets.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(word_shingle_hashes(F.col(text_col), n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
+    ex = sh.select("id", F.explode(F.slice("sh", 1, plen)).alias("tok"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

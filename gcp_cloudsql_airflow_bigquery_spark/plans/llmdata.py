@@ -906,3 +906,19 @@ GROUP BY d.doc_id, d.text
 
 QUERIES["doc_passage_redacted"] = doc_passage_redacted
 ORACLE["doc_passage_redacted"] = _PASSAGE_REDACT_SQL
+
+
+def doc_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (>= 0.5) via AllPairs/PPJoin prefix
+    filtering (``operators/dedup.prefix_filter_jaccard_pairs``) — same
+    answer as the inverted-index and MinHash forms (shares their exact
+    oracle), but only each document's hash-order prefix is ever
+    exploded, so the corpus-wide shuffle is ~half the inverted index at
+    t=0.5 and shrinks further as the threshold rises."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+
+
+QUERIES["doc_dedup_prefix_jaccard"] = doc_dedup_prefix_jaccard
+ORACLE["doc_dedup_prefix_jaccard"] = _DEDUP_JACCARD_SQL

@@ -536,3 +536,39 @@ def test_redact_passages_planted(spark):
         2: ("zeta eta theta iota kappa", 6),
         3: (docs[2][1], 0),
     }
+
+
+def test_prefix_filter_equals_exact(docs):
+    """Prefix filtering is exact by construction (no probabilistic
+    recall): it must reproduce the inverted-index output verbatim —
+    the AllPairs lemma says any pair at J >= t shares a prefix token,
+    and the verify step computes true Jaccard on the full sets."""
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert pref == exact
+
+
+def test_prefix_filter_explodes_less(docs):
+    """The point of prefix filtering: the exploded/shuffled token count
+    must be well under the full inverted index (~(1-t)+1/m of it at
+    threshold t)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.dedup import (
+        word_shingle_hashes,
+    )
+
+    sh = docs.select(
+        F.array_sort(word_shingle_hashes(F.col("text"), 3)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    full = sh.select(F.sum(F.size("sh"))).first()[0]
+    plen = F.size("sh") - F.ceil(0.5 * F.size("sh")).cast("int") + 1
+    pref = sh.select(F.sum(plen)).first()[0]
+    assert pref < 0.6 * full, f"prefix {pref} not < 60% of index {full}"
