@@ -207,3 +207,38 @@ def pack_bins(
         .withColumn("tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("bin_id", F.floor(F.col("tok_start") / budget))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES scheme: each row gets priority
+    ``u^(1/w)`` for a uniform ``u``, and the k largest priorities are
+    an exact weighted sample.  We rank by the monotone-equivalent
+    ``ln(u)/w`` and derive ``u`` from ``md5(id)`` (first 8 hex chars →
+    uniform in (0,1]), so the sample is reproducible across runs,
+    engines, and cluster sizes — no RNG state, no seed plumbing.
+
+    The key is rounded to 9 decimals with an id tie-break so an
+    engine-boundary ulp in ``ln`` can never reorder the cut; the
+    selection itself is Spark's distributed TakeOrdered (per-partition
+    top-k heaps, merged on the driver — O(k) driver memory, no full
+    sort, no shuffle of non-winners).  At 100 TB this is the way to
+    draw a token-budget-proportional subcorpus in one pass.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.withColumn("priority", key)
+        .orderBy(F.desc("priority"), id_col)
+        .limit(k)
+    )

@@ -211,3 +211,27 @@ ORACLE: dict[str, str] = {
     "doc_mix_resampled": _MIX_RESAMPLED_SQL,
     "doc_shard_order": _SHARD_SQL,
 }
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 docs drawn weighted by length (``n_chars``) via the
+    deterministic A-ES scheme (``operators/curation.weighted_sample``)
+    — longer documents proportionally likelier, reproducible on any
+    engine, selected by distributed top-k (no full sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(d, "n_chars", k=100).select(
+        "doc_id", "source", "n_chars", "priority"
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars,
+       ROUND(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT + 1.0)
+                / 4294967297.0) / n_chars, 9) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""
+
+QUERIES["doc_weighted_sample"] = doc_weighted_sample
+ORACLE["doc_weighted_sample"] = _WEIGHTED_SAMPLE_SQL

@@ -111,3 +111,24 @@ def test_split_assignment_stable_and_total(spark, sf_dir):
         sub.select("doc_id", F.col("split").alias("split2")), "doc_id"
     )
     assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
+    """A-ES with 100:1 weights must draw overwhelmingly from the heavy
+    class, and two invocations must return byte-identical samples."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 100.0).otherwise(1.0).alias("w"),
+    )
+    s1 = weighted_sample(df, "w", k=200)
+    picked = [r.doc_id for r in s1.collect()]
+    heavy = sum(1 for i in picked if i < 1000)
+    assert heavy > 170, f"only {heavy}/200 from the 100x-weight class"
+    s2 = [r.doc_id for r in weighted_sample(df, "w", k=200).collect()]
+    assert picked == s2
