@@ -70,3 +70,69 @@ def fuzzy_name_pairs(
         .groupBy("key_a", "key_b")
         .agg(F.min("distance").alias("distance"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    window: int = 3,
+    max_distance: int = 2,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the Hernandez-Stolfo merge/purge
+    method): order records by ``name_col``, compare each record only
+    with its next ``window`` successors, keep pairs within
+    ``max_distance`` edits.  Complements ``fuzzy_name_pairs`` — the
+    deletion neighborhood is exact for 1 edit; sorted-neighborhood
+    trades bounded recall for a distance- and window-free cost model
+    (exactly ``window`` comparisons per record, any distance cutoff).
+
+    Distributed global rank without a single-partition sort:
+    ``repartitionByRange`` on the sort key, per-partition
+    ``row_number``, plus broadcast cumulative partition offsets — the
+    rank is a property of the total order ``(name, key)``, so partition
+    boundary placement cannot change it.  Pairing is an equi-join on
+    rank (the predecessor side explodes deltas ``1..window``), so the
+    shuffle is uniform; no theta join, no window over one partition.
+    The per-partition size collect is ``num_partitions`` rows —
+    model-sized, legitimate.
+    """
+    base = df.select(F.col(key_col).alias("k"), F.col(name_col).alias("n"))
+    part = (
+        base.repartitionByRange(num_partitions, "n", "k")
+        .sortWithinPartitions("n", "k")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    sizes = sorted(part.groupBy("pid").count().collect(), key=lambda r: r.pid)
+    offsets, acc = [], 0
+    for row in sizes:
+        offsets.append((row.pid, acc))
+        acc += row["count"]
+    off = df.sparkSession.createDataFrame(offsets, "pid int, off long")
+    from pyspark.sql import Window
+
+    w_pid = Window.partitionBy("pid").orderBy("n", "k")
+    ranked = (
+        part.withColumn("rn", F.row_number().over(w_pid))
+        .join(F.broadcast(off), "pid")
+        .select("k", "n", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    a = ranked.select(
+        F.col("k").alias("key_a"),
+        F.col("n").alias("name_a"),
+        F.explode(
+            F.array(*[F.col("r") + F.lit(d) for d in range(1, window + 1)])
+        ).alias("r_match"),
+    )
+    b = ranked.select(
+        F.col("k").alias("key_b"),
+        F.col("n").alias("name_b"),
+        F.col("r").alias("r_match"),
+    )
+    return (
+        a.join(b, "r_match")
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("key_a", "key_b", "distance")
+    )

@@ -1306,3 +1306,33 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 
 QUERIES["part_cooccurrence_triangles"] = part_cooccurrence_triangles
 ORACLE["part_cooccurrence_triangles"] = _TRIANGLES_SQL
+
+
+def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/purge-style candidate pairs: customers compared only with
+    their 3 successors in name order, kept within 2 edits
+    (``operators/fuzzy.sorted_neighborhood_pairs``).  The global rank is
+    range-partitioned + offset-reconstructed, never a one-partition
+    window; the oracle replays the same definition with a plain
+    ROW_NUMBER window."""
+    from ..operators.fuzzy import sorted_neighborhood_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        c, "c_custkey", "c_name", window=3, max_distance=2
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = """
+WITH ranked AS (
+  SELECT c_custkey AS k, c_name AS n,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS r
+  FROM customer
+)
+SELECT a.k AS key_a, b.k AS key_b, levenshtein(a.n, b.n) AS distance
+FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+WHERE levenshtein(a.n, b.n) <= 2
+"""
+
+QUERIES["customer_sorted_neighborhood"] = customer_sorted_neighborhood
+ORACLE["customer_sorted_neighborhood"] = _SORTED_NEIGHBORHOOD_SQL

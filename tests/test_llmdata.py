@@ -572,3 +572,32 @@ def test_prefix_filter_explodes_less(docs):
     plen = F.size("sh") - F.ceil(0.5 * F.size("sh")).cast("int") + 1
     pref = sh.select(F.sum(plen)).first()[0]
     assert pref < 0.6 * full, f"prefix {pref} not < 60% of index {full}"
+
+
+def test_sorted_neighborhood_boundary_exactness(spark):
+    """The range-partitioned rank must reproduce the single-partition
+    answer exactly — partition boundaries between sorted neighbors must
+    not lose pairs."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"name{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, n string")
+    multi = {
+        (r.key_a, r.key_b, r.distance)
+        for r in sorted_neighborhood_pairs(
+            df, "k", "n", window=3, max_distance=2, num_partitions=8
+        ).collect()
+    }
+    single = {
+        (r.key_a, r.key_b, r.distance)
+        for r in sorted_neighborhood_pairs(
+            df, "k", "n", window=3, max_distance=2, num_partitions=1
+        ).collect()
+    }
+    assert multi == single
+    assert multi, "consecutive nameNNN strings are within 2 edits"
+    # name000's 3 successors are 001,002,003 at distance <= 2
+    succ = {b for a, b, _ in multi if a == 0}
+    assert succ == {1, 2, 3}
