@@ -109,3 +109,34 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
             + bit_b * F.lit(1 << (2 * i + 1)).cast("long")
         )
     return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton curve of
+    ``(col_a, col_b)``: range-partition by the z-key (one contiguous
+    curve segment per output file) and sort within each file, so every
+    file's min/max footer statistics cover a tight box in BOTH
+    dimensions.  A reader with a 2-D box predicate then skips the
+    files/row-groups whose stats don't intersect the box — multi-dim
+    data skipping from plain parquet, no table format required.
+
+    The z-key is computed JVM-side (`zorder_key`) and dropped before
+    the write; the only shuffle is the range partitioning that the
+    clustered layout inherently requires."""
+    keyed = df.withColumn(
+        "_zkey", zorder_key(F.col(col_a), F.col(col_b), bits)
+    )
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -18,3 +18,57 @@ def test_scale_matches_oracle(spark, duck, sf_dir, name):
 
 def test_registry_keys_align():
     assert set(scale.QUERIES) == set(scale.ORACLE)
+
+
+def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
+    """Measured data-skipping evidence: after write_zordered, the
+    fraction of parquet files whose (a, b) min/max stats intersect a
+    small 2-D box must be far below the hash-layout fraction, and the
+    filtered read must return identical rows from both layouts."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.skew import (
+        write_zordered,
+    )
+
+    n, dim = 100_000, 1 << 12
+    base = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(dim)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(dim)).alias("b"),
+        F.col("id").alias("v"),
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    write_zordered(base, zpath, "a", "b", bits=12, num_files=16)
+    base.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    def overlap_frac(path, lo, hi):
+        import glob
+        files = glob.glob(path + "/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            amin = bmin = None
+            amax = bmax = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                cols = {g.column(i).path_in_schema: g.column(i).statistics
+                        for i in range(g.num_columns)}
+                a_s, b_s = cols["a"], cols["b"]
+                amin = a_s.min if amin is None else min(amin, a_s.min)
+                amax = a_s.max if amax is None else max(amax, a_s.max)
+                bmin = b_s.min if bmin is None else min(bmin, b_s.min)
+                bmax = b_s.max if bmax is None else max(bmax, b_s.max)
+            if amin <= hi and amax >= lo and bmin <= hi and bmax >= lo:
+                hit += 1
+        return hit / len(files)
+
+    lo, hi = 0, dim // 8 - 1  # 1/8 of each dim -> 1/64 of the space
+    zfrac, hfrac = overlap_frac(zpath, lo, hi), overlap_frac(hpath, lo, hi)
+    assert hfrac == 1.0, "hash layout should overlap everywhere"
+    assert zfrac <= 0.25, f"z-order touched {zfrac:.0%} of files"
+
+    cond = (F.col("a") <= hi) & (F.col("b") <= hi)
+    zrows = sorted(r.v for r in spark.read.parquet(zpath).filter(cond).collect())
+    hrows = sorted(r.v for r in spark.read.parquet(hpath).filter(cond).collect())
+    assert zrows == hrows and zrows
