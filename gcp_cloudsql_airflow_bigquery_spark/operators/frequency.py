@@ -82,3 +82,73 @@ def heavy_hitters(
         .agg(F.count("*").alias(count_alias))
         .filter(F.col(count_alias) > threshold)
     )
+
+
+def _cms_cells(key, depth: int, width: int):
+    """One (row, hash-function) struct per depth level: independent
+    buckets via xxhash64 salted with the level index."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a key column as a tiny ``(d, bucket, cnt)``
+    frame (at most ``depth*width`` rows, independent of input
+    cardinality).  Classic guarantees: estimates never under-count, and
+    over-count by more than ``2N/width`` with probability at most
+    ``2^-depth``.
+
+    This is the mergeable-state complement of ``heavy_hitters``: build
+    per partition/day/source, union + re-aggregate to combine
+    (``cms_merge``), probe any time later — no raw data retained.  The
+    build is one partial-aggregated shuffle of ``depth`` 8-byte cells
+    per row; the sketch itself is broadcast-sized by construction.
+    """
+    return (
+        df.select(_cms_cells(F.col(key_col), depth, width).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches built with identical (depth, width): cell-wise
+    sum.  union + one aggregation over <= depth*width rows per input."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for each row of ``keys``: min over the
+    ``depth`` probed cells.  The sketch side is broadcast (bounded at
+    ``depth*width`` rows); absent cells count zero."""
+    probes = keys.select(
+        F.col(key_col), _cms_cells(F.col(key_col), depth, width).alias("c")
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

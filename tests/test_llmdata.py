@@ -601,3 +601,42 @@ def test_sorted_neighborhood_boundary_exactness(spark):
     # name000's 3 successors are 001,002,003 at distance <= 2
     succ = {b for a, b, _ in multi if a == 0}
     assert succ == {1, 2, 3}
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: never under-counts; exact when cardinality is
+    far below width; merging per-half sketches estimates identically to
+    the whole-data sketch; error bounded by 2N/width with slack."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.frequency import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(200)).alias("k"), "id"
+    )
+    truth = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    keys = df.select("k").distinct()
+
+    cms = cms_build(df, "k")
+    est = {r.k: r.est_count for r in cms_estimate(cms, keys, "k").collect()}
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t, f"under-count at {k}"
+        assert est[k] - t <= 2 * n / 1024 * 4, f"error too large at {k}"
+
+    halves = [df.filter(F.col("id") % 2 == i) for i in (0, 1)]
+    merged = cms_merge(*[cms_build(h, "k") for h in halves])
+    est_m = {r.k: r.est_count for r in cms_estimate(merged, keys, "k").collect()}
+    assert est_m == est
+
+    tiny = spark.range(50).select(F.col("id").alias("k"))
+    est_t = {
+        r.k: r.est_count
+        for r in cms_estimate(cms_build(tiny, "k"), tiny.distinct(), "k").collect()
+    }
+    assert all(v == 1 for v in est_t.values())
