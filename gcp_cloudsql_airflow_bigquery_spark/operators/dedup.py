@@ -803,7 +803,21 @@ def prefix_filter_jaccard_pairs(
     set, half at t=0.5, a tenth at t=0.9 — is exploded and shuffled;
     candidate pairs are then verified with one ``array_intersect`` over
     the two full (array-valued, never exploded) shingle sets, joined by
-    id.  Shuffle keys are uniform 64-bit hashes; no hot buckets.
+    id.  Shuffle keys are uniform 64-bit hashes; no hot buckets.  Two
+    further exact prunes ride the candidate join: the AllPairs
+    size-ratio filter (J >= t forces ``t*|A| <= |B| <= |A|/t``) and the
+    PPJoin positional bound (a match at prefix positions ``pA``/``pB``
+    caps the reachable overlap at ``1 + min(|A|-pA-1, |B|-pB-1)``,
+    which must reach ``ceil(t/(1+t)*(|A|+|B|))``; a true pair's
+    smallest-order common token always passes, so no recall is lost) —
+    together they halve the candidate set before the pair dedup.
+
+    The candidate join is pinned to ``spark.sql.shuffle.partitions``
+    tasks via an explicit repartition on the token key: its input is
+    byte-light but CPU-quadratic per hot token, exactly the shape AQE's
+    byte-based advisory coalescing collapses onto one task at small SF
+    (measured 1-partition stages, 3.6 s -> 1.9 s fixed).  At cluster
+    scale the byte volume keeps the stage wide anyway.
     """
     sh = (
         df.select(
@@ -812,14 +826,33 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.size("sh") > 0)
     )
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
-    ex = sh.select("id", F.explode(F.slice("sh", 1, plen)).alias("tok"))
+    ex = sh.select(
+        "id",
+        F.size("sh").alias("m"),
+        F.posexplode(F.slice("sh", 1, plen)).alias("p", "tok"),
+    ).repartition(n_parts, "tok")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.m") + F.col("b.m"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.m") - F.col("a.p") - 1, F.col("b.m") - F.col("b.p") - 1
+    )
     cand = (
         ex.alias("a")
         .join(ex.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.m") * F.lit(threshold) <= F.col("a.m"))
+            & (F.col("a.m") * F.lit(threshold) <= F.col("b.m"))
+            & (ubound >= alpha)
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .repartition(n_parts, "id_a", "id_b")
+        .dropDuplicates()
     )
     out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
