@@ -696,6 +696,15 @@ def duplicate_passages(
         )
         .select(id_col, (F.col("pos0") + F.lit(1)).cast("long").alias("pos"), "gh")
     )
+    # Pin the gram shuffle to full width: the frame is byte-light (8-byte
+    # hashes) but every downstream op is CPU-bound per row, the shape
+    # AQE's byte-based coalescing collapses onto one task at small SF.
+    # Both the shared-gram agg and the candidate join key on gh, so the
+    # one explicit exchange serves both sides with no extra shuffle.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    grams = grams.repartition(n_parts, "gh")
     shared = (
         grams.groupBy("gh")
         .agg(F.count_distinct(id_col).alias("nd"))
