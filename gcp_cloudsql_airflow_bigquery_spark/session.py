@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The text/hash operators are CPU-dense per shuffle byte (64-bit
+        # gram hashes, md5 digests), so AQE's byte-based 1 MB floor
+        # under-parallelizes them at small SF (measured one-task stages).
+        # A 256 KB floor restores width there (corpus_funnel ~2.7s->2.4s,
+        # doc_dup_clusters ~2.6s->2.3s at sf0.1) and is invisible at
+        # cluster scale, where every healthy stage clears either floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
