@@ -140,3 +140,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def grouped_topk_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    rank_struct: Column,
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe top-k per group: two bounded aggregations instead of a
+    rank window.  ``rank_struct`` is a struct column whose ASCENDING
+    lexicographic sort defines the ranking (put negated numeric keys
+    first for descending order; carry payload fields after the keys).
+
+    Why not ``row_number() over (partition by g order by ...)``:
+    the window sorts every row of a group on one task, so one hot group
+    pins a stage at 100 TB.  Here phase 1 computes per-(group, salt)
+    top-k (``sort_array`` + ``slice`` over a ``collect_list`` bounded
+    to that salt's share of the group), phase 2 merges the at most
+    ``n_salts * k`` survivors per group — no task ever holds more than
+    ``group_size / n_salts`` rows, and the final per-group state is
+    O(k).  Output: ``group_cols``, ``item`` (the struct), ``rn``
+    (1-based) — identical rows to the window form, oracle-checked.
+    """
+    keyed = df.withColumn("_r", rank_struct).withColumn(
+        "_s",
+        F.pmod(F.xxhash64(F.col("_r")), F.lit(n_salts)).cast("int"),
+    )
+    phase1 = keyed.groupBy(*group_cols, "_s").agg(
+        F.slice(F.sort_array(F.collect_list("_r")), 1, k).alias("_top")
+    )
+    phase2 = (
+        phase1.select(*group_cols, F.explode("_top").alias("_it"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.sort_array(F.collect_list("_it")), 1, k).alias("_top"))
+    )
+    return (
+        phase2.select(
+            *group_cols, F.posexplode("_top").alias("_pos", "item")
+        )
+        .withColumn("rn", (F.col("_pos") + F.lit(1)).cast("int"))
+        .drop("_pos")
+    )

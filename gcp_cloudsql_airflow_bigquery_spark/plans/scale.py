@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.skew import salted_agg, salted_join
+from ..operators.skew import grouped_topk_salted, salted_agg, salted_join
 
 _DEC = "decimal(18,6)"
 
@@ -77,3 +77,36 @@ ORACLE: dict[str, str] = {
     "salted_agg_hot_keys": _SALTED_AGG_SQL,
     "salted_join_nation": _SALTED_JOIN_SQL,
 }
+
+
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority via the salted two-phase
+    top-k (``operators/skew.grouped_topk_salted``) — row-identical to
+    the rank-window form (same oracle as ``topk_per_group``), but no
+    task ever sorts a whole group, so a hot group cannot pin a stage."""
+    o = load_table(spark, sf_dir, "orders")
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    out = grouped_topk_salted(o, ["o_orderpriority"], item, k=3)
+    return out.select(
+        "o_orderpriority",
+        F.col("item.o_orderkey").alias("o_orderkey"),
+        F.col("item.o_totalprice").alias("o_totalprice"),
+        "rn",
+    )
+
+
+_TOPK_SALTED_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+QUERIES["topk_per_group_salted"] = topk_per_group_salted
+ORACLE["topk_per_group_salted"] = _TOPK_SALTED_SQL

@@ -72,3 +72,37 @@ def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
     zrows = sorted(r.v for r in spark.read.parquet(zpath).filter(cond).collect())
     hrows = sorted(r.v for r in spark.read.parquet(hpath).filter(cond).collect())
     assert zrows == hrows and zrows
+
+
+def test_grouped_topk_salted_equals_window(spark):
+    """Two-phase salted top-k must reproduce the rank window verbatim
+    on a skewed frame (one group holds 90% of rows), including the
+    tie-break order among equal sort keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.skew import (
+        grouped_topk_salted,
+    )
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, "hot").otherwise("cold").alias("g"),
+        (F.col("id") % 97).cast("double").alias("score"),  # many ties
+        F.col("id").alias("k"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("k"))
+    want = {
+        (r.g, r.k, r.score, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    item = F.struct(
+        (-F.col("score")).alias("ns"), F.col("k").alias("k"),
+        F.col("score").alias("score"),
+    )
+    got = {
+        (r.g, r.item.k, r.item.score, r.rn)
+        for r in grouped_topk_salted(df, ["g"], item, k=5).collect()
+    }
+    assert got == want
