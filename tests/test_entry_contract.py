@@ -1,0 +1,41 @@
+"""Driver-contract meta-tests for ``__spark_entry__``: name hygiene and
+the smoke path.  These catch the silent failure modes of the registry
+pattern — a duplicate query name shadowing an earlier module's entry
+via dict.update, or an oracle key with no matching query."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_no_duplicate_query_names_across_modules():
+    mod = _entry()
+    total = sum(len(m.QUERIES) for m in mod._MODULES)
+    merged = mod.queries()
+    assert total == len(merged), (
+        "duplicate query name across plan modules shadows an entry: "
+        f"{total} module entries -> {len(merged)} merged"
+    )
+
+
+def test_every_oracle_key_has_a_query():
+    mod = _entry()
+    q, o = mod.queries(), mod.oracle_sql()
+    orphans = set(o) - set(q)
+    assert not orphans, f"oracle entries without queries: {sorted(orphans)}"
+    assert all(callable(f) for f in q.values())
+
+
+def test_entry_smoke(spark):
+    rows = _entry().entry(spark).collect()
+    assert len(rows) > 0
+    assert {"revenue"} <= set(rows[0].asDict()), "flagship schema drifted"
