@@ -1,0 +1,130 @@
+"""Distributed linear algebra over embedding columns: covariance and
+PCA projection.
+
+The scale shape is the classic one-pass moment aggregation: every
+Arrow batch is reduced to a ``d x d`` partial outer-product sum (numpy
+``X.T @ X`` — vectorized, no per-row Python), so the shuffle carries
+``d*d + d + 1`` numbers per batch regardless of row count; a single
+tiny aggregation merges the partials.  The eigendecomposition runs
+driver-side on the ``d x d`` covariance — model-sized by construction
+(64 x 64 here; even d=4096 is a 128 MB matrix) — and the projection
+matrix is broadcast back for a vectorized map-side matmul.  At 100 TB
+the only full-data passes are the two matmuls; nothing row-scale ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partial_moments(dim: int, vec_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sxx = np.zeros((dim, dim), dtype=np.float64)
+        sx = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            sxx += x.T @ x
+            sx += x.sum(axis=0)
+            n += len(x)
+        i, j = np.meshgrid(range(dim), range(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": i.ravel() + 1,
+                "j": j.ravel() + 1,
+                "sxx": sxx.ravel(),
+                "sx_i": sx[i.ravel()],
+                "sx_j": sx[j.ravel()],
+                "n": n,
+            }
+        )
+
+    return fn
+
+
+def _moments_agg(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    partials = df.select(vec_col).mapInPandas(
+        _partial_moments(dim, vec_col),
+        schema="i int, j int, sxx double, sx_i double, sx_j double, n long",
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("sxx").alias("sxx"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("n").alias("n"),
+    )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Sample covariance matrix of an ``array<float>`` column as
+    ``(i, j, cov)`` rows (1-based indices, rounded to 6 decimals for
+    cross-engine comparison).  One ``mapInPandas`` pass emits a d x d
+    partial per batch; the merge aggregates ``d*d`` keys."""
+    return _moments_agg(df, vec_col, dim).select(
+        "i",
+        "j",
+        (
+            F.round(
+                (F.col("sxx") - F.col("sx_i") * F.col("sx_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 to +0.0 for cross-engine hash
+        ).alias("cov"),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    The covariance is assembled driver-side from the distributed moment
+    aggregation (``d*d`` values — model-sized), eigendecomposed with
+    numpy, sign-normalized (largest-magnitude coordinate positive) so
+    the result is deterministic, and the ``d x k`` projection matrix is
+    closed over by a vectorized pandas UDF — the projection pass is one
+    numpy matmul per Arrow batch, no shuffle at all."""
+    rows = _moments_agg(df, vec_col, dim).collect()
+    cov = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in rows:
+        cov[r.i - 1, r.j - 1] = (r.sxx - r.sx_i * r.sx_j / r.n) / (r.n - 1)
+        mean[r.i - 1] = r.sx_i / r.n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # (dim, k)
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    evr = vals[order] / max(vals.sum(), 1e-300)
+
+    @F.pandas_udf("array<double>")
+    def project(col: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        p = (x - mean) @ comps
+        return pd.Series([np.round(row, 6).tolist() for row in p])
+
+    out = df.select(id_col, project(F.col(vec_col)).alias("components"))
+    return out.withColumn(
+        "explained_variance_ratio",
+        F.lit([round(float(v), 6) for v in evr]).cast("array<double>"),
+    )

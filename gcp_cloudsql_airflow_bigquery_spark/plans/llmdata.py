@@ -922,3 +922,48 @@ def doc_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_dedup_prefix_jaccard"] = doc_dedup_prefix_jaccard
 ORACLE["doc_dedup_prefix_jaccard"] = _DEDUP_JACCARD_SQL
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 sample covariance of the embedding corpus via one-pass
+    per-batch outer-product partials (``operators/linalg``): the
+    shuffle carries d*d+d+1 numbers per Arrow batch regardless of row
+    count.  Cross-engine oracle on the rounded cell values."""
+    from ..operators import linalg
+
+    return linalg.embedding_covariance(_emb(spark, sf_dir))
+
+
+_EMB_COV_SQL = """
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+sums AS (
+  SELECT i, SUM(e[i]) AS si FROM v, idx GROUP BY i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(e[a.i] * e[b.i]) AS sij
+  FROM v, idx a, idx b GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS c FROM v)
+SELECT p.i, p.j,
+       ROUND((p.sij - sa.si * sb.si / n.c) / (n.c - 1), 6) + 0.0 AS cov
+FROM pairs p
+JOIN sums sa ON sa.i = p.i
+JOIN sums sb ON sb.i = p.j
+CROSS JOIN n
+"""
+
+
+def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings projected onto their top-8 principal components
+    (``operators/linalg.pca_project``) — rows-only (eigenvector floats
+    are engine-specific); variance capture and orthonormality are
+    unit-tested."""
+    from ..operators import linalg
+
+    return linalg.pca_project(_emb(spark, sf_dir), k=8)
+
+
+QUERIES["embedding_covariance_matrix"] = embedding_covariance
+ORACLE["embedding_covariance_matrix"] = _EMB_COV_SQL
+QUERIES["embedding_pca_projected"] = embedding_pca_projected

@@ -640,3 +640,27 @@ def test_count_min_sketch_properties(spark):
         for r in cms_estimate(cms_build(tiny, "k"), tiny.distinct(), "k").collect()
     }
     assert all(v == 1 for v in est_t.values())
+
+
+def test_pca_projection_properties(emb):
+    """The per-component variance of the projections must equal the top
+    eigenvalues of the covariance (descending), cross-component
+    covariance must vanish (orthogonal directions), and the explained
+    variance ratios must be sorted descending in (0, 1]."""
+    import numpy as np
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.linalg import (
+        pca_project,
+    )
+
+    out = pca_project(emb, k=4).collect()
+    P = np.asarray([r.components for r in out])
+    evr = out[0].explained_variance_ratio
+    assert all(a >= b for a, b in zip(evr, evr[1:])) and 0 < evr[0] <= 1
+    C = np.cov(P, rowvar=False)
+    var = np.diag(C)
+    assert all(a >= b - 1e-9 for a, b in zip(var, var[1:])), "variance not sorted"
+    off = C - np.diag(var)
+    assert np.abs(off).max() < 1e-6, "projected components not decorrelated"
+    # projections are centered
+    assert np.abs(P.mean(axis=0)).max() < 1e-5
