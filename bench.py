@@ -65,6 +65,10 @@ HEADLINE = [
     ("doc_duplicate_passages", llmdata.QUERIES),
     ("doc_passage_redacted", llmdata.QUERIES),
     ("doc_dedup_prefix_jaccard", llmdata.QUERIES),
+    ("topk_per_group_salted", scale.QUERIES),
+    ("customer_sorted_neighborhood", advanced.QUERIES),
+    ("embedding_covariance_matrix", llmdata.QUERIES),
+    ("doc_weighted_sample", curation.QUERIES),
 ]
 
 

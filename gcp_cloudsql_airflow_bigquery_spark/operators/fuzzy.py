@@ -99,10 +99,18 @@ def sorted_neighborhood_pairs(
     model-sized, legitimate.
     """
     base = df.select(F.col(key_col).alias("k"), F.col(name_col).alias("n"))
+    # localCheckpoint pins the range boundaries: repartitionByRange
+    # estimates them by sampling and is documented as not necessarily
+    # consistent across evaluations, and this frame is evaluated twice
+    # (the size collect below and the rank job) — without the
+    # materialization the two jobs can disagree on pid assignment and
+    # corrupt the offset-reconstructed global rank (observed at sf0.1:
+    # +400 phantom pairs from colliding ranks).
     part = (
         base.repartitionByRange(num_partitions, "n", "k")
         .sortWithinPartitions("n", "k")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = sorted(part.groupBy("pid").count().collect(), key=lambda r: r.pid)
     offsets, acc = [], 0
