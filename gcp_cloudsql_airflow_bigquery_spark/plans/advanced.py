@@ -1336,3 +1336,58 @@ WHERE levenshtein(a.n, b.n) <= 2
 
 QUERIES["customer_sorted_neighborhood"] = customer_sorted_neighborhood
 ORACLE["customer_sorted_neighborhood"] = _SORTED_NEIGHBORHOOD_SQL
+
+
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: deletion-neighborhood fuzzy pairs
+    (edit distance <= 1, ``operators/fuzzy.fuzzy_name_pairs``) closed
+    into entities via iterative min-label connected components
+    (``operators/graph``) — each matched customer keyed to the smallest
+    custkey of its entity, with matching blocked within nation (the
+    textbook ER blocking key — it also bounds component size, keeping
+    both the label-propagation round count and the oracle's recursive
+    closure component-quadratic in the block, not the corpus).  The
+    merge/purge composition a real master-data pipeline runs;
+    oracle-checked against a recursive-CTE closure over the identical
+    levenshtein pair set."""
+    from ..operators.fuzzy import fuzzy_name_pairs
+    from ..operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    nat = c.select("c_custkey", "c_nationkey")
+    pairs = (
+        fuzzy_name_pairs(c, "c_custkey", "c_name")
+        .join(nat.select(F.col("c_custkey").alias("key_a"),
+                         F.col("c_nationkey").alias("nat_a")), "key_a")
+        .join(nat.select(F.col("c_custkey").alias("key_b"),
+                         F.col("c_nationkey").alias("nat_b")), "key_b")
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").alias("c_custkey"), F.col("label").alias("entity_id")
+    )
+
+
+_ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE
+good AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND a.c_nationkey = b.c_nationkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good
+          UNION SELECT id_b, id_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS c_custkey, LEAST(a, MIN(b)) AS entity_id FROM reach GROUP BY a
+"""
+
+QUERIES["customer_entity_clusters"] = customer_entity_clusters
+ORACLE["customer_entity_clusters"] = _ENTITY_CLUSTERS_SQL

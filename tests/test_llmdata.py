@@ -664,3 +664,19 @@ def test_pca_projection_properties(emb):
     assert np.abs(off).max() < 1e-6, "projected components not decorrelated"
     # projections are centered
     assert np.abs(P.mean(axis=0)).max() < 1e-5
+
+
+def test_connected_components_long_path(spark):
+    """A 200-node path graph (diameter 199) must still resolve to one
+    component with the min label — this exercises the contraction
+    fallback; pure propagation within the default round budget cannot
+    cross this diameter."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(path, "a long, b long")
+    out = connected_components(df, "a", "b").collect()
+    assert len(out) == 200
+    assert {r.label for r in out} == {0}
