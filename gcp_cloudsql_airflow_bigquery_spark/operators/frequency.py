@@ -152,3 +152,31 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def distinct_sketch_build(
+    df: DataFrame, group_cols: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Datasketches HLL via the
+    built-in ``hll_sketch_agg`` — JVM-side, mergeable binary state,
+    ~2^lgk bytes per group regardless of cardinality).  Build these at
+    the finest rollup grain (e.g. per source per day); coarser distinct
+    counts then come from ``distinct_sketch_rollup`` over the stored
+    sketches — no rescan of the raw data, the pattern that keeps a
+    100-TB distinct-users dashboard incremental."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch")
+    )
+
+
+def distinct_sketch_rollup(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge stored sketches up to a coarser grain and estimate:
+    cell-wise ``hll_union_agg`` then ``hll_sketch_estimate`` — one
+    aggregation over sketch-sized rows, never the raw data."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct"
+        )
+    )

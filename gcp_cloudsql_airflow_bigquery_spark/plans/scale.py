@@ -110,3 +110,28 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
 
 QUERIES["topk_per_group_salted"] = topk_per_group_salted
 ORACLE["topk_per_group_salted"] = _TOPK_SALTED_SQL
+
+
+def events_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users estimated from MERGED per-day HLL
+    sketches (``operators/frequency.distinct_sketch_build/rollup``) —
+    the incremental form of a distinct-count dashboard: daily sketch
+    build touches only that day's rows; every coarser rollup merges
+    sketch bytes, never rescans.  Rows-only (sketch estimates are
+    engine-specific); accuracy vs exact count-distinct and
+    merge-consistency are unit-tested."""
+    from pyspark.sql import functions as F2
+
+    from ..operators.frequency import (
+        distinct_sketch_build,
+        distinct_sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F2.to_date("ts")
+    )
+    daily = distinct_sketch_build(ev, ["event_type", "day"], "user_id")
+    return distinct_sketch_rollup(daily, ["event_type"]).orderBy("event_type")
+
+
+QUERIES["events_distinct_users_rollup"] = events_distinct_users_rollup

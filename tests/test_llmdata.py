@@ -680,3 +680,43 @@ def test_connected_components_long_path(spark):
     out = connected_components(df, "a", "b").collect()
     assert len(out) == 200
     assert {r.label for r in out} == {0}
+
+
+def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
+    """Distinct-user estimates from merged per-day sketches must agree
+    with the direct per-type sketch exactly (same binary state space)
+    and with the exact distinct count within HLL error (few % at
+    lgk=12)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators.frequency import (
+        distinct_sketch_build,
+        distinct_sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = distinct_sketch_build(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r.event_type: r.approx_distinct
+        for r in distinct_sketch_rollup(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.approx_distinct
+        for r in distinct_sketch_rollup(
+            distinct_sketch_build(ev, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for t, n in exact.items():
+        assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
+        assert abs(direct[t] - n) / n < 0.05
