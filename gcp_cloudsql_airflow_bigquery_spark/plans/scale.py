@@ -135,3 +135,40 @@ def events_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["events_distinct_users_rollup"] = events_distinct_users_rollup
+
+
+def events_value_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event value per type from MERGED per-day KLL
+    sketches (``operators/sketches``) — quantile dashboards that update
+    incrementally: build touches one day, rollup merges kilobytes.
+    Rows-only; rank-error accuracy vs exact percentiles is
+    unit-tested."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F2.to_date("ts")
+    )
+    daily = sketches.quantile_sketch_build(ev, ["event_type", "day"], "value")
+    return sketches.quantile_sketch_rollup(daily, ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs audience algebra over event types from stored Theta
+    sketches: users doing both A and B, only A, only B — answered from
+    kilobyte sketch state, never re-touching the raw id sets.
+    Rows-only; estimates vs exact set ops are unit-tested."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.theta_sketch_build(ev, "event_type", "user_id")
+    return sketches.audience_overlap_matrix(sk, "event_type").orderBy(
+        "a", "b"
+    )
+
+
+QUERIES["events_value_quantiles_rollup"] = events_value_quantiles_rollup
+QUERIES["events_audience_overlap"] = events_audience_overlap

@@ -720,3 +720,58 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
     for t, n in exact.items():
         assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
         assert abs(direct[t] - n) / n < 0.05
+
+
+def test_kll_quantile_rollup_accuracy(spark, sf_dir):
+    """Merged per-day KLL sketches must reproduce exact per-type
+    quantiles within the k=200 rank-error bound (~1.65/sqrt(200) of
+    rank -> tight value agreement on this distribution)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.quantile_sketch_build(ev, ["event_type", "day"], "value")
+    est = {
+        r.event_type: (r.p50, r.p95)
+        for r in sketches.quantile_sketch_rollup(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: (r.e50, r.e95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    for t, (e50, e95) in exact.items():
+        assert abs(est[t][0] - e50) / max(e50, 1e-9) < 0.1, (t, est[t], e50)
+        assert abs(est[t][1] - e95) / max(e95, 1e-9) < 0.1
+
+def test_theta_overlap_matches_exact_set_ops(spark, sf_dir):
+    """Theta intersection/difference estimates must match exact set
+    ops at fixture cardinality (sketches are exact below their
+    sampling threshold)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketches.theta_sketch_build(ev, "event_type", "user_id")
+    got = {
+        (r.a, r.b): (r.n_both, r.n_only_a)
+        for r in sketches.audience_overlap_matrix(sk, "event_type").collect()
+    }
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    users = {
+        t: {r.user_id for r in ev.filter(F.col("event_type") == t)
+            .select("user_id").distinct().collect()}
+        for t in types
+    }
+    assert got, "overlap matrix empty"
+    for (a, b), (both, only_a) in got.items():
+        assert both == len(users[a] & users[b])
+        assert only_a == len(users[a] - users[b])
