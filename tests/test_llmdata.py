@@ -775,3 +775,46 @@ def test_theta_overlap_matches_exact_set_ops(spark, sf_dir):
     for (a, b), (both, only_a) in got.items():
         assert both == len(users[a] & users[b])
         assert only_a == len(users[a] - users[b])
+
+
+def test_sketch_state_survives_storage_and_incremental_update(
+    spark, sf_dir, tmp_path
+):
+    """The operational story behind the sketch operators: persist the
+    per-day HLL state, 'ingest' one more day by appending only that
+    day's sketch, and the rollup over stored state must equal the
+    rollup over a full rebuild — no history rescan."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators.frequency import (
+        distinct_sketch_build,
+        distinct_sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    last_day = ev.agg(F.max("day")).first()[0]
+    hist, delta = ev.filter(F.col("day") < F.lit(last_day)), ev.filter(
+        F.col("day") == F.lit(last_day)
+    )
+    store = str(tmp_path / "sketch_state")
+    distinct_sketch_build(hist, ["event_type", "day"], "user_id").write.mode(
+        "overwrite"
+    ).parquet(store)
+    distinct_sketch_build(delta, ["event_type", "day"], "user_id").write.mode(
+        "append"
+    ).parquet(store)
+    stored = {
+        r.event_type: r.approx_distinct
+        for r in distinct_sketch_rollup(
+            spark.read.parquet(store), ["event_type"]
+        ).collect()
+    }
+    rebuilt = {
+        r.event_type: r.approx_distinct
+        for r in distinct_sketch_rollup(
+            distinct_sketch_build(ev, ["event_type", "day"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert stored == rebuilt and stored
