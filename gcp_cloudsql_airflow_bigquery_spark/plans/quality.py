@@ -501,3 +501,4 @@ ORACLE: dict[str, str] = {
     "doc_packed_bins": _PACK_SQL,
     "table_profile": _PROFILE_SQL,
 }
+

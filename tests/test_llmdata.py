@@ -818,3 +818,36 @@ def test_sketch_state_survives_storage_and_incremental_update(
         ).collect()
     }
     assert stored == rebuilt and stored
+
+
+def test_logistic_fit_separable_and_monotone(spark):
+    """Newton logistic fit must perfectly classify a linearly separable
+    synthetic set and produce a decision boundary near the true one on
+    a noisy set; scoring is a pure expression (no UDF in the plan)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.linalg import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    # y = 1 iff f1 + f2 > 0, margin 0.2 — separable
+    df = spark.range(4000).select(
+        ((F.pmod(F.xxhash64("id"), F.lit(1000)) / 500.0) - 1.0).alias("f1"),
+        ((F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 500.0) - 1.0).alias("f2"),
+    ).withColumn(
+        "y", (F.col("f1") + F.col("f2") > 0.2).cast("double")
+    ).filter(F.abs(F.col("f1") + F.col("f2") - 0.2) > 0.2)
+    beta = logistic_fit(df, ["f1", "f2"], "y", n_iter=12)
+    scored = logistic_score(df, ["f1", "f2"], beta)
+    acc = scored.select(
+        F.avg(((F.col("score") > 0.5) == (F.col("y") == 1.0)).cast("double"))
+    ).first()[0]
+    assert acc == 1.0, f"separable accuracy {acc}"
+    # direction of the separating normal (1, 1)/sqrt(2)
+    import math
+
+    n = math.hypot(beta[1], beta[2])
+    assert beta[1] / n > 0.6 and beta[2] / n > 0.6
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
