@@ -49,36 +49,38 @@ def connected_components(
     that budget is exhausted — never return unconverged labels.  Both
     phases cut lineage per round.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
+
+    # labels only ever decrease; the exact decimal sum strictly
+    # decreases until the fixpoint, so one aggregate replaces a
+    # join-based changed? probe.  The sum rides the SAME job as each
+    # round's materializing localCheckpoint via ``observe`` — one job
+    # per round, not two.
+    _sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    def _ckpt(lb: DataFrame):
+        ob = Observation()
+        out = lb.observe(ob, _sum_expr).localCheckpoint(eager=True)
+        return out, ob.get["s"]
+
+    labels, prev_sum = _ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-
-    def _checksum(lb: DataFrame):
-        # labels only ever decrease; the exact decimal sum strictly
-        # decreases until the fixpoint, so one aggregate replaces a
-        # join-based changed? probe
-        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-
-    prev_sum = _checksum(labels)
     converged = False
     for _ in range(prop_rounds):
         msgs = sym.join(labels, sym.b == F.col("node")).select(
             F.col("a").alias("node"), "label"
         )
-        labels = (
-            msgs.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        labels, new_sum = _ckpt(
+            msgs.union(labels).groupBy("node").agg(F.min("label").alias("label"))
         )
-        new_sum = _checksum(labels)
         if new_sum == prev_sum:
             converged = True
             break
@@ -98,19 +100,39 @@ def connected_components(
     # (count, decimal-sum-of-hashes) signature instead of a join diff.
     cur = sym  # already symmetric + distinct + materialized
 
-    def _sig(e: DataFrame):
-        row = e.filter(F.col("a") < F.col("b")).agg(
-            F.count("*").alias("c"),
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row.c, row.h)
+    # edge-set stability signature (count, decimal-sum-of-hashes over
+    # the canonical a<b half); observed during the resym checkpoint so
+    # the probe costs zero extra jobs
+    _sig_exprs = (
+        F.count_if(F.col("a") < F.col("b")).alias("c"),
+        F.sum(
+            F.when(F.col("a") < F.col("b"), F.xxhash64("a", "b")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("h"),
+    )
 
-    def _resym(pairs: DataFrame) -> DataFrame:
-        return (
+    def _resym(pairs: DataFrame):
+        ob = Observation()
+        out = (
             pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()
+            .observe(ob, *_sig_exprs)
             .localCheckpoint(eager=True)
         )
+        got = ob.get
+        return out, (got["c"], got["h"])
+
+    def _sig(e: DataFrame):
+        row = (
+            e.filter(F.col("a") < F.col("b"))
+            .agg(
+                F.count("*").alias("c"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            )
+            .first()
+        )
+        return (row.c, row.h)
 
     prev_sig = _sig(cur)
     for _ in range(max_iter):
@@ -128,7 +150,7 @@ def connected_components(
                 F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b")
             )
         )
-        cur = _resym(large)
+        cur, _ = _resym(large)
         # small-star
         le = cur.filter(F.col("b") <= F.col("a"))
         mins_s = le.groupBy("a").agg(F.min("b").alias("m"))
@@ -140,8 +162,7 @@ def connected_components(
             .filter(F.col("b") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("b").alias("b"))
         )
-        cur = _resym(small)
-        sig = _sig(cur)
+        cur, sig = _resym(small)
         if sig == prev_sig:
             break
         prev_sig = sig
