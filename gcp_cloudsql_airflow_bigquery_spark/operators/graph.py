@@ -199,10 +199,14 @@ def pagerank(
     redistributed mass of dangling nodes (computed as total minus
     emitted mass — no extra anti-join), and cuts lineage with
     ``localCheckpoint`` so the iterated plan stays constant-size.
-    Convergence is checked on the L1 delta every round; at 100 TB the
-    per-round cost is exactly one edge-list join + one aggregation,
-    the same shape GraphX's Pregel emits.
+    The dangling-mass scalar is a broadcast 1-row cross join over the
+    SAME contribution aggregate (ReuseExchange dedups the shuffle) and
+    the L1 convergence delta is ``observe``d during the checkpoint, so
+    a round is exactly ONE Spark job; at 100 TB the per-round cost is
+    one edge-list join + one aggregation, the same shape GraphX's
+    Pregel emits.
     """
+    from pyspark.sql import Observation
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -221,32 +225,40 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(max_iter):
         contribs = (
             norm.join(ranks, norm.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
         )
-        emitted = contribs.agg(F.sum("contrib")).first()[0] or 0.0
-        dangling = 1.0 - emitted  # mass at nodes with no out-edges
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling mass = 1 - emitted; the 1-row total rides a broadcast
+        # cross join so `base` stays inside the plan (no driver action),
+        # and ReuseExchange evaluates the contribution shuffle once
+        emitted = contribs.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("emitted")
+        )
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping / n) * (F.lit(1.0) - F.col("emitted"))
+        )
+        ob = Observation()
         new_ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            ranks.withColumnRenamed("rank", "old_rank")
+            .join(contribs, F.col("node") == contribs.dst, "left")
+            .crossJoin(F.broadcast(emitted))
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
+                "old_rank",
             )
+            .observe(ob, F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"))
+            .drop("old_rank")
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "node")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .first()[0]
-        )
+        delta = ob.get["d"]
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
