@@ -21,6 +21,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     quality,
     relational,
     scale,
+    search,
     temporal,
     tpch,
     tpch2,
@@ -51,6 +52,7 @@ _MODULES = (
     curation,
     dq,
     scale,
+    search,
     relational,
     advanced,
 )

@@ -24,6 +24,7 @@ from gcp_cloudsql_airflow_bigquery_spark.plans import (
     quality,
     relational,
     scale,
+    search,
     temporal,
     tpch2,
 )
@@ -69,6 +70,7 @@ HEADLINE = [
     ("customer_sorted_neighborhood", advanced.QUERIES),
     ("embedding_covariance_matrix", llmdata.QUERIES),
     ("doc_weighted_sample", curation.QUERIES),
+    ("doc_bm25_search", search.QUERIES),
 ]
 
 

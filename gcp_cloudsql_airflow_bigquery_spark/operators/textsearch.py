@@ -1,0 +1,129 @@
+"""Full-text retrieval over a document corpus: a distributed inverted
+index (term postings with term frequencies + per-doc lengths) and BM25
+top-k scoring for a batch of queries.
+
+The reference delegates all querying to BigQuery SQL
+(``stage_final_query``, reference ``dags/cloudsql_to_bigquery.py:11,70``)
+which has no ranking primitive; ranked retrieval is a north-star
+extension on the ``documents`` fixture, same as the ANN stack in
+:mod:`.similarity`.
+
+Scale shape (the part that matters at 100 TB):
+
+- The postings build is two token-level aggregations — both map-side
+  combined, so the shuffle moves (term, doc) partials, never raw text.
+- Scoring FILTERS the postings to the query vocabulary FIRST via a
+  broadcast join on ``term`` (a query batch is model-sized: thousands
+  of terms at most), so the per-query work is proportional to the
+  matched postings, not the corpus.
+- Corpus constants (N, average doc length) ride a broadcast 1-row
+  cross join — no driver-side ``collect`` bakes them into the plan.
+- Top-k per query is a bounded rank window over the scored hits of
+  that query only.
+
+A recurring-search deployment would persist ``build_text_index``'s
+postings bucketed by ``term`` (exactly like
+``dedup.materialize_shingle_index``) so each query batch joins with
+zero Exchange on the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import normalize_text, tokens
+
+
+def build_text_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_lens): the persistent halves of an inverted index.
+
+    postings: (term, <id_col>, tf) — one row per distinct (term, doc).
+    doc_lens: (<id_col>, dl) — token count per doc (BM25 length norm).
+    Both are pure aggregations with map-side partial combine.
+    """
+    toks = docs.select(
+        id_col, F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    postings = toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    doc_lens = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    return postings, doc_lens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` docs per query.
+
+    Returns (query_id, <id_col>, score, rank) with score rounded to 4
+    decimals; rank is deterministic (rounded score desc, then doc id)
+    so results are stable cross-engine and across cluster sizes.
+
+    Uses the Lucene/ATIRE non-negative idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and the standard tf
+    saturation ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+    Duplicate query terms score once (set semantics), matching the
+    common engine behavior.
+    """
+    postings, doc_lens = build_text_index(docs, id_col, text_col)
+
+    qterms = queries.select(
+        query_id_col,
+        F.explode(tokens(normalize_text(F.col(query_text_col)))).alias("term"),
+    ).distinct()
+
+    # document frequency only for the query vocabulary: semi-filter the
+    # postings through the (tiny, broadcast) query-term list before any
+    # corpus-wide distinct
+    matched = postings.join(F.broadcast(qterms), "term")
+    # postings are unique per (term, doc); count_distinct guards against
+    # the same term appearing in several queries of the batch
+    df_ = matched.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+
+    consts = docs.agg(
+        F.count("*").alias("n_docs"),
+    ).crossJoin(F.broadcast(doc_lens.agg(F.avg("dl").alias("avgdl"))))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    # decimal-cast the per-term contributions before summing: decimal
+    # addition is order-independent, so the score (and thus the rank
+    # cutoff) is identical across engines and across cluster sizes —
+    # the same exactness pattern as the money sums in plans.relational
+    scored = (
+        matched.join(df_, "term")
+        .join(doc_lens, id_col)
+        .crossJoin(F.broadcast(consts))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum((idf * tf_part).cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
