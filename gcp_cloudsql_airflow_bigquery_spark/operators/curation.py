@@ -242,3 +242,134 @@ def weighted_sample(
         .orderBy(F.desc("priority"), id_col)
         .limit(k)
     )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed unigram+bigram bucket counts — the
+    DSIR featurization (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling").  Buckets come from the first 8
+    hex chars of ``md5(gram)`` mod ``n_buckets`` so the same document
+    featurizes identically in any engine — no engine-private hash in
+    the contract.  One narrow explode + one map-side-combined
+    aggregation; the shuffle moves (id, bucket) partials, never text.
+    """
+    from .textstats import normalize_text, tokens, word_ngrams
+
+    t = F.col(text_col)
+    grams = F.concat(tokens(normalize_text(t)), word_ngrams(t, 2))
+    g = df.select(id_col, F.explode(grams).alias("gram"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        g.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_logratio_table(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bucket, logratio): per-bucket ``ln p_target - ln p_raw`` under
+    add-alpha smoothing.  This is the trained "model" of DSIR — at most
+    ``n_buckets`` rows (model-sized, broadcastable by construction),
+    built from two map-side-combined aggregations over the feature
+    frames."""
+    rc = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    tc = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    joined = rc.join(tc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+    tot = joined.agg(
+        F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tc") + F.lit(alpha))
+                / (F.col("ttot") + F.lit(alpha * n_buckets))
+            )
+            - F.log(
+                (F.col("rc") + F.lit(alpha))
+                / (F.col("rtot") + F.lit(alpha * n_buckets))
+            )
+        ).alias("logratio"),
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, logw): per-raw-document DSIR importance weight — the
+    log-likelihood ratio of the doc's hashed-n-gram features under the
+    target vs raw bucket distributions.  The log-ratio table joins in
+    as a broadcast (≤ ``n_buckets`` rows); per-bucket contributions are
+    decimal-cast before the per-doc sum so the weight is bit-stable
+    across engines and partitionings."""
+    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets)
+    tgt_feats = hashed_ngram_features(target, text_col, id_col, n_buckets)
+    lr = dsir_logratio_table(raw_feats, tgt_feats, n_buckets, alpha)
+    return (
+        raw_feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("cnt") * F.col("logratio")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("logw")
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR: draw ``k`` raw documents distributed like the TARGET
+    domain — Gumbel-top-k over the importance weights (sampling without
+    replacement with probability ∝ exp(logw)).  The Gumbel noise is
+    derived from ``md5(id || '#g')`` so the draw is reproducible across
+    runs, engines, and cluster sizes; the selection is a distributed
+    TakeOrdered (per-partition heaps, O(k) driver memory, no full
+    sort).  At 100 TB: two feature aggregations + one broadcast join +
+    one top-k — no corpus self-join anywhere."""
+    logw = dsir_importance_weights(
+        raw, target, text_col, id_col, n_buckets, alpha
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#g"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    gumbel = -F.log(-F.log(u))
+    scored = raw.join(logw, id_col).withColumn(
+        "priority", F.round(F.col("logw") + gumbel, 9)
+    )
+    return scored.orderBy(F.desc("priority"), id_col).limit(k)

@@ -235,3 +235,92 @@ LIMIT 100
 
 QUERIES["doc_weighted_sample"] = doc_weighted_sample
 ORACLE["doc_weighted_sample"] = _WEIGHTED_SAMPLE_SQL
+
+
+def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): draw 100 docs from
+    the raw pool (source != 'src0') distributed like the target domain
+    (source = 'src0'), via hashed unigram+bigram bucket models and a
+    deterministic Gumbel-top-k (``operators/curation.dsir_resample``).
+    Fully SQL-replayable: md5-derived buckets and noise, decimal-exact
+    per-doc log-weights."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.filter(F.col("source") != "src0")
+    target = d.filter(F.col("source") == "src0")
+    out = curation.dsir_resample(raw, target, k=100, n_buckets=256)
+    return out.select("doc_id", "source", F.round("logw", 6).alias("logw"), "priority")
+
+
+_DSIR_SQL = r"""
+WITH
+raw AS (SELECT * FROM documents WHERE source <> 'src0'),
+tgt AS (SELECT * FROM documents WHERE source = 'src0'),
+raw_tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM raw
+),
+tgt_tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM tgt
+),
+raw_gram AS (
+  SELECT doc_id, unnest(list_concat(
+    w,
+    list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                   i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM raw_tok
+),
+tgt_gram AS (
+  SELECT doc_id, unnest(list_concat(
+    w,
+    list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                   i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM tgt_tok
+),
+raw_feat AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM raw_gram GROUP BY 1, 2
+),
+tgt_feat AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM tgt_gram GROUP BY 1, 2
+),
+rc AS (SELECT bucket, SUM(cnt) AS rc FROM raw_feat GROUP BY 1),
+tc AS (SELECT bucket, SUM(cnt) AS tc FROM tgt_feat GROUP BY 1),
+buckets AS (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         COALESCE(rc, 0) AS rc, COALESCE(tc, 0) AS tc
+  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+),
+tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM buckets),
+lr AS (
+  SELECT bucket,
+         ln((tc + 0.5) / (ttot + 0.5 * 256))
+         - ln((rc + 0.5) / (rtot + 0.5 * 256)) AS logratio
+  FROM buckets CROSS JOIN tot
+),
+weights AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(f.cnt * lr.logratio AS DECIMAL(28,10))) AS DOUBLE) AS logw
+  FROM raw_feat f JOIN lr ON f.bucket = lr.bucket
+  GROUP BY 1
+),
+scored AS (
+  SELECT r.doc_id, r.source, w.logw,
+         ROUND(w.logw + (- ln(- ln(
+           (('0x' || substr(md5(r.doc_id::VARCHAR || '#g'), 1, 8))::UBIGINT + 1.0)
+           / 4294967297.0))), 9) AS priority
+  FROM raw r JOIN weights w ON r.doc_id = w.doc_id
+)
+SELECT doc_id, source, ROUND(logw, 6) AS logw, priority
+FROM scored
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""
+
+QUERIES["doc_dsir_resample"] = doc_dsir_resample
+ORACLE["doc_dsir_resample"] = _DSIR_SQL

@@ -132,3 +132,51 @@ def test_weighted_sample_favors_heavy_and_is_deterministic(spark):
     assert heavy > 170, f"only {heavy}/200 from the 100x-weight class"
     s2 = [r.doc_id for r in weighted_sample(df, "w", k=200).collect()]
     assert picked == s2
+
+
+class TestDsir:
+    def _frames(self, spark):
+        # target: pure "cat" domain; raw: 30 cat-like + 70 dog-like docs
+        tgt = spark.createDataFrame(
+            [(10_000 + i, "cat feline whiskers purr cat feline") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        raw_rows = [
+            (i, "cat feline purr whiskers cat") for i in range(30)
+        ] + [
+            (100 + i, "dog canine bark fetch dog canine") for i in range(70)
+        ]
+        raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+        return raw, tgt
+
+    def test_weights_rank_target_like_docs_higher(self, spark):
+        raw, tgt = self._frames(spark)
+        w = curation.dsir_importance_weights(raw, tgt, n_buckets=64)
+        rows = {r.doc_id: r.logw for r in w.collect()}
+        cat_mean = sum(rows[i] for i in range(30)) / 30
+        dog_mean = sum(rows[100 + i] for i in range(70)) / 70
+        assert cat_mean > dog_mean + 1.0, (cat_mean, dog_mean)
+
+    def test_resample_skews_toward_target_domain(self, spark):
+        raw, tgt = self._frames(spark)
+        picked = [
+            r.doc_id
+            for r in curation.dsir_resample(raw, tgt, k=30, n_buckets=64).collect()
+        ]
+        assert len(picked) == 30
+        cat_like = sum(1 for d in picked if d < 100)
+        # 30% of the pool is cat-like but should dominate the draw
+        assert cat_like >= 25, f"only {cat_like}/30 target-like"
+
+    def test_resample_is_deterministic(self, spark):
+        raw, tgt = self._frames(spark)
+        a = [r.doc_id for r in curation.dsir_resample(raw, tgt, k=15).collect()]
+        b = [r.doc_id for r in curation.dsir_resample(raw, tgt, k=15).collect()]
+        assert a == b
+
+    def test_logratio_table_is_model_sized(self, spark):
+        raw, tgt = self._frames(spark)
+        rf = curation.hashed_ngram_features(raw, n_buckets=32)
+        tf_ = curation.hashed_ngram_features(tgt, n_buckets=32)
+        lr = curation.dsir_logratio_table(rf, tf_, n_buckets=32)
+        assert lr.count() <= 32
