@@ -400,8 +400,74 @@ HAVING COUNT(*) > 1.12 * (
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event-count
+    series per event type: each hour is scored against the mean/stddev
+    of the trailing 24 hours (current hour excluded, so a spike can't
+    mask itself).  One shuffle to the hourly rollup, then one window
+    pass per type — both engines walk the identical frame, so the
+    score is reproducible; z is rounded to 4 decimals before the flag
+    compare so an engine-boundary ulp can't flip a flag.  At 100 TB
+    the rollup is the only fact-sized shuffle; the window runs over
+    (types x hours) rows — thousands, not billions."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4),
+    )
+    return scored.select(
+        "event_type",
+        "h",
+        "n_events",
+        F.round("mu", 4).alias("mu"),
+        z.alias("z"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > 2.0).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, h, n_events,
+         AVG(n_events) OVER w AS mu,
+         STDDEV_SAMP(n_events) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, n_events,
+       ROUND(mu, 4) AS mu,
+       CASE WHEN sigma > 0 THEN ROUND((n_events - mu) / sigma, 4) END AS z,
+       COALESCE(ABS(CASE WHEN sigma > 0
+                         THEN ROUND((n_events - mu) / sigma, 4) END), 0.0) > 2.0
+         AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_sliding": events_sliding,
     "events_multires_rollup": events_multires_rollup,
     "events_ohlc_hourly": events_ohlc_hourly,
@@ -416,6 +482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "event_heavy_hitters": _HEAVY_HITTERS_SQL,
+    "events_anomaly_zscore": _ANOMALY_SQL,
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_multires_rollup": _MULTIRES_SQL,

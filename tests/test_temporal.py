@@ -283,3 +283,45 @@ def test_gap_fill_locf_grid_and_carry(spark):
         (1, 30): 2.0,  # carried from t=20
         (2, 10): 7.0,  # exact hit at the only grid point
     }
+
+
+def test_anomaly_zscore_flags_planted_spike(spark, sf_dir):
+    """A synthetic hourly series with one 10x spike: only the spike hour
+    is flagged, and warm-up hours (no trailing history) are unflagged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(48):
+        n = 100 if hour != 40 else 1000  # flat series, one spike
+        n += hour % 3  # mild jitter so sigma > 0
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=hour), 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # same expressions as plans.events.events_anomaly_zscore, driven over
+    # the planted frame instead of the fixture dir
+    from pyspark.sql import Window
+
+    hourly = df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "h",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    ).collect()
+    flagged = [
+        r.h.hour + (r.h.day - 1) * 24
+        for r in scored
+        if r.sigma and abs((r.n_events - r.mu) / r.sigma) > 2
+    ]
+    assert 40 in flagged
+    assert all(h >= 2 for h in flagged), flagged
