@@ -851,3 +851,49 @@ def test_logistic_fit_separable_and_monotone(spark):
     assert beta[1] / n > 0.6 and beta[2] / n > 0.6
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_index_persist_matches_inline_and_prunes(spark, sf_dir):
+    """Probing the persisted IVF index returns exactly what the inline
+    ivf_topk computes (same deterministic codebook), and the probe scan
+    is partition-pruned down to the nprobe cells."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+    from gcp_cloudsql_airflow_bigquery_spark.plans.llmdata import _emb
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    similarity.materialize_ivf_index(
+        emb, table="t_ivf_idx", n_centroids=8, iters=2
+    )
+    via_index = similarity.ivf_topk_from_index(
+        queries, table="t_ivf_idx", k=10, nprobe=3
+    )
+    inline = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, n_centroids=8, nprobe=3, iters=2
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in via_index.collect()
+    }
+    assert got == inline
+    # the corpus scan must carry a partition filter on cluster — the
+    # static IN list, not a post-scan filter over every cell
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:2000]
+
+
+def test_ivf_index_codebook_is_model_sized(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+    from gcp_cloudsql_airflow_bigquery_spark.plans.llmdata import _emb
+
+    emb = _emb(spark, sf_dir)
+    similarity.materialize_ivf_index(emb, table="t_ivf_cb", n_centroids=8)
+    cb = spark.table("t_ivf_cb_codebook").collect()
+    assert len(cb) == 8
+    assert all(len(r.centroid) == len(cb[0].centroid) for r in cb)
