@@ -544,13 +544,15 @@ def materialize_ivf_index(
 
     Returns the codebook so the caller can probe immediately without
     re-reading it."""
+    from ..pipeline import drop_managed_table
+
     spark = embeddings.sparkSession
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
     assigned = embeddings.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).withColumn("cluster", ivf_assign(_normalize(F.col("vec")), centroids))
     for t in (table, f"{table}_codebook"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        drop_managed_table(spark, t)
     assigned.write.mode("overwrite").partitionBy("cluster").saveAsTable(table)
     cb = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],

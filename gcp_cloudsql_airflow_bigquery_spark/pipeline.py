@@ -383,6 +383,20 @@ def run_pipelines(
     return [run_pipeline(spark, s, warehouse, sink=sink) for s in specs]
 
 
+def drop_managed_table(spark, table: str) -> None:
+    """DROP TABLE + clear its managed warehouse location.  A
+    dropped-from-catalog table can leave its directory behind (fresh
+    metastore over an old warehouse dir), which fails the next
+    ``saveAsTable`` with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -401,15 +415,7 @@ def write_bucketed(
     (``saveAsTable``), not path-based parquet.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a dropped-from-catalog table can leave its managed location behind
-    # (fresh metastore, old warehouse dir); clear it or saveAsTable fails
-    jvm = spark._jvm
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
-    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    drop_managed_table(spark, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_keys)
     writer = writer.sortBy(*(sort_keys or bucket_keys))
     writer.format("parquet").saveAsTable(table)

@@ -967,3 +967,38 @@ def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["embedding_covariance_matrix"] = embedding_covariance
 ORACLE["embedding_covariance_matrix"] = _EMB_COV_SQL
 QUERIES["embedding_pca_projected"] = embedding_pca_projected
+
+
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 24-merge BPE vocabulary on the corpus (rows-only: the
+    merge sequence is iterative and not SQL-expressible; the trainer is
+    differential-tested against a pure-Python BPE in
+    tests/test_tokenizer.py).  One corpus-sized word-count pass, then
+    one vocabulary-sized Spark job per merge round
+    (``operators/tokenizer.bpe_train``)."""
+    from ..operators import tokenizer
+
+    merges = tokenizer.bpe_train(_docs(spark, sf_dir), n_merges=24)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string, weighted_count long",
+    )
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with its own trained BPE vocabulary; per-doc
+    BPE token count vs character length (the compression the vocab
+    buys).  Encoding folds run once per DISTINCT word, then join back
+    (rows-only; differential-tested)."""
+    from ..operators import tokenizer
+
+    docs = _docs(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, n_merges=24)
+    enc = tokenizer.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", F.size("tokens").alias("n_bpe_tokens")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+
+
+QUERIES["doc_bpe_vocab"] = doc_bpe_vocab
+QUERIES["doc_bpe_tokens"] = doc_bpe_tokens
