@@ -424,3 +424,79 @@ def nfc_clean_udf():
     # annotations can't be resolved by pandas_udf's hint inference)
     _clean.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_clean, "string")
+
+
+GOPHER_REQUIRED_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A):
+    per-doc metrics + one boolean per rule + the overall keep flag.
+
+    All metrics are single-pass array expressions over the token list —
+    narrow, whole-stage-codegen, zero shuffles; the token array is
+    let-bound once per row (HOF captures re-evaluate, see
+    :func:`word_ngrams`).  Line-shape rules (bullet/ellipsis fractions)
+    are omitted: the fixture corpus is single-line text.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    bound = F.struct(toks.alias("w"), F.size(toks).alias("n"))
+
+    def metrics(s: Column) -> Column:
+        w, n = s["w"], s["n"]
+        mean_len = F.when(
+            n > 0,
+            F.aggregate(
+                w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+            )
+            / n,
+        )
+        alpha = F.when(
+            n > 0, F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n
+        )
+        hits = F.size(
+            F.filter(
+                F.array(*[F.lit(x) for x in GOPHER_REQUIRED_WORDS]),
+                lambda s_: F.array_contains(w, s_),
+            )
+        )
+        return F.struct(
+            n.alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(alpha, 6).alias("alpha_word_frac"),
+            hits.alias("required_word_hits"),
+        )
+
+    m = F.element_at(F.transform(F.array(bound), metrics), 1)
+    out = docs.select(id_col, m.alias("m")).select(
+        id_col,
+        "m.n_words",
+        "m.mean_word_len",
+        "m.alpha_word_frac",
+        "m.required_word_hits",
+    )
+    ok_words = F.col("n_words").between(min_words, max_words)
+    ok_mwl = F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+    ok_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    ok_req = F.col("required_word_hits") >= min_required_hits
+    return out.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_req.alias("ok_required_words"),
+        (ok_words & ok_mwl & ok_alpha & ok_req).alias("keep"),
+    )

@@ -502,3 +502,48 @@ ORACLE: dict[str, str] = {
     "table_profile": _PROFILE_SQL,
 }
 
+
+
+def doc_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality report (word-count / mean-word-length /
+    alphabetic-word-fraction / required-stopword rules), one row per
+    doc with per-rule booleans and the overall keep flag
+    (``operators/textstats.gopher_report``).  ``min_required_hits=1``
+    here: the synthetic corpus vocabulary contains only one of
+    Gopher's eight required words, so the published threshold of 2
+    would be all-false (non-discriminative); the operator default
+    keeps the paper's value."""
+    return textstats.gopher_report(_docs(spark, sf_dir), min_required_hits=1)
+
+
+_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         ROUND(CASE WHEN len(w) > 0 THEN
+           list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE))) / len(w)
+         END, 6) AS mean_word_len,
+         ROUND(CASE WHEN len(w) > 0 THEN
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
+         END, 6) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(w, s))) AS required_word_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, required_word_hits,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+       alpha_word_frac >= 0.8 AS ok_alpha_frac,
+       required_word_hits >= 1 AS ok_required_words,
+       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND alpha_word_frac >= 0.8 AND required_word_hits >= 1 AS keep
+FROM m
+"""
+
+QUERIES["doc_gopher_report"] = doc_gopher_report
+ORACLE["doc_gopher_report"] = _GOPHER_SQL
