@@ -373,3 +373,58 @@ def dsir_resample(
         "priority", F.round(F.col("logw") + gumbel, 9)
     )
     return scored.orderBy(F.desc("priority"), id_col).limit(k)
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: training docs whose
+    word-shingle Jaccard similarity to ANY single benchmark item
+    reaches ``threshold`` (catches paraphrase-level leaks the exact
+    n-gram overlap count misses).  Returns
+    ``(id, best_match, jaccard)`` — the highest-scoring benchmark item
+    per contaminated doc, ties to the smallest benchmark id.
+
+    Scale shape: the benchmark inverted index (gram-hash → bench id)
+    broadcasts — eval suites are KBs–MBs against a 100 TB corpus — so
+    the train side is ONE narrow scan whose exploded grams hash-probe
+    the index map-side; only rows sharing a gram survive to the
+    (train, bench) intersection count, the single shuffle, sized by
+    actual overlap rather than the corpus.  Grams travel as 64-bit
+    hashes (collision-exact to ~|grams|²/2⁶⁴), same contract as
+    :func:`decontaminate`."""
+    arr = F.array_distinct(word_ngram_hashes(F.col(text_col), shingle_n))
+    tsh = train.select(
+        F.col(id_col), F.size(arr).alias("n_t"), F.explode(arr).alias("gram")
+    )
+    bsh = benchmark.select(
+        F.col(id_col).alias(bench_id_col),
+        F.size(arr).alias("n_b"),
+        F.explode(arr).alias("gram"),
+    )
+    inter = (
+        tsh.join(F.broadcast(bsh), "gram")
+        .groupBy(id_col, bench_id_col, "n_t", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = inter.select(
+        id_col,
+        bench_id_col,
+        F.round(
+            F.col("inter") / (F.col("n_t") + F.col("n_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("jaccard").desc(), F.col(bench_id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col(bench_id_col).alias("best_match"), "jaccard")
+    )

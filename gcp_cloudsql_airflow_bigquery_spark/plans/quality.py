@@ -182,6 +182,49 @@ GROUP BY train.doc_id ORDER BY train.doc_id
 """
 
 
+def doc_decontaminated_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval-leak audit: training docs whose 3-gram
+    Jaccard to any single test-split item reaches 0.5 — paraphrase-
+    level contamination the exact 8-gram count misses
+    (``operators/curation.decontaminate_fuzzy``)."""
+    docs = curation.assign_splits(_docs(spark, sf_dir))
+    train = docs.filter(F.col("split") == "train")
+    bench = docs.filter(F.col("split") == "test")
+    return curation.decontaminate_fuzzy(train, bench, threshold=0.5, shingle_n=3)
+
+
+_DECONTAM_FUZZY_SQL = f"""
+WITH s AS (SELECT doc_id, {_WORDS} AS words, {_SPLIT_CASE} AS split
+           FROM documents),
+g AS (SELECT doc_id, split,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(words) - 2, 0)),
+                 i -> array_to_string(words[i : i + 2], ' '))) AS grams
+      FROM s),
+train AS (SELECT doc_id, len(grams) AS n_t, unnest(grams) AS gram
+          FROM g WHERE split = 'train'),
+bench AS (SELECT doc_id AS bench_id, len(grams) AS n_b, unnest(grams) AS gram
+          FROM g WHERE split = 'test'),
+inter AS (
+  SELECT t.doc_id, b.bench_id, t.n_t, b.n_b, COUNT(*) AS inter
+  FROM train t JOIN bench b USING (gram)
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT doc_id, bench_id,
+         ROUND(CAST(inter AS DOUBLE) / (n_t + n_b - inter), 6) AS jaccard
+  FROM inter
+),
+best AS (
+  SELECT doc_id, bench_id AS best_match, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, bench_id) AS rn
+  FROM scored WHERE jaccard >= 0.5
+)
+SELECT doc_id, best_match, jaccard FROM best WHERE rn = 1
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 
 _PACK_BUDGET = 512
@@ -486,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": doc_pii_redact,
     "doc_repetition": doc_repetition,
     "doc_decontaminated": doc_decontaminated,
+    "doc_decontaminated_fuzzy": doc_decontaminated_fuzzy,
     "doc_packed_bins": doc_packed_bins,
     "table_profile": table_profile,
     "corpus_funnel": corpus_funnel,
@@ -498,6 +542,7 @@ ORACLE: dict[str, str] = {
     "doc_pii_redact": _PII_SQL,
     "doc_repetition": _REPETITION_SQL,
     "doc_decontaminated": _DECONTAM_SQL,
+    "doc_decontaminated_fuzzy": _DECONTAM_FUZZY_SQL,
     "doc_packed_bins": _PACK_SQL,
     "table_profile": _PROFILE_SQL,
 }

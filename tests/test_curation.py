@@ -180,3 +180,27 @@ class TestDsir:
         tf_ = curation.hashed_ngram_features(tgt, n_buckets=32)
         lr = curation.dsir_logratio_table(rf, tf_, n_buckets=32)
         assert lr.count() <= 32
+
+
+def test_decontaminate_fuzzy_flags_paraphrase_not_unrelated(spark):
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # one word changed — high shingle overlap
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            # disjoint vocabulary
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.best_match, r.jaccard)
+        for r in curation.decontaminate_fuzzy(
+            train, bench, threshold=0.4, shingle_n=3
+        ).collect()
+    }
+    assert 1 in got and got[1][0] == 1000 and got[1][1] >= 0.4
+    assert 2 not in got
