@@ -100,3 +100,71 @@ def test_repair_csv_columns(spark):
     assert out[0].a is None and out[0].b == "ok"
     assert out[1].a is None and out[1].b == "line\\r"
     assert out[2].a == "x" and out[2].b is None
+
+
+class TestSchemaEvolution:
+    def test_widen_type_lattice(self):
+        from pyspark.sql import types as T
+
+        from gcp_cloudsql_airflow_bigquery_spark.functions.evolve import widen_type
+
+        assert widen_type(T.IntegerType(), T.LongType()) == T.LongType()
+        assert widen_type(T.LongType(), T.IntegerType()) == T.LongType()
+        assert widen_type(T.FloatType(), T.DoubleType()) == T.DoubleType()
+        assert widen_type(T.IntegerType(), T.FloatType()) == T.DoubleType()
+        assert widen_type(T.DateType(), T.TimestampType()) == T.TimestampType()
+        # int digits max(8, 8) = 8, scale max(2, 4) = 4 -> (12, 4)
+        assert (
+            widen_type(T.DecimalType(10, 2), T.DecimalType(12, 4))
+            == T.DecimalType(12, 4)
+        )
+        assert widen_type(T.DecimalType(10, 2), T.LongType()) == T.DecimalType(22, 2)
+        # irreconcilable -> the reference's STRING fallback
+        assert widen_type(T.BooleanType(), T.LongType()) == T.StringType()
+        assert (
+            widen_type(
+                T.ArrayType(T.IntegerType()), T.ArrayType(T.LongType())
+            )
+            == T.ArrayType(T.LongType(), True)
+        )
+
+    def test_union_evolved_over_drifted_snapshots(self, spark):
+        import datetime as dt
+
+        from gcp_cloudsql_airflow_bigquery_spark.functions.evolve import (
+            union_evolved,
+        )
+
+        day1 = spark.createDataFrame(
+            [(1, 10, dt.date(2024, 1, 1))], "id int, v int, d date"
+        )
+        # v widened to bigint, d became timestamp, new column extra
+        day2 = spark.createDataFrame(
+            [(2, 20_000_000_000, dt.datetime(2024, 1, 2, 3), "x")],
+            "id int, v bigint, d timestamp, extra string",
+        )
+        out = union_evolved([day1, day2])
+        assert [f.name for f in out.schema.fields] == ["id", "v", "d", "extra"]
+        types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert types == {
+            "id": "int",
+            "v": "bigint",
+            "d": "timestamp",
+            "extra": "string",
+        }
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].extra is None and rows[1].v == 10
+        assert rows[1].d == dt.datetime(2024, 1, 1, 0, 0)
+        assert rows[2].v == 20_000_000_000 and rows[2].extra == "x"
+
+    def test_union_evolved_conflicting_types_fall_back_to_string(self, spark):
+        from gcp_cloudsql_airflow_bigquery_spark.functions.evolve import (
+            union_evolved,
+        )
+
+        a = spark.createDataFrame([(1, True)], "id int, flag boolean")
+        b = spark.createDataFrame([(2, 7)], "id int, flag bigint")
+        out = union_evolved([a, b])
+        assert dict(out.dtypes)["flag"] == "string"
+        vals = {r.id: r.flag for r in out.collect()}
+        assert vals == {1: "true", 2: "7"}
