@@ -314,3 +314,67 @@ def gap_fill_locf(
     return filled.filter(F.col("_marker") == 1).select(
         *by, F.col(ts_col), F.col("_fill").alias(value_col)
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    gap_s: int,
+    max_duration_s: int,
+    ts_col: str = "ts_us",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a maximum session
+    duration: a new session starts when the gap to the previous event
+    exceeds ``gap_s`` OR the event would stretch the session past
+    ``max_duration_s`` from its first event.  Timestamps are int64
+    epoch microseconds (``ts_us``).
+
+    The duration cap makes the break condition depend on the running
+    session START — a sequential per-key recurrence that windowed SQL
+    cannot express (gaps-and-islands only handles the gap rule), so
+    this is the textbook ``applyInPandas`` case: one shuffle on the
+    session key, then an Arrow-batched linear pass per key.  Per-key
+    event counts are bounded in practice (a "user-day" style key at
+    100 TB); a pathological hot key would be pre-split by date before
+    calling this.
+
+    Returns one row per session: (key, session_start, session_end,
+    n_events, duration_us).
+    """
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+    max_us = max_duration_s * 1_000_000
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy()
+        out = []
+        start = prev = None
+        n = 0
+        for t in ts:
+            if start is None:
+                start, prev, n = t, t, 1
+                continue
+            if (t - prev > gap_us) or (t - start > max_us):
+                out.append((start, prev, n, prev - start))
+                start, prev, n = t, t, 1
+            else:
+                prev, n = t, n + 1
+        if start is not None:
+            out.append((start, prev, n, prev - start))
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            [(key, s, e, c, d) for s, e, c, d in out],
+            columns=[key_col, "session_start", "session_end", "n_events", "duration_us"],
+        )
+
+    schema = (
+        f"{key_col} long, session_start long, session_end long, "
+        "n_events long, duration_us long"
+    )
+    return (
+        events.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandas(kernel, schema)
+    )

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.temporal import asof_join, interval_point_join
+from ..operators.temporal import (
+    asof_join,
+    interval_point_join,
+    sessionize_capped,
+)
 
 _BLACKOUT_US = 1_800_000_000  # ±30 min in epoch micros
 
@@ -277,7 +281,41 @@ FROM grid g
 """
 
 
+def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 12-hour inactivity gap AND a 48-hour
+    maximum session duration (``operators/temporal.sessionize_capped``,
+    Arrow-batched per-user kernel — the duration cap is a sequential
+    recurrence windowed SQL can't express).  Thresholds sit inside the
+    fixture's inter-event gap distribution (median ~7 h) so BOTH rules
+    actually fire.  Oracle: a DuckDB recursive CTE carrying the running
+    session start through the per-user event sequence."""
+    ev = _events_us(spark, sf_dir)
+    return sessionize_capped(ev, gap_s=43_200, max_duration_s=172_800)
+
+
+_SESSION_CAPPED_SQL = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, t, t AS sess_start FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN e.t - r.t > 43200000000 OR e.t - r.sess_start > 172800000000
+              THEN e.t ELSE r.sess_start END
+  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, sess_start AS session_start, MAX(t) AS session_end,
+       COUNT(*) AS n_events, MAX(t) - sess_start AS duration_us
+FROM r GROUP BY user_id, sess_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_session_capped": events_session_capped,
     "events_asof_purchase": events_asof_purchase,
     "events_error_blackout": events_error_blackout,
     "events_session_error_overlap": events_session_error_overlap,
@@ -286,6 +324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "events_session_capped": _SESSION_CAPPED_SQL,
     "events_asof_purchase": _ASOF_SQL,
     "events_error_blackout": _BLACKOUT_SQL,
     "events_session_error_overlap": _SESSION_OVERLAP_SQL,

@@ -325,3 +325,28 @@ def test_anomaly_zscore_flags_planted_spike(spark, sf_dir):
     ]
     assert 40 in flagged
     assert all(h >= 2 for h in flagged), flagged
+
+
+def test_sessionize_capped_duration_splits_continuous_stream(spark):
+    """Events every 10 min for 3 h with a 30-min gap allowance: the
+    gap rule alone would yield ONE session; a 1-hour cap must split it
+    into three."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        sessionize_capped,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [(1, base + i * 600_000_000) for i in range(19)]  # 0..180 min
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    sessions = sorted(
+        (r.session_start, r.n_events, r.duration_us)
+        for r in sessionize_capped(ev, gap_s=1800, max_duration_s=3600).collect()
+    )
+    # break occurs when an event stretches past 60 min from the start:
+    # events at 0..60min inclusive stay (7 events), next session starts
+    # at 70min with events 70..130 (7), last 140..180 (5)
+    assert [n for _, n, _ in sessions] == [7, 7, 5]
+    assert all(d <= 3_600_000_000 for _, _, d in sessions)
+    # and without the cap it is one session
+    uncapped = sessionize_capped(ev, gap_s=1800, max_duration_s=10**9).collect()
+    assert len(uncapped) == 1 and uncapped[0].n_events == 19
