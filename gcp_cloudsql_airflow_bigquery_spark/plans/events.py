@@ -400,6 +400,74 @@ HAVING COUNT(*) > 1.12 * (
 """
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: first click per user, then the first
+    purchase STRICTLY AFTER that click, converted only if within 24 h.
+    Unlike the first-touch funnel, the window rule needs the purchase
+    conditioned on each user's click time: one agg for first clicks,
+    a semi-filtered second pass over purchases joined on user_id (both
+    shuffles share the user_id partitioning), then a single global
+    row: clickers, 24 h conversions, median hours-to-convert.
+    Millisecond truncation keeps comparisons engine-exact."""
+    e = _events(spark, sf_dir)
+    ms = F.date_trunc("millisecond", F.col("ts"))
+    clicks = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", ms)).alias("t_click")
+    ).filter(F.col("t_click").isNotNull())
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("t"))
+        .join(clicks, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    dt_us = F.unix_micros(F.col("t_buy")) - F.unix_micros(F.col("t_click"))
+    j = clicks.join(buys, "user_id", "left").select(
+        "user_id",
+        dt_us.alias("dt_us"),
+    )
+    in_win = F.col("dt_us") <= 86_400_000_000
+    return j.agg(
+        F.count("*").alias("n_click_users"),
+        F.sum(in_win.cast("long")).alias("n_converted_24h"),
+        F.round(
+            F.percentile(
+                F.when(in_win, F.col("dt_us") / 3_600_000_000.0), 0.5
+            ),
+            4,
+        ).alias("p50_hours_to_convert"),
+    )
+
+
+_FUNNEL_WINDOWED_SQL = """
+WITH c AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN date_trunc('ms', ts) END) AS t_click
+  FROM events GROUP BY 1
+),
+clicks AS (SELECT * FROM c WHERE t_click IS NOT NULL),
+buys AS (
+  SELECT e.user_id, MIN(date_trunc('ms', e.ts)) AS t_buy
+  FROM events e JOIN clicks k ON e.user_id = k.user_id
+  WHERE e.event_type = 'purchase' AND date_trunc('ms', e.ts) > k.t_click
+  GROUP BY 1
+),
+j AS (
+  SELECT k.user_id,
+         epoch_us(b.t_buy) - epoch_us(k.t_click) AS dt_us
+  FROM clicks k LEFT JOIN buys b ON k.user_id = b.user_id
+)
+SELECT COUNT(*) AS n_click_users,
+       CAST(SUM(CASE WHEN dt_us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted_24h,
+       ROUND(quantile_cont(CASE WHEN dt_us <= 86400000000
+                                THEN dt_us / 3600000000.0 END, 0.5), 4)
+         AS p50_hours_to_convert
+FROM j
+"""
+
+
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection on the hourly event-count
     series per event type: each hour is scored against the mean/stddev
@@ -468,6 +536,7 @@ FROM scored
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": events_tumbling,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_funnel_windowed": events_funnel_windowed,
     "events_sliding": events_sliding,
     "events_multires_rollup": events_multires_rollup,
     "events_ohlc_hourly": events_ohlc_hourly,
@@ -483,6 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "event_heavy_hitters": _HEAVY_HITTERS_SQL,
     "events_anomaly_zscore": _ANOMALY_SQL,
+    "events_funnel_windowed": _FUNNEL_WINDOWED_SQL,
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_multires_rollup": _MULTIRES_SQL,
