@@ -175,3 +175,45 @@ def test_bloom_new_docs_broadcasts_bitmap_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p, p
     # gap-fill/verify side: anti join present on the digest key
     assert "LeftAnti" in p, p
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark, sf_dir):
+    """Catalyst's runtime row-level filtering: when a selective dim
+    side feeds a shuffle join, the optimizer injects a bloom filter on
+    the fact side so non-matching rows die before the exchange — the
+    semi-join reduction that matters at 100 TB (thresholds lowered
+    here because the fixture is far below the production defaults)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
