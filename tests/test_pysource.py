@@ -1,0 +1,86 @@
+"""Custom Python DataSource: partition-parallel determinism + filter
+pushdown contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_airflow_bigquery_spark.sources.pysource import (
+    SyntheticChangefeedSource,
+    SyntheticChangefeedReader,
+    _row,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SyntheticChangefeedSource)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synthetic_changefeed")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_rows_deterministic_and_parallelism_invariant(spark):
+    a = _read(spark, rows=500, pages=8)
+    b = _read(spark, rows=500, pages=3)
+    assert a.count() == 500
+    assert a.rdd.getNumPartitions() == 8
+    assert b.rdd.getNumPartitions() == 3
+    # identical table regardless of page split
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # spot-check against the pure function
+    got = a.filter(F.col("event_id") == 42).first()
+    assert tuple(got) == _row(42)
+
+
+def test_equal_to_filter_pushed_into_source(spark):
+    df = _read(spark, rows=1000, pages=4).filter(F.col("event_type") == "click")
+    rows = df.collect()
+    assert rows and all(r.event_type == "click" for r in rows)
+    want = sum(1 for i in range(1000) if _row(i)[2] == "click")
+    assert len(rows) == want
+    # the filter reached the source: the only residual Filter is the
+    # isnotnull guard — the equality itself no longer appears post-scan
+    # (Python BatchScan doesn't print a PushedFilters list)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "click" not in plan, plan
+    assert "isnotnull(event_type" in plan, plan
+
+
+def test_greater_than_bound_shrinks_partitions(spark):
+    """event_id > N is FULLY handled by the source: generation starts
+    past the bound, so the page ranges themselves shrink."""
+    rdr = SyntheticChangefeedReader({"rows": "1000", "pages": "4"})
+    from pyspark.sql.datasource import GreaterThan
+
+    leftover = list(rdr.pushFilters([GreaterThan(("event_id",), 599)]))
+    assert leftover == []  # fully consumed
+    parts = rdr.partitions()
+    lo = min(p.value[0] for p in parts)
+    hi = max(p.value[1] for p in parts)
+    assert lo == 600 and hi == 1000
+    df = _read(spark, rows=1000, pages=4).filter(F.col("event_id") > 599)
+    assert df.count() == 400
+    assert df.agg(F.min("event_id")).first()[0] == 600
+
+
+def test_source_composes_with_engine_plans(spark):
+    """The custom source is a first-class table: join it to a dim and
+    aggregate, all inside one Catalyst plan."""
+    ev = _read(spark, rows=2000, pages=8)
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(("view", "click", "purchase", "signup", "error"))],
+        "event_type string, type_rank int",
+    )
+    out = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("type_rank", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+    rows = out.collect()
+    assert len(rows) == 5 and sum(r.n for r in rows) == 2000
