@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -62,6 +63,11 @@ class SyntheticChangefeedSource(DataSource):
 
     def reader(self, schema) -> "SyntheticChangefeedReader":
         return SyntheticChangefeedReader(self.options)
+
+    def simpleStreamReader(  # noqa: N802 (API name)
+        self, schema
+    ) -> "SyntheticChangefeedStreamReader":
+        return SyntheticChangefeedStreamReader(self.options)
 
 
 class SyntheticChangefeedReader(DataSourceReader):
@@ -101,3 +107,34 @@ class SyntheticChangefeedReader(DataSourceReader):
             if self.eq_type is not None and row[2] != self.eq_type:
                 continue
             yield row
+
+
+class SyntheticChangefeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the changefeed: each micro-batch drains up to
+    ``batch_rows`` new ids from the same deterministic row function, so
+    stream and batch reads of the feed agree row-for-row (the
+    batch-equivalence property the reference's daily full-copy sync
+    assumes and never checks).
+
+    Offsets are ``{"index": n}`` — a cursor into the feed.
+    ``readBetweenOffsets`` REGENERATES any offset range on demand:
+    replay after failure is exact because rows are a pure function of
+    the id, which is precisely the contract a production changefeed
+    source gets from a server-side log position."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batch_rows", "100"))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator, which generators don't support
+        return (iter([_row(i) for i in range(lo, hi)]), {"index": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter([_row(i) for i in range(int(start["index"]), int(end["index"]))])
