@@ -529,3 +529,62 @@ def snapshot_diff(
             ],
         )
     )
+
+
+def incremental_rollup_merge(
+    existing: DataFrame,
+    delta_rollup: DataFrame,
+    keys: list[str],
+    *,
+    sum_cols: list[str] | None = None,
+    count_col: str | None = "n",
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Maintain a materialized aggregate table incrementally: merge a
+    pre-aggregated DELTA rollup into the existing rollup without
+    touching raw history — ``merge(rollup(base), rollup(delta)) ==
+    rollup(base ∪ delta)`` for the decomposable aggregates (sum, count,
+    min, max; avg = merged sum/count).  The exact-arithmetic
+    counterpart of the sketch rollups in ``operators/frequency`` /
+    ``operators/sketches``: at 100 TB the nightly refresh aggregates
+    ONLY the day's partition (map-side combined), then joins two
+    rollup-sized frames — the raw fact table is never rescanned.
+
+    Both inputs must already be at (keys) grain; the merge is one
+    full-outer join on the keys with per-column combination.
+    """
+    from pyspark.sql import functions as F
+
+    sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    # alias-qualified references: both rollups often derive from the
+    # same base frame, and bare column objects are ambiguous then
+    e = existing.alias("_ex")
+    d = delta_rollup.alias("_dl")
+
+    def ec(c: str):
+        return F.col(f"_ex.{c}")
+
+    def dc(c: str):
+        return F.col(f"_dl.{c}")
+
+    cond = [ec(k).eqNullSafe(dc(k)) for k in keys]
+    out_cols = [F.coalesce(ec(k), dc(k)).alias(k) for k in keys]
+    for c in sum_cols:
+        out_cols.append(
+            (F.coalesce(ec(c), F.lit(0)) + F.coalesce(dc(c), F.lit(0))).alias(c)
+        )
+    if count_col:
+        out_cols.append(
+            (
+                F.coalesce(ec(count_col), F.lit(0))
+                + F.coalesce(dc(count_col), F.lit(0))
+            ).alias(count_col)
+        )
+    for c in min_cols:
+        out_cols.append(F.least(ec(c), dc(c)).alias(c))  # least skips NULL
+    for c in max_cols:
+        out_cols.append(F.greatest(ec(c), dc(c)).alias(c))
+    return e.join(d, cond, "full_outer").select(*out_cols)

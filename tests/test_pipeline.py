@@ -447,3 +447,67 @@ def test_run_pipeline_timeout_is_retryable(spark, sf_dir, warehouse, monkeypatch
     r = P.run_pipeline(spark, spec, warehouse)
     assert r.attempts == 2  # first attempt timed out, second succeeded
     assert r.rows_written == 150
+
+
+def test_incremental_rollup_merge_equals_full_rollup(spark, sf_dir):
+    """merge(rollup(base), rollup(delta)) == rollup(base ∪ delta) for
+    sum/count/min/max — the exact-arithmetic refresh that never rescans
+    the fact table."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
+        incremental_rollup_merge,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta = o.filter(F.col("o_orderkey") % 5 == 0)
+
+    def rollup(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.count("*").alias("n"),
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+
+    merged = incremental_rollup_merge(
+        rollup(base),
+        rollup(delta),
+        ["o_orderstatus", "o_orderpriority"],
+        sum_cols=["total"],
+        count_col="n",
+        min_cols=["first_d"],
+        max_cols=["last_d"],
+    )
+    want = rollup(o)
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
+
+
+def test_incremental_rollup_merge_handles_new_and_missing_keys(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
+        incremental_rollup_merge,
+    )
+
+    e = spark.createDataFrame(
+        [("a", 10, 2, 1, 5), ("b", 7, 1, 3, 3)], "k string, s long, n long, mn long, mx long"
+    )
+    d = spark.createDataFrame(
+        [("b", 3, 1, 0, 9), ("c", 4, 1, 2, 2)], "k string, s long, n long, mn long, mx long"
+    )
+    got = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in incremental_rollup_merge(
+            e, d, ["k"], sum_cols=["s"], count_col="n",
+            min_cols=["mn"], max_cols=["mx"],
+        ).collect()
+    }
+    assert got == {
+        "a": (10, 2, 1, 5),   # untouched key survives
+        "b": (10, 2, 0, 9),   # combined
+        "c": (4, 1, 2, 2),    # new key appears
+    }
