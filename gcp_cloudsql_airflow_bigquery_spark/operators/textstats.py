@@ -500,3 +500,50 @@ def gopher_report(
         ok_req.alias("ok_required_words"),
         (ok_words & ok_mwl & ok_alpha & ok_req).alias("keep"),
     )
+
+
+def hashed_tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, vec): dense hashed TF-IDF document vectors
+    (``array<double>``, length ``dim``) — the bridge from text to the
+    vector operators (k-means cells via ``similarity.ivf_build``, ANN,
+    PCA).  Token buckets come from ``xxhash64 % dim`` (engine-internal
+    is fine here: the vectors feed rows-only vector ops, not a
+    cross-engine oracle).  Two map-side-combined aggregations (tf per
+    (doc, bucket), df per bucket) + a broadcast of the ``dim``-row idf
+    table; densification is a per-row ``transform`` over a
+    ``map_from_entries`` lookup — no pivot, no UDF."""
+    t = F.trim(F.lower(F.col(text_col)))
+    tok = docs.filter(t != "").select(
+        id_col, F.explode(F.split(t, r"\s+")).alias("w")
+    ).select(id_col, (F.abs(F.xxhash64(F.col("w"))) % dim).alias("b"))
+    tf = tok.groupBy(id_col, "b").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("b").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    weighted = (
+        tf.join(F.broadcast(df_), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "b",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("b", "w")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        # try_element_at: NULL (not an ANSI error) on absent buckets;
+        # cast aligns the int sequence with the long map keys
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    return (
+        weighted.groupBy(id_col)
+        .agg(m.alias("m"))
+        .select(id_col, dense.alias("vec"))
+    )

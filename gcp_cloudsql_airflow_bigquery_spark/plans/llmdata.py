@@ -1002,3 +1002,35 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_bpe_vocab"] = doc_bpe_vocab
 QUERIES["doc_bpe_tokens"] = doc_bpe_tokens
+
+
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering: hashed TF-IDF doc vectors
+    (``textstats.hashed_tfidf_vectors``) clustered by the deterministic
+    spherical k-means codebook (``similarity.ivf_build``/``ivf_assign``
+    — the same machinery as the ANN index, fed from text instead of
+    embeddings).  Rows-only: k-means is iterative.  Output: per-doc
+    cluster + per-cluster size/top-source audit."""
+    docs = _docs(spark, sf_dir)
+    vecs = textstats.hashed_tfidf_vectors(docs, dim=64)
+    centroids = similarity.ivf_build(
+        vecs, n_centroids=8, iters=2, id_col="doc_id", vec_col="vec"
+    )
+    assigned = vecs.select(
+        "doc_id",
+        similarity.ivf_assign(
+            similarity._normalize(similarity._as_double("vec")), centroids
+        ).alias("topic"),
+    )
+    return (
+        assigned.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("topic")
+    )
+
+
+QUERIES["doc_topic_clusters"] = doc_topic_clusters

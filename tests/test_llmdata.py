@@ -897,3 +897,48 @@ def test_ivf_index_codebook_is_model_sized(spark, sf_dir):
     cb = spark.table("t_ivf_cb_codebook").collect()
     assert len(cb) == 8
     assert all(len(r.centroid) == len(cb[0].centroid) for r in cb)
+
+
+def test_hashed_tfidf_vectors_shape_and_weighting(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import (
+        hashed_tfidf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb aaa"), (2, "aaa ccc"), (3, "")],
+        ["doc_id", "text"],
+    )
+    vecs = {r.doc_id: list(r.vec) for r in hashed_tfidf_vectors(docs, dim=16).collect()}
+    assert set(vecs) == {1, 2}  # empty doc drops out
+    assert all(len(v) == 16 for v in vecs.values())
+    # 'aaa' appears in both docs -> idf ln(3/2); doc 1 has tf 2
+    import math
+
+    nz1 = sorted(x for x in vecs[1] if x != 0.0)
+    assert any(abs(x - 2 * math.log(3 / 2)) < 1e-9 for x in nz1)
+
+
+def test_topic_clusters_separate_disjoint_vocabularies(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import (
+        hashed_tfidf_vectors,
+    )
+
+    rows = [(i, "alpha beta gamma delta " * 3) for i in range(20)] + [
+        (100 + i, "omega sigma tau upsilon " * 3) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vecs = hashed_tfidf_vectors(docs, dim=32)
+    cents = similarity.ivf_build(vecs, n_centroids=2, iters=3, id_col="doc_id", vec_col="vec")
+    assigned = {
+        r.doc_id: r.c
+        for r in vecs.select(
+            "doc_id",
+            similarity.ivf_assign(
+                similarity._normalize(similarity._as_double("vec")), cents
+            ).alias("c"),
+        ).collect()
+    }
+    a = {assigned[i] for i in range(20)}
+    b = {assigned[100 + i] for i in range(20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
