@@ -362,3 +362,78 @@ def dedup_ingest_stream(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+CAPPED_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", LongType(), True),
+        StructField("session_end", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+_CAPPED_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType(), True),
+        StructField("last", LongType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def _make_capped_sessions_fn(gap_us: int, max_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int, int]] = []
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts_us"])
+        ts.sort()
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif (t - last > gap_us) or (t - start > max_us):
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return fn
+
+
+def capped_sessions_stream(
+    events: DataFrame, gap_s: int, max_duration_s: int
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.sessionize_capped``: the
+    same gap+max-duration recurrence as an ``applyInPandasWithState``
+    operator — the open session lives in GroupState across
+    micro-batches and CLOSED sessions are emitted as they close
+    (append semantics).  Input needs an int64 ``ts_us`` column and
+    per-key event-time order across batches (a watermarked sort or a
+    log-ordered source provides this in production).
+
+    The batch kernel and this stream produce identical closed sessions
+    on the same ordered feed (asserted in tests/test_streaming.py) —
+    the batch-equivalence property that lets one sessionization
+    definition serve both the backfill and the live path."""
+    fn = _make_capped_sessions_fn(
+        gap_s * 1_000_000, max_duration_s * 1_000_000
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=CAPPED_SESSION_SCHEMA,
+        stateStructType=_CAPPED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -243,3 +243,68 @@ def test_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # phase-1 files not re-ingested
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_capped_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Streaming gap+max-duration sessions: closed sessions emitted
+    across micro-batches equal the batch kernel's sessions minus each
+    user's final (still-open) one."""
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        sessionize_capped,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    )
+    # 4 time-ordered chunks with strictly increasing mtimes so the file
+    # source replays them in event-time order (per-key order across
+    # batches is the operator's documented input contract)
+    chunked = ev.withColumn(
+        "chunk",
+        F.ntile(4).over(Window.orderBy("ts_us")),
+    )
+    src = str(tmp_path / "capped_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(1, 5):
+        part = str(tmp_path / f"part{i}")
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).json(part)
+        for f in os.listdir(part):
+            if f.endswith(".json"):
+                os.replace(os.path.join(part, f), os.path.join(src, f"{i:02d}.json"))
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    streams.run_to_memory(
+        streams.capped_sessions_stream(stream, gap_s=43_200, max_duration_s=172_800),
+        "t_capped_sessions",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_capped_sessions").collect()
+    }
+    batch = sessionize_capped(ev, gap_s=43_200, max_duration_s=172_800)
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    batch_closed = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)  # drop each user's final/open session
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_closed.collect()
+    }
+    assert got == want and len(got) > 100
