@@ -588,3 +588,39 @@ def incremental_rollup_merge(
     for c in max_cols:
         out_cols.append(F.greatest(ec(c), dc(c)).alias(c))
     return e.join(d, cond, "full_outer").select(*out_cols)
+
+
+def purge_keys(
+    spark: SparkSession,
+    targets: dict[str, str],
+    forget: DataFrame,
+    key_col: str = "key",
+) -> dict[str, int]:
+    """Right-to-be-forgotten propagation: delete every row carrying a
+    forgotten key from each target parquet table.  ``targets`` maps
+    table path → its key column; ``forget`` holds the keys (one column,
+    ``key_col``).
+
+    Scale shape: the forget set is person-sized (thousands against a
+    100 TB lake), so each table is ONE scan with a broadcast LEFT ANTI
+    join — no shuffle of the table — written to a versioned sibling and
+    swapped into place with metadata-only renames (same crash-safe swap
+    as :func:`merge_parquet`).  Returns rows deleted per path; a path
+    whose count is 0 was still rewritten (the audit trail that the
+    purge ran is part of the contract).  On partitioned tables, pair
+    with a key→partition index to rewrite only affected partitions.
+    """
+    fk = forget.select(F.col(key_col).alias("__forget_key")).distinct()
+    deleted: dict[str, int] = {}
+    for path, col in targets.items():
+        df = spark.read.parquet(path)
+        before = df.count()
+        kept = df.join(
+            F.broadcast(fk), df[col] == F.col("__forget_key"), "left_anti"
+        )
+        version = time.strftime("%Y%m%d%H%M%S")
+        vdir = f"{path}__purge{version}"
+        kept.write.mode("overwrite").parquet(vdir)
+        _swap_into_place(spark, path, vdir, version)
+        deleted[path] = before - spark.read.parquet(path).count()
+    return deleted

@@ -1391,3 +1391,47 @@ SELECT a AS c_custkey, LEAST(a, MIN(b)) AS entity_id FROM reach GROUP BY a
 
 QUERIES["customer_entity_clusters"] = customer_entity_clusters
 ORACLE["customer_entity_clusters"] = _ENTITY_CLUSTERS_SQL
+
+
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar functions over synthetic URLs derived from customer
+    rows (the fixtures carry no URLs, so both engines build the SAME
+    url in-query — the doc_pii_redact pattern): ``parse_url`` host /
+    path / query-param extraction on the Spark side, regexp replays on
+    the DuckDB side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("c_nationkey") % 5).cast("string"),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.lower(F.col("c_mktsegment")),
+        F.lit("&v=2"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("seg")).alias("seg"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+    )
+
+
+_URL_SQL = r"""
+WITH u AS (
+  SELECT c_custkey,
+         'https://shop' || (c_nationkey % 5) || '.example.com/cust/' ||
+         c_custkey || '?seg=' || lower(c_mktsegment) || '&v=2' AS url
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT c_custkey,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto
+FROM u
+"""
+
+QUERIES["url_funcs"] = url_funcs
+ORACLE["url_funcs"] = _URL_SQL

@@ -511,3 +511,34 @@ def test_incremental_rollup_merge_handles_new_and_missing_keys(spark):
         "b": (10, 2, 0, 9),   # combined
         "c": (4, 1, 2, 2),    # new key appears
     }
+
+
+def test_purge_keys_deletes_across_tables(spark, tmp_path):
+    """Right-to-be-forgotten: keys disappear from every target table,
+    other rows survive byte-for-byte, and per-table delete counts are
+    reported."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import purge_keys
+
+    orders_p = str(tmp_path / "p_orders")
+    events_p = str(tmp_path / "p_events")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "cust long, amt long, x string"
+    ).write.parquet(orders_p)
+    spark.createDataFrame(
+        [(1, "click"), (1, "view"), (4, "click")], "user long, et string"
+    ).write.parquet(events_p)
+
+    forget = spark.createDataFrame([(1,), (3,)], "key long")
+    deleted = purge_keys(
+        spark, {orders_p: "cust", events_p: "user"}, forget
+    )
+    assert deleted == {orders_p: 2, events_p: 2}
+    left_o = {tuple(r) for r in spark.read.parquet(orders_p).collect()}
+    assert left_o == {(2, 20, "b")}
+    left_e = {tuple(r) for r in spark.read.parquet(events_p).collect()}
+    assert left_e == {(4, "click")}
+    # idempotent: second purge deletes nothing but still succeeds
+    deleted2 = purge_keys(spark, {orders_p: "cust"}, forget)
+    assert deleted2 == {orders_p: 0}
