@@ -1435,3 +1435,68 @@ FROM u
 
 QUERIES["url_funcs"] = url_funcs
 ORACLE["url_funcs"] = _URL_SQL
+
+
+def part_affinity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top part pairs by pointwise mutual
+    information (co-order frequency vs independence), support ≥ 3
+    orders.  The pair space is the per-order self-join of DISTINCT
+    items — bounded by (items-per-order)² per order, linear in orders
+    at any scale; part frequencies join on the uniform ``l_partkey``
+    key.  Deterministic top-50 (rounded PMI desc, then pair)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    scored = (
+        pairs.join(freq.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(freq.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+        .crossJoin(F.broadcast(n))  # scalar stays in-plan, no driver action
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("n_orders").cast("double")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "pa", "pb").limit(50)
+
+
+_PMI_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+freq AS (SELECT l_partkey, COUNT(*) AS n_p FROM items GROUP BY 1)
+SELECT pa, pb, n_ab,
+       ROUND(ln(n_ab * CAST(n.n_orders AS DOUBLE) / (fa.n_p * fb.n_p)), 6) AS pmi
+FROM pairs
+JOIN freq fa ON pairs.pa = fa.l_partkey
+JOIN freq fb ON pairs.pb = fb.l_partkey
+CROSS JOIN n
+ORDER BY pmi DESC, pa, pb
+LIMIT 50
+"""
+
+QUERIES["part_affinity_pmi"] = part_affinity_pmi
+ORACLE["part_affinity_pmi"] = _PMI_SQL
