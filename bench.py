@@ -71,6 +71,17 @@ HEADLINE = [
     ("embedding_covariance_matrix", llmdata.QUERIES),
     ("doc_weighted_sample", curation.QUERIES),
     ("doc_bm25_search", search.QUERIES),
+    # r4 wave 2: importance resampling, fuzzy decontamination, anomaly
+    # scoring, the stateful-kernel sessionization, and the PMI basket
+    # join — the new surfaces whose cost should be tracked from the
+    # round they landed
+    ("doc_dsir_resample", curation.QUERIES),
+    ("doc_decontaminated_fuzzy", quality.QUERIES),
+    ("events_anomaly_zscore", events.QUERIES),
+    ("events_funnel_windowed", events.QUERIES),
+    ("events_session_capped", temporal.QUERIES),
+    ("doc_gopher_report", quality.QUERIES),
+    ("part_affinity_pmi", advanced.QUERIES),
 ]
 
 

@@ -383,6 +383,7 @@ def decontaminate_fuzzy(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate benchmark decontamination: training docs whose
     word-shingle Jaccard similarity to ANY single benchmark item
@@ -398,7 +399,17 @@ def decontaminate_fuzzy(
     (train, bench) intersection count, the single shuffle, sized by
     actual overlap rather than the corpus.  Grams travel as 64-bit
     hashes (collision-exact to ~|grams|²/2⁶⁴), same contract as
-    :func:`decontaminate`."""
+    :func:`decontaminate`.
+
+    ``parallelism``: optional pre-explosion repartition of the train
+    side.  Shingling is ~100× CPU per input byte, so scan-aligned
+    partitioning under-parallelizes whenever the corpus sits in few
+    files (a single-file sf0.1 fixture ran the whole explosion on one
+    task: measured 11.1 s → 1.5 s with ``parallelism=32``).  At real
+    scale the scan has thousands of splits and the knob stays None —
+    a full-text shuffle is not a default anyone should pay."""
+    if parallelism:
+        train = train.repartition(parallelism)
     arr = F.array_distinct(word_ngram_hashes(F.col(text_col), shingle_n))
     tsh = train.select(
         F.col(id_col), F.size(arr).alias("n_t"), F.explode(arr).alias("gram")

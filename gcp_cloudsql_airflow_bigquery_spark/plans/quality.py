@@ -183,14 +183,20 @@ GROUP BY train.doc_id ORDER BY train.doc_id
 
 
 def doc_decontaminated_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate eval-leak audit: training docs whose 3-gram
+    """Near-duplicate eval-leak audit: training docs whose 5-gram
     Jaccard to any single test-split item reaches 0.5 — paraphrase-
     level contamination the exact 8-gram count misses
-    (``operators/curation.decontaminate_fuzzy``)."""
+    (``operators/curation.decontaminate_fuzzy``).  5-grams, not 3:
+    the fixtures' small vocabulary makes 3-grams collide across
+    unrelated docs (measured 2303 candidate pairs vs 6 at n=5 for the
+    IDENTICAL contamination hit set — gram specificity is the knob
+    that keeps the intersection shuffle proportional to true overlap)."""
     docs = curation.assign_splits(_docs(spark, sf_dir))
     train = docs.filter(F.col("split") == "train")
     bench = docs.filter(F.col("split") == "test")
-    return curation.decontaminate_fuzzy(train, bench, threshold=0.5, shingle_n=3)
+    return curation.decontaminate_fuzzy(
+        train, bench, threshold=0.5, shingle_n=5, parallelism=32
+    )
 
 
 _DECONTAM_FUZZY_SQL = f"""
@@ -198,8 +204,8 @@ WITH s AS (SELECT doc_id, {_WORDS} AS words, {_SPLIT_CASE} AS split
            FROM documents),
 g AS (SELECT doc_id, split,
              list_distinct(list_transform(
-                 generate_series(1, greatest(len(words) - 2, 0)),
-                 i -> array_to_string(words[i : i + 2], ' '))) AS grams
+                 generate_series(1, greatest(len(words) - 4, 0)),
+                 i -> array_to_string(words[i : i + 4], ' '))) AS grams
       FROM s),
 train AS (SELECT doc_id, len(grams) AS n_t, unnest(grams) AS gram
           FROM g WHERE split = 'train'),
