@@ -378,3 +378,39 @@ def sessionize_capped(
         .groupBy(key_col)
         .applyInPandas(kernel, schema)
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    start: str = "lo",
+    end: str = "hi",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    disjoint spans (gaps-and-islands): an island starts where the
+    interval's start exceeds the running max end of everything before
+    it.  One shuffle on the key (the sort rides the window), two
+    window passes, one aggregation — no self-join, no recursion.
+    Returns (keys..., lo, hi, n_merged)."""
+    keys = by or []
+    w_order = Window.partitionBy(*keys).orderBy(F.col(start), F.col(end))
+    prev_max_end = F.max(F.col(end)).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.withColumn(
+        "_new_island",
+        (prev_max_end.isNull() | (F.col(start) > prev_max_end)).cast("long"),
+    )
+    island = F.sum("_new_island").over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(start).alias(start),
+            F.max(end).alias(end),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("_island")
+    )

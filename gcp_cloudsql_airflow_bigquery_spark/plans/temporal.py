@@ -19,6 +19,7 @@ from ..catalog import load_table
 from ..operators.temporal import (
     asof_join,
     interval_point_join,
+    merge_intervals,
     sessionize_capped,
 )
 
@@ -314,8 +315,50 @@ FROM r GROUP BY user_id, sess_start
 """
 
 
+def events_blackout_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping ±30-minute error blackout windows per user coalesced
+    into maximal disjoint spans (``operators/temporal.merge_intervals``
+    — gaps-and-islands, no self-join).  The downstream exclusion join
+    then probes ONE interval per span instead of one per error."""
+    ev = _events_us(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts_us") - _BLACKOUT_US).alias("lo"),
+        (F.col("ts_us") + _BLACKOUT_US).alias("hi"),
+    )
+    return merge_intervals(iv, by=["user_id"])
+
+
+_BLACKOUT_MERGED_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) - {_BLACKOUT_US} AS lo,
+         epoch_us(ts) + {_BLACKOUT_US} AS hi
+  FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  SELECT user_id, lo, hi,
+         CASE WHEN lo > MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, lo, hi,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY lo, hi
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, MIN(lo) AS lo, MAX(hi) AS hi, COUNT(*) AS n_merged
+FROM islands GROUP BY user_id, island
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_capped": events_session_capped,
+    "events_blackout_merged": events_blackout_merged,
     "events_asof_purchase": events_asof_purchase,
     "events_error_blackout": events_error_blackout,
     "events_session_error_overlap": events_session_error_overlap,
@@ -325,6 +368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "events_session_capped": _SESSION_CAPPED_SQL,
+    "events_blackout_merged": _BLACKOUT_MERGED_SQL,
     "events_asof_purchase": _ASOF_SQL,
     "events_error_blackout": _BLACKOUT_SQL,
     "events_session_error_overlap": _SESSION_OVERLAP_SQL,

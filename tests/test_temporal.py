@@ -350,3 +350,23 @@ def test_sessionize_capped_duration_splits_continuous_stream(spark):
     # and without the cap it is one session
     uncapped = sessionize_capped(ev, gap_s=1800, max_duration_s=10**9).collect()
     assert len(uncapped) == 1 and uncapped[0].n_events == 19
+
+
+def test_merge_intervals_coalesces_overlaps_and_touches(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 20), (1, 20, 30),   # chain: overlap + touch
+            (1, 40, 50),                            # disjoint
+            (2, 0, 100), (2, 10, 20),               # contained
+        ],
+        "k long, lo long, hi long",
+    )
+    got = {
+        (r.k, r.lo, r.hi, r.n_merged)
+        for r in merge_intervals(iv, by=["k"]).collect()
+    }
+    assert got == {(1, 0, 30, 3), (1, 40, 50, 1), (2, 0, 100, 2)}
