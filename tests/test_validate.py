@@ -77,3 +77,37 @@ def test_report_is_one_aggregate(spark):
         .toString()
     )
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_quarantine_split_routes_and_annotates(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators.validate import (
+        in_range,
+        in_set,
+        not_null,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "F", 10.0),       # clean
+            (2, None, 5.0),       # null status
+            (3, "X", 5.0),        # bad domain
+            (4, "O", -7.0),       # bad range
+            (5, None, 999.0),     # two failures
+        ],
+        "id long, status string, amt double",
+    )
+    checks = [
+        not_null("status"),
+        in_set("status", ["F", "O", "P"]),
+        in_range("amt", 0.0, 100.0),
+    ]
+    clean, quarantined = quarantine_split(df, checks)
+    assert [r.id for r in clean.collect()] == [1]
+    q = {r.id: r.failed_checks for r in quarantined.collect()}
+    assert q[2] == "status_not_null"
+    assert q[3] == "status_domain"
+    assert q[4] == "amt_range"
+    assert q[5] == "status_not_null,amt_range"
+    # row conservation: nothing silently dropped
+    assert clean.count() + quarantined.count() == df.count()
