@@ -183,3 +183,42 @@ def grouped_topk_salted(
         .withColumn("rn", (F.col("_pos") + F.lit(1)).cast("int"))
         .drop("_pos")
     )
+
+
+def skew_report(
+    df, key_cols: list[str], *, top_k: int = 5
+):
+    """One-row join-key skew diagnostic: the pre-flight check that
+    decides between a plain shuffle join, a broadcast, salting
+    (:func:`salted_agg`/:func:`salted_join`), or AQE skew handling.
+
+    Reports row count, distinct keys, mean/max rows per key, the skew
+    factor (max/mean — how much the hottest task exceeds the average if
+    nothing intervenes), p99 rows-per-key, and the share of all rows
+    held by the ``top_k`` hottest keys.  Cost: one partial-agged
+    key-count pass + one ≤keys-sized reduce — safe to run on a 100 TB
+    fact before committing to a join strategy."""
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    top_share = (
+        per_key.orderBy(F.col("n").desc(), *key_cols)
+        .limit(top_k)
+        .agg(F.sum("n").alias("top_n"))
+    )
+    return (
+        per_key.agg(
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.round(F.avg("n"), 4).alias("mean_per_key"),
+            F.max("n").alias("max_per_key"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+            F.percentile_approx("n", 0.99).alias("p99_per_key"),
+        )
+        .crossJoin(F.broadcast(top_share))
+        .select(
+            "*",
+            F.round(F.col("top_n") / F.col("n_rows"), 6).alias("topk_share"),
+        )
+        .drop("top_n")
+    )

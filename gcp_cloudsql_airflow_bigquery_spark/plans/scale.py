@@ -172,3 +172,40 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_value_quantiles_rollup"] = events_value_quantiles_rollup
 QUERIES["events_audience_overlap"] = events_audience_overlap
+
+
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight on events.user_id
+    (``operators/skew.skew_report``): the one-row diagnostic that picks
+    plain/broadcast/salted/AQE strategies before paying for the wrong
+    join.  ``percentile_approx`` is replaced by exact
+    ``quantile_disc`` on the oracle side — both engines pick an actual
+    observed per-key count, and at the fixture's key cardinality the
+    sketch is exact."""
+    from ..operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_k=5)
+
+
+_SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+top5 AS (
+  SELECT SUM(n) AS top_n
+  FROM (SELECT n FROM per_key ORDER BY n DESC, user_id LIMIT 5)
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       ROUND(AVG(n), 4) AS mean_per_key,
+       MAX(n) AS max_per_key,
+       ROUND(MAX(n) / AVG(n), 4) AS skew_factor,
+       QUANTILE_DISC(n, 0.99) AS p99_per_key,
+       ROUND(top_n / CAST(SUM(n) AS DOUBLE), 6) AS topk_share
+FROM per_key CROSS JOIN top5
+GROUP BY top_n
+"""
+
+QUERIES["events_user_skew_report"] = events_user_skew_report
+ORACLE["events_user_skew_report"] = _SKEW_REPORT_SQL
