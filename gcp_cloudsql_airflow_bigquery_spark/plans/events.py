@@ -563,3 +563,34 @@ ORACLE: dict[str, str] = {
     "events_transition_matrix": _TRANSITION_SQL,
     "events_variant_props": _VARIANT_SQL,
 }
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram per event type (``width_bucket``
+    over a fixed [0, 100] domain, 20 bins): one partial-agged shuffle,
+    the per-type distribution profile a monitoring dashboard reads."""
+    ev = _events(spark, sf_dir)
+    bin_ = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(20))
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+_VALUE_HIST_SQL = """
+SELECT event_type,
+       CASE WHEN value < 0 THEN 0
+            WHEN value >= 100 THEN 21
+            ELSE CAST(FLOOR(value / 5.0) AS BIGINT) + 1 END AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["events_value_histogram"] = events_value_histogram
+ORACLE["events_value_histogram"] = _VALUE_HIST_SQL

@@ -1034,3 +1034,62 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_topic_clusters"] = doc_topic_clusters
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    single most-similar corpus vector inside the "near but not
+    duplicate" band (0.10 ≤ cosine ≤ 0.95) — the negatives that
+    actually move an embedding model.  Same broadcast-query scan shape
+    as :func:`knn_bruteforce` (the anchor batch is model-sized); at
+    corpus scale the band filter rides the IVF/LSH candidate paths
+    instead of the exact scan."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 20)
+    scored = similarity.brute_force_topk(emb, anchors, k=50)
+    banded = scored.filter(
+        (F.col("cosine") >= 0.10) & (F.col("cosine") <= 0.95)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("hard_negative_id"),
+            "cosine",
+        )
+    )
+
+
+_HARD_NEG_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS anchor_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, v.e) /
+               (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               6) AS cosine
+  FROM q JOIN v ON q.vec_id != v.vec_id
+),
+topk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+banded AS (
+  SELECT * FROM topk WHERE rank <= 50 AND cosine BETWEEN 0.10 AND 0.95
+)
+SELECT anchor_id, neighbor_id AS hard_negative_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM banded
+) WHERE rn = 1
+"""
+
+QUERIES["embedding_hard_negatives"] = embedding_hard_negatives
+ORACLE["embedding_hard_negatives"] = _HARD_NEG_SQL
