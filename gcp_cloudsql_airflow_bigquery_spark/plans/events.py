@@ -594,3 +594,80 @@ FROM events GROUP BY 1, 2
 
 QUERIES["events_value_histogram"] = events_value_histogram
 ORACLE["events_value_histogram"] = _VALUE_HIST_SQL
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    (first-seen cohort week × week offset), divided by cohort size —
+    the LTV chart every growth dashboard plots.  Two user-grain
+    aggregations sharing the user_id partitioning (cohort assignment,
+    then per-(user, week) revenue), one rollup, and a running-sum
+    window over the tiny (cohort × offset) frame.  Decimal-cast sums
+    keep the cumulative revenue engine-exact."""
+    ev = _events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_wk")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("v").alias("wk_rev"))
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(F.count("*").alias("cohort_users"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort_wk").orderBy("week_offset")
+    return (
+        buys.withColumn("cum_rev", F.sum("wk_rev").over(w))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            F.col("wk_rev").cast("double").alias("wk_rev"),
+            F.col("cum_rev").cast("double").alias("cum_rev"),
+            "cohort_users",
+            F.round(F.col("cum_rev").cast("double") / F.col("cohort_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_wk
+  FROM events GROUP BY 1
+),
+buys AS (
+  SELECT c.cohort_wk,
+         CAST(datediff('day', c.cohort_wk,
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+           AS week_offset,
+         SUM(CAST(e.value AS DECIMAL(18,6))) AS wk_rev
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_users FROM cohort GROUP BY 1)
+SELECT b.cohort_wk, b.week_offset,
+       CAST(b.wk_rev AS DOUBLE) AS wk_rev,
+       CAST(SUM(b.wk_rev) OVER (PARTITION BY b.cohort_wk ORDER BY b.week_offset) AS DOUBLE) AS cum_rev,
+       s.cohort_users,
+       ROUND(CAST(SUM(b.wk_rev) OVER (PARTITION BY b.cohort_wk ORDER BY b.week_offset) AS DOUBLE)
+             / s.cohort_users, 6) AS ltv_per_user
+FROM buys b JOIN sizes s ON b.cohort_wk = s.cohort_wk
+"""
+
+QUERIES["events_cohort_ltv"] = events_cohort_ltv
+ORACLE["events_cohort_ltv"] = _COHORT_LTV_SQL
