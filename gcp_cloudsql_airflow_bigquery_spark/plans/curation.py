@@ -324,3 +324,51 @@ LIMIT 100
 
 QUERIES["doc_dsir_resample"] = doc_dsir_resample
 ORACLE["doc_dsir_resample"] = _DSIR_SQL
+
+
+def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: documents assigned to token-length deciles
+    (shortest→1 … longest→10) with per-bucket stats — the
+    length-ordered schedule many training curricula and
+    padding-efficient batchers consume.  ``ntile`` needs a global
+    order: at this output grain (10 rows) the sort input is the tiny
+    (doc, n_tokens) projection; at 100 TB you bucket by
+    ``percentile_approx`` CUTS instead of a global ntile sort — the
+    same trade documented in ``textstats.unigram_logprob``."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    toks = d.select("doc_id", n_tok.alias("n_tokens"))
+    w = Window.orderBy("n_tokens", "doc_id")
+    return (
+        toks.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        )
+    )
+
+
+_CURRICULUM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(trim(lower(text)), ' ')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM toks
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+       ROUND(AVG(n_tokens), 4) AS mean_tokens
+FROM b GROUP BY 1
+"""
+
+QUERIES["doc_curriculum_buckets"] = doc_curriculum_buckets
+ORACLE["doc_curriculum_buckets"] = _CURRICULUM_SQL

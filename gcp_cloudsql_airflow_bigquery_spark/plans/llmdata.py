@@ -1093,3 +1093,44 @@ SELECT anchor_id, neighbor_id AS hard_negative_id, cosine FROM (
 
 QUERIES["embedding_hard_negatives"] = embedding_hard_negatives
 ORACLE["embedding_hard_negatives"] = _HARD_NEG_SQL
+
+
+def embedding_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column —
+    the feature-scaling step before distance-based ML.  One posexplode
+    pass builds the (dim, mean, std) model (map-side-combined AVG /
+    STDDEV on the fixed-width dim key), which is width-sized and
+    broadcast back for the normalize — the corpus is scanned twice but
+    shuffled never.  Output is exploded (vec_id, dim, z) rows rounded
+    to 6 so both engines hash identically; a production caller keeps
+    the array form via ``zip_with`` against the broadcast model."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 11 == 0)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+    model = ex.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    return (
+        ex.join(F.broadcast(model), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+_EMB_STD_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  WHERE vec_id % 11 = 0
+),
+model AS (
+  SELECT dim, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma FROM ex GROUP BY 1
+)
+SELECT ex.vec_id, ex.dim, ROUND((ex.v - m.mu) / m.sigma, 6) AS z
+FROM ex JOIN model m ON ex.dim = m.dim
+"""
+
+QUERIES["embedding_standardized"] = embedding_standardized
+ORACLE["embedding_standardized"] = _EMB_STD_SQL
