@@ -1134,3 +1134,63 @@ FROM ex JOIN model m ON ex.dim = m.dim
 
 QUERIES["embedding_standardized"] = embedding_standardized
 ORACLE["embedding_standardized"] = _EMB_STD_SQL
+
+
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source duplication matrix: exact-duplicate DOC pairs per
+    (source, source) cell — the governance view that decides which feed
+    to deduplicate against which (the diagonal is each source's
+    internal dup pressure; off-diagonal cells are cross-feed copies).
+    Self-join on the content fingerprint: fan-out per hash is the dup
+    GROUP size squared — dup groups are small, so the pair space
+    tracks true duplication, never the corpus.
+
+    The fixture corpus has no EXACT copies (its planted dups are
+    near-dups), so — like the PII oracle's in-query injection — every
+    25th doc is mirrored into a synthetic 'mirror' source on BOTH
+    engines, exercising the cross-feed cells with known truth."""
+    base = _docs(spark, sf_dir)
+    mirror = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    d = base.select("doc_id", "text", "source").unionByName(mirror)
+    hs = d.select(
+        textstats.fingerprint_md5(F.col("text")).alias("h"),
+        "source",
+        "doc_id",
+    )
+    a = hs.select("h", F.col("source").alias("src_a"), F.col("doc_id").alias("da"))
+    b = hs.select("h", F.col("source").alias("src_b"), F.col("doc_id").alias("db"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy(
+            F.least("src_a", "src_b").alias("src_a"),
+            F.greatest("src_a", "src_b").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH u AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents WHERE doc_id % 25 = 0
+),
+hs AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         source, doc_id
+  FROM u
+)
+SELECT LEAST(a.source, b.source) AS src_a,
+       GREATEST(a.source, b.source) AS src_b,
+       COUNT(*) AS n_dup_pairs
+FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES["doc_source_overlap"] = doc_source_overlap
+ORACLE["doc_source_overlap"] = _SOURCE_OVERLAP_SQL
