@@ -375,3 +375,64 @@ ORACLE: dict[str, str] = {
     "events_time_weighted_value": _TWA_SQL,
     "events_gap_fill_locf": _GAP_FILL_SQL,
 }
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent click within a 24-hour lookback — the as-of join's
+    ``tolerance`` path (matches farther than the window null out)
+    under a full oracle.  Purchase value rides through so the output
+    is an attributed-revenue table.  Clicks are pre-aggregated to
+    unique (user, ts) for deterministic carry."""
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("revenue")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts_us",
+        by="user_id",
+        value_cols=["click_id"],
+        tolerance=86_400_000_000,  # 24 h in micros
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("revenue", 6).alias("revenue"),
+        "click_id",
+        (F.col("ts_us") - F.col("_asof_on")).alias("lag_us"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts_us, p.revenue,
+         c.click_id, c.ts_us AS click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts_us DESC, c.click_id) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+)
+SELECT event_id, user_id, ts_us, ROUND(revenue, 6) AS revenue,
+       CASE WHEN ts_us - click_ts <= 86400000000 THEN click_id END AS click_id,
+       CASE WHEN ts_us - click_ts <= 86400000000 THEN ts_us - click_ts END AS lag_us
+FROM m WHERE rn = 1 OR rn IS NULL
+"""
+
+QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
+ORACLE["events_attribution_last_touch"] = _ATTRIBUTION_SQL
