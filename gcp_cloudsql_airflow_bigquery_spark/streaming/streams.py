@@ -437,3 +437,39 @@ def capped_sessions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quarantined_ingest(
+    stream: DataFrame,
+    checks,
+    clean_path: str,
+    dlq_path: str,
+    checkpoint: str,
+):
+    """Contract-gated continuous ingest: every micro-batch is split by
+    the declarative checks (``operators/validate.quarantine_split``) —
+    clean rows append to the table, violations append to a dead-letter
+    path annotated with the checks they failed.  The batch is persisted
+    for the two writes (a stream batch is not re-readable), and both
+    sides land in the SAME ``foreachBatch`` transaction scope, so a
+    replayed batch re-splits identically (the split is deterministic
+    row-local logic) rather than leaking bad rows on retry.
+
+    Returns the started StreamingQuery (caller owns the lifecycle)."""
+    from ..operators.validate import quarantine_split
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            clean, quarantined = quarantine_split(batch, checks)
+            clean.write.mode("append").parquet(clean_path)
+            quarantined.write.mode("append").parquet(dlq_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

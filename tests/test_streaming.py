@@ -308,3 +308,52 @@ def test_stream_capped_sessions_match_batch(spark, sf_dir, tmp_path):
         for r in batch_closed.collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_quarantined_ingest_routes_streams(spark, tmp_path):
+    """Streaming contract gate: clean rows reach the table, violations
+    reach the dead-letter path with their failed-check names, and
+    clean+dlq == input."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.validate import (
+        in_range,
+        not_null,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        "event_type",
+        # poison a slice: every 7th event gets a negative value, every
+        # 13th a NULL type
+        F.when(F.col("event_id") % 7 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ).alias("value"),
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, None).otherwise(F.col("event_type")),
+    )
+    ev.coalesce(2).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    clean_p = str(tmp_path / "clean")
+    dlq_p = str(tmp_path / "dlq")
+    checks = [not_null("event_type"), in_range("value", 0.0, 1e9)]
+    q = streams.quarantined_ingest(
+        stream, checks, clean_p, dlq_p, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(clean_p)
+    dlq = spark.read.parquet(dlq_p)
+    n_in = ev.count()
+    assert clean.count() + dlq.count() == n_in
+    assert clean.filter(
+        F.col("event_type").isNull() | (F.col("value") < 0)
+    ).count() == 0
+    bad = dlq.filter(F.col("event_id") % 13 == 0).select("failed_checks").first()
+    assert "event_type_not_null" in bad.failed_checks
+    assert dlq.filter(F.col("event_id") % 7 == 0).count() > 0
