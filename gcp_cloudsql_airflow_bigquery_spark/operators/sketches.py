@@ -88,3 +88,35 @@ def audience_overlap_matrix(sketches: DataFrame, group_col: str) -> DataFrame:
             ).alias("n_only_b"),
         )
     )
+
+
+def join_key_overlap_estimate(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """Pre-join cardinality estimate from Theta sketches of both key
+    columns: ``(n_left_keys, n_right_keys, n_shared_keys,
+    left_match_frac, right_match_frac)`` — the planner-style question
+    ("will this join drop most of my rows? is a pre-join semi-filter
+    worth it?") answered with two single-pass sketch builds and a
+    driver-side kilobyte intersection, never a real join.
+
+    Pairs with :func:`~..skew.skew_report`: skew_report sizes the
+    hottest key, this sizes the MATCH RATE; together they pick the
+    join strategy before any shuffle is paid."""
+    ls = left.agg(F.theta_sketch_agg(left_key).alias("s")).select(
+        F.col("s").alias("sl")
+    )
+    rs = right.agg(F.theta_sketch_agg(right_key).alias("s")).select(
+        F.col("s").alias("sr")
+    )
+    both = ls.crossJoin(F.broadcast(rs))
+    n_l = F.theta_sketch_estimate(F.col("sl"))
+    n_r = F.theta_sketch_estimate(F.col("sr"))
+    n_shared = F.theta_sketch_estimate(F.theta_intersection(F.col("sl"), F.col("sr")))
+    return both.select(
+        n_l.alias("n_left_keys"),
+        n_r.alias("n_right_keys"),
+        n_shared.alias("n_shared_keys"),
+        F.round(n_shared / n_l, 4).alias("left_match_frac"),
+        F.round(n_shared / n_r, 4).alias("right_match_frac"),
+    )

@@ -209,3 +209,20 @@ GROUP BY top_n
 
 QUERIES["events_user_skew_report"] = events_user_skew_report
 ORACLE["events_user_skew_report"] = _SKEW_REPORT_SQL
+
+
+def orders_customer_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join match-rate estimate for orders⋈customer from Theta
+    key sketches (``operators/sketches.join_key_overlap_estimate``) —
+    two single-pass sketch builds and a kilobyte intersection instead
+    of a trial join.  Rows-only: sketch estimates are
+    engine-specific above the exact-mode cardinality; accuracy vs the
+    exact overlap is unit-tested."""
+    from ..operators.sketches import join_key_overlap_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return join_key_overlap_estimate(o, "o_custkey", c, "c_custkey")
+
+
+QUERIES["orders_customer_join_estimate"] = orders_customer_join_estimate

@@ -113,3 +113,22 @@ def test_grouped_topk_salted_equals_window(spark):
         for r in grouped_topk_salted(df, ["g"], item, k=5).collect()
     }
     assert got == want
+
+
+def test_join_key_overlap_estimate_accuracy(spark):
+    """Planted partial overlap: estimates within 5% of exact counts
+    (exact below the sketch's nominal-entries threshold)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.sketches import (
+        join_key_overlap_estimate,
+    )
+
+    left = spark.range(0, 1000).select(F.col("id").alias("k"))
+    right = spark.range(600, 2000).select(F.col("id").alias("k"))
+    r = join_key_overlap_estimate(left, "k", right, "k").first()
+    assert abs(r.n_left_keys - 1000) <= 50
+    assert abs(r.n_right_keys - 1400) <= 70
+    assert abs(r.n_shared_keys - 400) <= 40
+    assert 0.3 <= r.left_match_frac <= 0.5
+    assert 0.2 <= r.right_match_frac <= 0.4
