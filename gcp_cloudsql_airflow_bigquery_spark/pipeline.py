@@ -624,3 +624,40 @@ def purge_keys(
         _swap_into_place(spark, path, vdir, version)
         deleted[path] = before - spark.read.parquet(path).count()
     return deleted
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, snapshot_date: str
+) -> DataFrame:
+    """Time-travel read of one snapshot from a snapshot-mode table:
+    the ``snapshot_date=...`` partition, reached via a partition filter
+    so the scan PRUNES to that day's directory (plan-asserted in
+    tests) — the v1 ``{table}_{ds_nodash}`` table-per-day lookup as a
+    partition lookup."""
+    return spark.read.parquet(path).filter(
+        F.col("snapshot_date") == snapshot_date
+    )
+
+
+def backfill(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    warehouse: Warehouse,
+    dates: list[str],
+    sink=None,
+) -> list[PipelineResult]:
+    """Date-ranged re-run of a snapshot pipeline (the Airflow backfill
+    the reference relies on for history repair): one snapshot run per
+    ``yyyyMMdd`` date, each overwriting ONLY its own partition
+    (dynamic partition overwrite), so re-running any subrange is
+    idempotent and never touches the other days.  Serial by design —
+    matching op K's one-export-at-a-time constraint and keeping the
+    per-day audit trail ordered; days are independent, so a scheduler
+    may fan them out."""
+    from dataclasses import replace
+
+    out = []
+    for d in dates:
+        day_spec = replace(spec, write_mode="snapshot", snapshot_date=d)
+        out.append(run_pipeline(spark, day_spec, warehouse, sink=sink))
+    return out

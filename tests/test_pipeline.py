@@ -542,3 +542,48 @@ def test_purge_keys_deletes_across_tables(spark, tmp_path):
     # idempotent: second purge deletes nothing but still succeeds
     deleted2 = purge_keys(spark, {orders_p: "cust"}, forget)
     assert deleted2 == {orders_p: 0}
+
+
+def test_backfill_writes_idempotent_day_partitions(spark, tmp_path):
+    """Each backfilled day lands in its own partition; re-running one
+    day replaces only that day; snapshot reads prune to one partition."""
+    from gcp_cloudsql_airflow_bigquery_spark.config import PipelineSpec, SourceSpec
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import (
+        Warehouse,
+        backfill,
+        read_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, payload string"
+    ).write.parquet(src)
+    wh = Warehouse(str(tmp_path / "wh"))
+    spec = PipelineSpec(
+        export_table="t",
+        source=SourceSpec(kind="parquet", path=src),
+        retries=0,
+        retry_delay_s=0.0,
+    )
+    days = ["20240101", "20240102", "20240103"]
+    results = backfill(spark, spec, wh, days)
+    assert [r.attempts for r in results] == [1, 1, 1]
+    table = spark.read.parquet(wh.path("t"))
+    per_day = {
+        # partition values read back type-inferred (int here)
+        str(r.snapshot_date): r.n
+        for r in table.groupBy("snapshot_date").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_day == {d: 30 for d in days}
+
+    # re-run the middle day only: other days untouched, no duplication
+    backfill(spark, spec, wh, ["20240102"])
+    table2 = spark.read.parquet(wh.path("t"))
+    assert table2.count() == 90
+
+    snap = read_snapshot(spark, wh.path("t"), "20240102")
+    assert snap.count() == 30
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "snapshot_date" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
