@@ -1500,3 +1500,66 @@ LIMIT 50
 
 QUERIES["part_affinity_pmi"] = part_affinity_pmi
 ORACLE["part_affinity_pmi"] = _PMI_SQL
+
+
+def orders_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: orders whose price deviates from
+    their status group's MEDIAN by more than 1.9× the median absolute
+    deviation (the fixture's uniform prices cap the score near 2.04 —
+    max-deviation ≈ half-range over MAD ≈ quarter-range — so 1.9 is
+    the discriminating tail; heavy-tailed real data uses the classic
+    3-6×) — the scale-proof alternative to mean/stddev z-scores
+    (one extreme order cannot drag its own threshold).  Two grouped
+    exact-percentile aggregations (group count is tiny, so exact
+    median is cheap) + broadcast joins back onto the fact; both
+    engines compute the identical interpolated medians."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .filter(F.col("adev") > 1.9 * F.col("mad"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round("med", 4).alias("group_median"),
+            F.round(F.col("adev") / F.col("mad"), 4).alias("mad_score"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT o_orderstatus, QUANTILE_CONT(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice,
+         ABS(o.o_totalprice - m.med) AS adev, m.med
+  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+),
+mad AS (
+  SELECT o_orderstatus, QUANTILE_CONT(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice,
+       ROUND(d.med, 4) AS group_median,
+       ROUND(d.adev / m.mad, 4) AS mad_score
+FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
+WHERE d.adev > 1.9 * m.mad
+"""
+
+QUERIES["orders_price_mad_outliers"] = orders_price_mad_outliers
+ORACLE["orders_price_mad_outliers"] = _MAD_SQL
