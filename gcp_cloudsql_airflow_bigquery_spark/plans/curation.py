@@ -372,3 +372,31 @@ FROM b GROUP BY 1
 
 QUERIES["doc_curriculum_buckets"] = doc_curriculum_buckets
 ORACLE["doc_curriculum_buckets"] = _CURRICULUM_SQL
+
+
+def doc_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless 5-fold cross-validation assignment: fold = md5(id)
+    mod k — leak-free under corpus growth for the same reason as
+    ``assign_splits`` (membership is a pure function of the id), and
+    portable across engines.  Output is the per-fold census."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_KFOLD_SQL = """
+SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 5 AS INT) AS fold,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+QUERIES["doc_kfold_assignment"] = doc_kfold_assignment
+ORACLE["doc_kfold_assignment"] = _KFOLD_SQL

@@ -1194,3 +1194,36 @@ GROUP BY 1, 2
 
 QUERIES["doc_source_overlap"] = doc_source_overlap
 ORACLE["doc_source_overlap"] = _SOURCE_OVERLAP_SQL
+
+
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID heuristic's
+    confusion matrix against the corpus labels, with per-cell share of
+    the true-label row — accuracy reads straight off the diagonal.
+    Composition of the oracled ``doc_langid`` + one rollup."""
+    pred = doc_langid(spark, sf_dir)
+    totals = pred.groupBy("lang").agg(F.count("*").alias("n_true"))
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("n_true"), 6).alias("row_share"),
+        )
+    )
+
+
+_LANGID_CONF_SQL = rf"""
+WITH pred AS ({_LANGID_SQL}),
+totals AS (SELECT lang, COUNT(*) AS n_true FROM pred GROUP BY 1)
+SELECT p.lang, p.lang_pred, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(ANY_VALUE(t.n_true) AS DOUBLE), 6) AS row_share
+FROM pred p JOIN totals t ON p.lang = t.lang
+GROUP BY 1, 2
+"""
+
+QUERIES["doc_langid_confusion"] = doc_langid_confusion
+ORACLE["doc_langid_confusion"] = _LANGID_CONF_SQL
