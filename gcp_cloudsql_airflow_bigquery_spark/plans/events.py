@@ -671,3 +671,76 @@ FROM buys b JOIN sizes s ON b.cohort_wk = s.cohort_wk
 
 QUERIES["events_cohort_ltv"] = events_cohort_ltv
 ORACLE["events_cohort_ltv"] = _COHORT_LTV_SQL
+
+
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU actives + the DAU/MAU stickiness ratio per day —
+    the standard engagement dashboard.  Day-grain distinct actives come
+    from one (day, user) dedup; WAU/MAU are rolling distinct-user
+    windows implemented as a self-join of the day-user frame onto the
+    day spine bounded by the window (distinct-over-range isn't a frame
+    aggregate) — at 100 TB the day-user frame is users × active-days,
+    already ~10⁴× smaller than the event log, so the range join is
+    cheap where it matters."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("s")
+        .join(
+            du.alias("u"),
+            (F.col("u.d") <= F.col("s.d"))
+            & (F.col("u.d") > F.date_sub(F.col("s.d"), 7)),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+    )
+    mau = (
+        days.alias("s")
+        .join(
+            du.alias("u"),
+            (F.col("u.d") <= F.col("s.d"))
+            & (F.col("u.d") > F.date_sub(F.col("s.d"), 30)),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.count_distinct("u.user_id").alias("mau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
+wau AS (
+  SELECT s.d, COUNT(DISTINCT u.user_id) AS wau
+  FROM days s JOIN du u ON u.d <= s.d AND u.d > s.d - INTERVAL 7 DAY
+  GROUP BY 1
+),
+mau AS (
+  SELECT s.d, COUNT(DISTINCT u.user_id) AS mau
+  FROM days s JOIN du u ON u.d <= s.d AND u.d > s.d - INTERVAL 30 DAY
+  GROUP BY 1
+)
+SELECT dau.d, dau.dau, wau.wau, mau.mau,
+       ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+"""
+
+QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
+ORACLE["events_dau_mau_stickiness"] = _DAU_MAU_SQL
