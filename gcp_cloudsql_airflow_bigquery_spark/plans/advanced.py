@@ -1563,3 +1563,86 @@ WHERE d.adev > 1.9 * m.mad
 
 QUERIES["orders_price_mad_outliers"] = orders_price_mad_outliers
 ORACLE["orders_price_mad_outliers"] = _MAD_SQL
+
+
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly gross revenue with the
+    previous week's value and growth rate (lag window over the tiny
+    week-grain rollup; decimal-exact sums before the ratio)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wk = (
+        li.groupBy(F.date_trunc("week", "l_shipdate").cast("date").alias("wk"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev")
+        )
+    )
+    w = Window.orderBy("wk")
+    prev = F.lag("rev").over(w)
+    return wk.select(
+        "wk",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev") - prev) / prev.cast("double"), 6
+        ).alias("wow_growth"),
+    )
+
+
+_WOW_SQL = """
+WITH wk AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT wk,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(LAG(rev) OVER (ORDER BY wk) AS DOUBLE) AS prev_revenue,
+       ROUND((rev - LAG(rev) OVER (ORDER BY wk))
+             / CAST(LAG(rev) OVER (ORDER BY wk) AS DOUBLE), 6) AS wow_growth
+FROM wk
+"""
+
+QUERIES["weekly_revenue_growth"] = weekly_revenue_growth
+ORACLE["weekly_revenue_growth"] = _WOW_SQL
+
+
+def supplier_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA view: order→ship latency percentiles per
+    supplier nation.  The fact joins orders on the shuffle key and the
+    two dims broadcast; exact percentiles on the day-grain diffs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg(lat), 4).alias("avg_days"),
+            F.percentile(lat, 0.5).alias("p50_days"),
+            F.percentile(lat, 0.95).alias("p95_days"),
+            F.max(lat).alias("max_days"),
+        )
+    )
+
+
+_FULFILL_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_items,
+       ROUND(AVG(datediff('day', o_orderdate, l_shipdate)), 4) AS avg_days,
+       QUANTILE_CONT(datediff('day', o_orderdate, l_shipdate), 0.5) AS p50_days,
+       QUANTILE_CONT(datediff('day', o_orderdate, l_shipdate), 0.95) AS p95_days,
+       MAX(datediff('day', o_orderdate, l_shipdate)) AS max_days
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+QUERIES["supplier_fulfillment_latency"] = supplier_fulfillment_latency
+ORACLE["supplier_fulfillment_latency"] = _FULFILL_SQL
