@@ -661,3 +661,69 @@ def backfill(
         day_spec = replace(spec, write_mode="snapshot", snapshot_date=d)
         out.append(run_pipeline(spark, day_spec, warehouse, sink=sink))
     return out
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    *,
+    benchmark: DataFrame | None = None,
+    target: DataFrame | None = None,
+    select_k: int | None = None,
+    pack_budget: int | None = None,
+) -> dict[str, int]:
+    """The LLM training-corpus pipeline, EXECUTED (the counterpart of
+    the ``corpus_funnel`` audit query, which only reports): quality
+    gate → exact dedup (canonical per content hash) → benchmark
+    decontamination → optional DSIR target-domain selection → split
+    assignment → optional sequence packing → curated corpus written to
+    ``out_path`` partitioned by split.
+
+    Every stage reuses the individually-verified operator modules —
+    this function only sequences them, so the composition inherits
+    each stage's scale shape (no corpus self-joins, broadcast
+    benchmark/model sides, hash-local dedup shuffle).  Returns the
+    per-stage surviving-doc counts as the run's audit record."""
+    from pyspark.sql import Window
+
+    from .operators import curation as cur
+    from .operators.textstats import (
+        detect_lang,
+        fingerprint_md5,
+        quality_score,
+        token_count,
+    )
+
+    audit: dict[str, int] = {"raw": docs.count()}
+    t = F.col("text")
+    gated = docs.filter(
+        (detect_lang(t) == "en")
+        & (quality_score(t) >= 0.5)
+        & token_count(t).between(5, 5000)
+    )
+    audit["quality_gate"] = gated.count()
+
+    w = F.row_number().over(
+        Window.partitionBy(fingerprint_md5(t)).orderBy("doc_id")
+    )
+    deduped = gated.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    audit["exact_dedup"] = deduped.count()
+
+    if benchmark is not None:
+        contaminated = cur.decontaminate(deduped, benchmark, n=8).select("doc_id")
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
+        audit["decontaminated"] = deduped.count()
+
+    if target is not None and select_k:
+        deduped = cur.dsir_resample(deduped, target, k=select_k).drop(
+            "logw", "priority"
+        )
+        audit["dsir_selected"] = deduped.count()
+
+    curated = cur.assign_splits(deduped)
+    if pack_budget:
+        curated = cur.pack_bins(curated, budget=pack_budget)
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    audit["written"] = spark.read.parquet(out_path).count()
+    return audit

@@ -573,3 +573,37 @@ def test_jdbc_schema_scan_parity(spark):
     # and the scanned types drive the reference's 5-type collapse (op C)
     mapped = [bq_type_for(r.DATA_TYPE) for r in rows]
     assert mapped == ["INTEGER", "STRING", "FLOAT"]
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The executable curation pipeline: audit counts are monotone
+    non-increasing through the gates, agree with the operator stages,
+    and the written corpus is split-partitioned."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import curation
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    splits = curation.assign_splits(docs)
+    bench = splits.filter(F.col("split") == "test").select("doc_id", "text")
+    out = str(tmp_path / "curated")
+    audit = curate_corpus(spark, docs, out, benchmark=bench)
+    assert (
+        audit["raw"]
+        >= audit["quality_gate"]
+        >= audit["exact_dedup"]
+        >= audit["decontaminated"]
+        >= 1
+    )
+    assert audit["written"] == audit["decontaminated"]
+    curated = spark.read.parquet(out)
+    assert set(r.split for r in curated.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+    # no contaminated doc survived: overlap vs benchmark is empty
+    leaked = curation.decontaminate(curated, bench, n=8)
+    assert leaked.count() == 0
