@@ -744,3 +744,76 @@ FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
 
 QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
 ORACLE["events_dau_mau_stickiness"] = _DAU_MAU_SQL
+
+
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability SLI: hourly error rate (errors / all events) with a
+    trailing-6-hour rolling rate, flagged when the rolling rate burns
+    at more than 1.2× the corpus-wide base rate — the
+    error-budget-burn alert shape.  One hourly rollup shuffle; the
+    window and the broadcast base-rate scalar run over the tiny hourly
+    frame.  Rates are ratios of exact counts rounded to 6, so the flag
+    compare is engine-exact."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h").rowsBetween(-5, 0)
+    rolled = hourly.select(
+        "h",
+        "n",
+        "n_err",
+        F.sum("n").over(w).alias("n6"),
+        F.sum("n_err").over(w).alias("e6"),
+    )
+    base = ev.agg(
+        (
+            F.sum((F.col("event_type") == "error").cast("long"))
+            / F.count("*")
+        ).alias("base_rate")
+    )
+    return (
+        rolled.crossJoin(F.broadcast(base))
+        .select(
+            "h",
+            F.round(F.col("n_err") / F.col("n"), 6).alias("rate_1h"),
+            F.round(F.col("e6") / F.col("n6"), 6).alias("rate_6h"),
+            F.round("base_rate", 6).alias("base_rate"),
+            (
+                F.round(F.col("e6") / F.col("n6"), 6)
+                > 1.2 * F.round("base_rate", 6)
+            ).alias("burn_alert"),
+        )
+    )
+
+
+_ERROR_SLI_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT h, n, n_err,
+         SUM(n) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+         SUM(n_err) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+  FROM hourly
+),
+base AS (
+  SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS base_rate
+  FROM events
+)
+SELECT h,
+       ROUND(n_err / CAST(n AS DOUBLE), 6) AS rate_1h,
+       ROUND(e6 / CAST(n6 AS DOUBLE), 6) AS rate_6h,
+       ROUND(base_rate, 6) AS base_rate,
+       ROUND(e6 / CAST(n6 AS DOUBLE), 6) > 1.2 * ROUND(base_rate, 6) AS burn_alert
+FROM rolled CROSS JOIN base
+"""
+
+QUERIES["events_error_rate_sli"] = events_error_rate_sli
+ORACLE["events_error_rate_sli"] = _ERROR_SLI_SQL
