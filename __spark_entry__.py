@@ -37,36 +37,104 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The driver hard-verifies the first 50 queries() entries in dict
-# insertion order.  Rounds 1-3 always led with relational+advanced, so
-# those have deep green history; this round leads with the modules that
-# have never had driver signal (events/llmdata/temporal/tpch/tpch2 = 47
-# entries) and lets relational/advanced rest on replica coverage.
 _MODULES = (
-    events,
-    llmdata,
-    temporal,
     tpch,
     tpch2,
+    temporal,
     quality,
     curation,
     dq,
-    scale,
     search,
+    scale,
+    llmdata,
+    events,
     relational,
     advanced,
 )
 
+# The driver hard-verifies the FIRST 50 queries() entries in dict
+# insertion order.  Rounds 1-3 spent the window on relational+advanced;
+# round 4 on events+llmdata.  Round 5 pins an explicit window of 50
+# entries that are (a) oracle-paired — every slot can hash-match — and
+# (b) never present in any CORRECTNESS_r0{1..4}.json: the full TPC-H
+# shape suite, temporal, quality, curation, dq, search, the salted
+# scale queries, and one llmdata straggler.
+_WINDOW = (
+    # tpch (6)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    # tpch2 (8)
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_class",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    # temporal (8)
+    "events_session_capped",
+    "events_blackout_merged",
+    "events_asof_purchase",
+    "events_error_blackout",
+    "events_session_error_overlap",
+    "events_time_weighted_value",
+    "events_gap_fill_locf",
+    "events_attribution_last_touch",
+    # quality (9)
+    "doc_pii_redact",
+    "doc_repetition",
+    "doc_decontaminated",
+    "doc_decontaminated_fuzzy",
+    "doc_packed_bins",
+    "table_profile",
+    "corpus_funnel",
+    "doc_unicode_clean",
+    "doc_gopher_report",
+    # curation (11)
+    "doc_chunks",
+    "doc_balanced_sample",
+    "doc_stratified_sample",
+    "doc_split_counts",
+    "doc_mix_rates",
+    "doc_mix_resampled",
+    "doc_shard_order",
+    "doc_weighted_sample",
+    "doc_dsir_resample",
+    "doc_curriculum_buckets",
+    "doc_kfold_assignment",
+    # dq (2)
+    "dq_orders_report",
+    "dq_lineitem_report",
+    # search (1)
+    "doc_bm25_search",
+    # scale — the 4 oracle-paired entries (4)
+    "salted_agg_hot_keys",
+    "salted_join_nation",
+    "topk_per_group_salted",
+    "events_user_skew_report",
+    # llmdata straggler (1) → exactly 50
+    "embedding_hard_negatives",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    allq: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
-        out.update(mod.QUERIES)
+        allq.update(mod.QUERIES)
+    out = {name: allq[name] for name in _WINDOW}
+    out.update(allq)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
+    allo: dict[str, str] = {}
     for mod in _MODULES:
-        out.update(mod.ORACLE)
+        allo.update(mod.ORACLE)
+    out = {name: allo[name] for name in _WINDOW if name in allo}
+    out.update(allo)
     return out
