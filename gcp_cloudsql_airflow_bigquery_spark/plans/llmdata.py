@@ -956,12 +956,19 @@ CROSS JOIN n
 
 def embedding_pca_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings projected onto their top-8 principal components
-    (``operators/linalg.pca_project``) — rows-only (eigenvector floats
-    are engine-specific); variance capture and orthonormality are
-    unit-tested."""
+    (``operators/linalg.pca_project``), exploded to scalar
+    ``(vec_id, component, value)`` rows — the driver's canonicalizer
+    cannot hash array cells (r4 CORRECTNESS err), so the projected
+    vector is emitted one component per row.  Rows-only (eigenvector
+    floats are engine-specific); variance capture and orthonormality
+    are unit-tested."""
     from ..operators import linalg
 
-    return linalg.pca_project(_emb(spark, sf_dir), k=8)
+    proj = linalg.pca_project(_emb(spark, sf_dir), k=8)
+    return proj.select(
+        "vec_id",
+        F.posexplode("components").alias("component", "value"),
+    ).withColumn("component", F.col("component") + F.lit(1))
 
 
 QUERIES["embedding_covariance_matrix"] = embedding_covariance

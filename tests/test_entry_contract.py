@@ -39,3 +39,28 @@ def test_entry_smoke(spark):
     rows = _entry().entry(spark).collect()
     assert len(rows) > 0
     assert {"revenue"} <= set(rows[0].asDict()), "flagship schema drifted"
+
+
+def test_first_fifty_entries_are_all_oracle_paired():
+    """The driver hash-verifies only the first 50 queries() entries;
+    a rows-only (no-oracle) entry in that window wastes a slot that can
+    never hash-match (r4 verdict).  Keep the window 100% hash-checkable."""
+    mod = _entry()
+    q, o = list(mod.queries()), mod.oracle_sql()
+    unpaired = [n for n in q[:50] if n not in o]
+    assert not unpaired, f"no-oracle entries inside the 50-slot window: {unpaired}"
+
+
+def test_registry_outputs_are_scalar_columns(spark, sf_dir):
+    """The driver's canonicalizer crashes on array/map/struct cells
+    (r4: ``embedding_pca_projected`` TypeError: unhashable type 'list'),
+    killing even the rows-only count for that entry.  Every registered
+    query must therefore emit only scalar columns."""
+    complex_cols = []
+    for name, fn in _entry().queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                complex_cols.append((name, f.name, t))
+    assert not complex_cols, complex_cols
