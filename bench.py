@@ -180,6 +180,97 @@ def scale_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def aqe_probe(spark) -> dict:
+    """Demonstrate AQE actually engaging (VERDICT r4 #5).
+
+    The per-SF flags in ``scale_probe`` report whether AQE touched the
+    *headline* session query — at sf0.1 with the 256 KB floor it has
+    nothing to do, so those flags are structurally false at small SF.
+    This probe plants conditions where AQE *must* act and records the
+    decision, separating "not needed at this scale" from
+    "misconfigured":
+
+    - ``skew``: a 2M-row fact with 80% of rows on one key, sort-merge
+      joined (broadcast disabled) with skew thresholds scaled to the
+      probe's data volume — AQE must split the hot partition
+      (``skew=true`` on the join node).
+    - ``coalesce``: a 1000-group agg run at 256 initial shuffle
+      partitions with a 64 MB advisory target — AQE must coalesce the
+      post-shuffle reads (``coalesced`` on the AQEShuffleRead node).
+
+    All touched confs are restored afterwards.
+    """
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    out: dict = {}
+    try:
+        # --- skew-split demonstration ---
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        fact = (
+            spark.range(2_000_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 5 < 4, F.lit(0)).otherwise(
+                    F.col("id") % 997
+                ),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(997).withColumnRenamed("id", "k").withColumn(
+            "dv", F.col("k") * 2
+        )
+        j = fact.join(dim, "k").select(
+            F.sum(F.length("pad")).alias("b"), F.sum("dv").alias("s")
+        )
+        # collect (1 row), NOT a noop write: the write path builds its
+        # own QueryExecution, so this DataFrame's plan would stay
+        # isFinalPlan=false and never show the AQE decisions.
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        out["skew_join_split"] = "skew=true" in plan
+        out["skewed_partition_splits"] = plan.count("skew=true")
+
+        # --- coalesce demonstration ---
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"
+        )
+        agg = (
+            spark.range(1_000_000)
+            .withColumn("g", F.col("id") % 1000)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+        agg.collect()
+        cplan = agg._jdf.queryExecution().executedPlan().toString()
+        out["coalesce_engaged"] = "coalesced" in cplan
+        out["coalesced_reads"] = cplan.count("coalesced")
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -215,6 +306,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "scale_probe": scale_probe(spark, sf_dir),
+                "aqe_probe": aqe_probe(spark),
             }
         )
     )

@@ -19,6 +19,8 @@ across runs and cluster sizes.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -146,8 +148,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit hash: the first 15 hex digits of md5, parsed as
+    an integer.  Unlike ``xxhash64`` (JVM-specific seeds) this is
+    reproducible in any engine with an md5 function — DuckDB replays it
+    as ``('0x' || substr(md5(w), 1, 15))::BIGINT`` — which makes
+    SimHash/MinHash outputs cross-engine hash-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_seeded(col: Column, seed: int) -> Column:
+    """Seed-parameterized ``md5_hash60`` (prefix the seed before
+    hashing) — the portable stand-in for ``xxhash64(col, seed)`` in
+    MinHash signature slots."""
+    return md5_hash60(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+
+
 def shingle_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Inverted index: one (id, shingle-hash) row per distinct shingle.
     The shingle pipeline (tokenize -> slice -> hash) runs exactly once
@@ -155,10 +177,22 @@ def shingle_index(
     instead of re-deriving arrays (projection collapse would otherwise
     re-evaluate the whole chain once per derived column).  Shingles are
     64-bit hashes, not strings — intersection/union counts are
-    identical w.h.p. and the index shuffles 8 bytes per entry."""
+    identical w.h.p. and the index shuffles 8 bytes per entry.
+
+    ``portable=True`` hashes the shingle *string* with the md5-derived
+    60-bit hash (``md5_hash60``) instead of xxhash64 — slower (one md5
+    + string materialization per shingle) but replayable by any engine
+    with md5, which makes downstream MinHash output cross-engine
+    hash-checkable."""
+    if portable:
+        shingles = F.transform(
+            word_shingles(F.col(text_col), n), lambda s: md5_hash60(s)
+        )
+    else:
+        shingles = word_shingle_hashes(F.col(text_col), n)
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingle_hashes(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingles).alias("shingle"),
     )
 
 
@@ -181,14 +215,20 @@ def minhash_signatures(
     return minhash_signatures_from_index(inv, num_hashes)
 
 
-def minhash_signatures_from_index(inv: DataFrame, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures_from_index(
+    inv: DataFrame, num_hashes: int = 32, portable: bool = False
+) -> DataFrame:
     """MinHash signatures over a prebuilt (id, shingle) index — lets a
-    lineage-cut or catalog-materialized index feed every consumer."""
+    lineage-cut or catalog-materialized index feed every consumer.
+    ``portable=True`` swaps the per-slot ``xxhash64(shingle, i)`` for
+    the engine-replayable ``md5_hash60_seeded``."""
+    slot = (
+        (lambda i: md5_hash60_seeded(F.col("shingle"), i))
+        if portable
+        else (lambda i: F.xxhash64(F.col("shingle"), F.lit(i)))
+    )
     mins = inv.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(slot(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
@@ -212,11 +252,24 @@ def minhash_lsh_candidates(
 
 
 def minhash_lsh_candidates_from_index(
-    inv: DataFrame, num_hashes: int = 32, bands: int = 8
+    inv: DataFrame, num_hashes: int = 32, bands: int = 8, portable: bool = False
 ) -> DataFrame:
-    """LSH banding over a prebuilt (id, shingle) index."""
+    """LSH banding over a prebuilt (id, shingle) index.  In portable
+    mode the bucket key is the raw comma-joined band slice (a string —
+    identical in any engine) instead of its xxhash64."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_from_index(inv, num_hashes)
+    sigs = minhash_signatures_from_index(inv, num_hashes, portable)
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("signature", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = sigs.select(
         "id",
         F.explode(
@@ -224,15 +277,7 @@ def minhash_lsh_candidates_from_index(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        band_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -256,6 +301,7 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """The full scale pipeline: LSH candidates → exact Jaccard verify.
     Only candidate pairs (tiny vs n²) pay the verification join, and it
@@ -267,8 +313,10 @@ def minhash_near_dups(
     without the cut each consumer re-tokenizes the corpus.  In a
     recurring pipeline, point the consumers at
     :func:`materialize_shingle_index` instead."""
-    inv = shingle_index(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
-    cand = minhash_lsh_candidates_from_index(inv, num_hashes, bands)
+    inv = shingle_index(df, text_col, id_col, shingle_n, portable).localCheckpoint(
+        eager=False
+    )
+    cand = minhash_lsh_candidates_from_index(inv, num_hashes, bands, portable)
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(inv.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -293,26 +341,33 @@ def minhash_near_dups(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """64-bit SimHash per document: explode tokens, hash each once with
-    xxhash64, then 64 parallel SUM(+1/-1) bit votes in a single
-    map-side-combined aggregation (one uniform shuffle on id).  Docs
-    with no tokens are excluded."""
+    """``bits``-bit SimHash per document: explode tokens, hash each once
+    (``xxhash64`` by default; pass ``hash_fn=md5_hash60`` with
+    ``bits=60`` for a cross-engine-portable signature), then ``bits``
+    parallel SUM(+1/-1) bit votes in a single map-side-combined
+    aggregation (one uniform shuffle on id).  Docs with no tokens are
+    excluded."""
+    hf = hash_fn or F.xxhash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", hf(F.col("w")).alias("h"))
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     sig = None
-    for b in range(64):
+    for b in range(bits):
         bit_val = F.lit(2**b if b < 63 else -(2**63)).cast("long")
         term = F.when(F.col(f"b{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
@@ -328,11 +383,15 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 3,
+    bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """SimHash blocking: 4×16-bit bands (any pair within Hamming ≤ 3 of
-    a 64-bit key shares at least one exact 16-bit band), then verify the
-    Hamming distance on candidates."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    """SimHash blocking: 4 equal-width bands (any pair within
+    Hamming ≤ 3 of the key shares at least one exact band by
+    pigeonhole), then verify the Hamming distance on candidates."""
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     banded = sigs.select(
         "id",
         "sig",
@@ -341,8 +400,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sig", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("key"),
                     )
                     for b in range(4)

@@ -90,13 +90,112 @@ WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 
 def doc_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (rows-only: xxhash64 signatures are
-    engine-specific; recall vs exact Jaccard is property-tested)."""
+    engine-specific; recall vs exact Jaccard is property-tested, and
+    ``doc_dedup_minhash_portable`` hash-verifies the identical
+    banding/verify pipeline cross-engine)."""
     return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
 
 
+def doc_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same MinHash+LSH pipeline with portable md5-derived 60-bit
+    hashes (``dedup.md5_hash60/_seeded``) in the shingle index and
+    signature slots, so the DuckDB oracle replays the ENTIRE pipeline —
+    shingling, 32 signature slots, 8-band bucketing, candidate join,
+    exact-Jaccard verify — value for value.  The xxhash64 twin above
+    stays the scale/bench path (no md5 or string materialization per
+    shingle)."""
+    return dedup.minhash_near_dups(
+        _docs(spark, sf_dir), threshold=0.5, portable=True
+    )
+
+
+_DEDUP_MINHASH_PORTABLE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+inv AS (
+  SELECT id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS shingle
+  FROM nonempty
+),
+slots AS (SELECT unnest(range(0, 32)) AS i),
+sig AS (
+  SELECT id, i,
+         MIN(('0x' || substr(md5(i::VARCHAR || ':' || shingle::VARCHAR), 1, 15))::BIGINT) AS h
+  FROM inv, slots GROUP BY 1, 2
+),
+banded AS (
+  SELECT id, i // 4 AS band, STRING_AGG(h::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM inv GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN inv a ON a.id = c.id_a
+  JOIN inv b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+"""
+
+
 def doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only; engine-specific bit signatures)."""
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_distance=3)
+    """SimHash near-dup over a portable 60-bit md5-derived token hash
+    (``dedup.md5_hash60``) so the full pipeline — token hash, bit
+    votes, signature, 4×15-bit banding, Hamming verify — is replayed
+    exactly by the DuckDB oracle.  The xxhash64 default stays the
+    scale path (one fewer string pass); the banding/verify plan is
+    identical."""
+    return dedup.simhash_near_dups(
+        _docs(spark, sf_dir),
+        max_distance=3,
+        bits=60,
+        hash_fn=dedup.md5_hash60,
+    )
+
+
+_DEDUP_SIMHASH_SQL = rf"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+toks AS (
+  SELECT doc_id AS id, unnest(string_split(norm, ' ')) AS w
+  FROM n WHERE norm <> ''
+),
+h AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT id, b.i AS b,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(0, 60)) AS i) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY id
+),
+banded AS (
+  SELECT id, sig, t.b AS band, (sig >> (t.b * 15)) & 32767 AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 # --- similarity search -----------------------------------------------------
@@ -333,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_exact": doc_dedup_exact,
     "doc_dedup_ngram_jaccard": doc_dedup_ngram_jaccard,
     "doc_dedup_minhash": doc_dedup_minhash,
+    "doc_dedup_minhash_portable": doc_dedup_minhash_portable,
     "doc_dedup_simhash": doc_dedup_simhash,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
@@ -344,7 +444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
 }
 
-# rows-only (no oracle): doc_dedup_minhash, doc_dedup_simhash, knn_lsh
+# rows-only (no oracle): doc_dedup_minhash, knn_lsh
 # (engine-specific xxhash64 seeds), embedding_semantic_dedup / knn_ivf
 # (k-means not SQL-expressible), media_* (Python-side feature UDFs),
 # doc_winnow_candidates (xxhash64), event_type_pagerank (tolerance-based
@@ -359,6 +459,8 @@ ORACLE: dict[str, str] = {
     "doc_quality": _QUALITY_SQL,
     "doc_langid": _LANGID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
+    "doc_dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "doc_dedup_minhash_portable": _DEDUP_MINHASH_PORTABLE_SQL,
 }
 
 

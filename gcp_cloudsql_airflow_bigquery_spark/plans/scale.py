@@ -134,7 +134,46 @@ def events_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_sketch_rollup(daily, ["event_type"]).orderBy("event_type")
 
 
+# At the correctness fixture's cardinality (150 users/type at sf0.01)
+# the HLL sketch is still in its exact LIST mode, so the merged
+# estimate equals COUNT(DISTINCT) and the query is hash-checkable —
+# the same exact-below-threshold property events_user_skew_report's
+# oracle relies on.  (At sf0.1's 1500 users/type the sketch is in
+# dense mode and ~0.8% off; the bench path exercises that regime.)
+_DISTINCT_ROLLUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
+FROM events GROUP BY event_type
+"""
+
 QUERIES["events_distinct_users_rollup"] = events_distinct_users_rollup
+ORACLE["events_distinct_users_rollup"] = _DISTINCT_ROLLUP_SQL
+
+
+def events_distinct_users_rollup_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT twin of the sketch rollup: per-day partial state is the
+    distinct ``(event_type, day, user_id)`` set (re-aggregable — a new
+    day appends its own partial, no rescan), and the coarser rollup
+    distinct-counts the merged partials.  Exact at every scale, at the
+    cost of state linear in distinct users instead of the HLL's fixed
+    kilobytes — the trade the sketch variant exists to avoid."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = ev.select("event_type", "day", "user_id").distinct()
+    return daily.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users")
+    )
+
+
+_DISTINCT_ROLLUP_EXACT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_distinct_users_rollup_exact"] = events_distinct_users_rollup_exact
+ORACLE["events_distinct_users_rollup_exact"] = _DISTINCT_ROLLUP_EXACT_SQL
 
 
 def events_value_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,7 +199,11 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs audience algebra over event types from stored Theta
     sketches: users doing both A and B, only A, only B — answered from
     kilobyte sketch state, never re-touching the raw id sets.
-    Rows-only; estimates vs exact set ops are unit-tested."""
+    Hash-checkable at the correctness fixture: with 150 users/type at
+    sf0.01 every Theta sketch stays in exact mode (< k=4096 retained
+    hashes), so the set-algebra estimates equal the true set sizes the
+    oracle computes; above the exact threshold accuracy is
+    unit-tested."""
     from ..operators import sketches
 
     ev = load_table(spark, sf_dir, "events")
@@ -170,8 +213,27 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIENCE_OVERLAP_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT na.event_type AS a, nb.event_type AS b,
+       na.n AS n_a, nb.n AS n_b,
+       COALESCE(i.n_both, 0) AS n_both,
+       na.n - COALESCE(i.n_both, 0) AS n_only_a,
+       nb.n - COALESCE(i.n_both, 0) AS n_only_b
+FROM n na
+JOIN n nb ON na.event_type < nb.event_type
+LEFT JOIN inter i ON i.a = na.event_type AND i.b = nb.event_type
+"""
+
 QUERIES["events_value_quantiles_rollup"] = events_value_quantiles_rollup
 QUERIES["events_audience_overlap"] = events_audience_overlap
+ORACLE["events_audience_overlap"] = _AUDIENCE_OVERLAP_SQL
 
 
 def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,9 +277,10 @@ def orders_customer_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     """Pre-join match-rate estimate for orders⋈customer from Theta
     key sketches (``operators/sketches.join_key_overlap_estimate``) —
     two single-pass sketch builds and a kilobyte intersection instead
-    of a trial join.  Rows-only: sketch estimates are
-    engine-specific above the exact-mode cardinality; accuracy vs the
-    exact overlap is unit-tested."""
+    of a trial join.  Hash-checkable at the correctness fixture:
+    sf0.01's 1500 distinct keys per side keep both Theta sketches in
+    exact mode, so estimates equal the true counts; above the
+    exact-mode cardinality accuracy is unit-tested."""
     from ..operators.sketches import join_key_overlap_estimate
 
     o = load_table(spark, sf_dir, "orders")
@@ -225,4 +288,19 @@ def orders_customer_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     return join_key_overlap_estimate(o, "o_custkey", c, "c_custkey")
 
 
+_JOIN_ESTIMATE_SQL = """
+WITH l AS (SELECT COUNT(DISTINCT o_custkey) AS n FROM orders),
+r AS (SELECT COUNT(DISTINCT c_custkey) AS n FROM customer),
+s AS (
+  SELECT COUNT(*) AS n
+  FROM (SELECT DISTINCT o_custkey AS k FROM orders) a
+  JOIN (SELECT DISTINCT c_custkey AS k FROM customer) b USING (k)
+)
+SELECT l.n AS n_left_keys, r.n AS n_right_keys, s.n AS n_shared_keys,
+       ROUND(s.n / CAST(l.n AS DOUBLE), 4) AS left_match_frac,
+       ROUND(s.n / CAST(r.n AS DOUBLE), 4) AS right_match_frac
+FROM l, r, s
+"""
+
 QUERIES["orders_customer_join_estimate"] = orders_customer_join_estimate
+ORACLE["orders_customer_join_estimate"] = _JOIN_ESTIMATE_SQL
