@@ -297,6 +297,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # mechanical regression gate vs the standing per-query baseline
+    # (bench_baseline.json, established r5 from min-of-4 runs): flag
+    # anything 1.5x AND 0.3s over its baseline so regressions surface
+    # in the bench record itself, not only in round-over-round diffing.
+    regressions: dict[str, list[float]] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path) and sf == 0.1:
+        with open(base_path) as f:
+            base = json.load(f)["queries"]
+        for q, t in timings.items():
+            b = base.get(q)
+            if b is not None and t > 1.5 * b and t - b > 0.3:
+                regressions[q] = [t, b]
+
     print(
         json.dumps(
             {
@@ -305,6 +321,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions_vs_baseline": regressions,
                 "scale_probe": scale_probe(spark, sf_dir),
                 "aqe_probe": aqe_probe(spark),
             }
