@@ -429,6 +429,7 @@ def winnow_candidates(
     id_col: str = "doc_id",
     window: int = 8,
     sample_mod: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing-style near-dup candidates: rolling ``window``-token
     fingerprints, mod-sampled (keep fp where ``fp % sample_mod == 0`` —
@@ -446,7 +447,7 @@ def winnow_candidates(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(
-                rolling_fingerprints(F.col(text_col), window=window),
+                rolling_fingerprints(F.col(text_col), window=window, portable=portable),
                 lambda h: h % sample_mod == 0,
             )
         ).alias("fp"),

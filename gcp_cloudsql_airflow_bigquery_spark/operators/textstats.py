@@ -107,25 +107,32 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def rolling_fingerprints(text: Column, window: int = 8) -> Column:
-    """Rolling (Rabin-style) fingerprint set: xxhash64 over each
+def rolling_fingerprints(
+    text: Column, window: int = 8, portable: bool = False
+) -> Column:
+    """Rolling (Rabin-style) fingerprint set: a 64-bit hash over each
     ``window``-token shingle of the normalized text.  Used for
-    winnowing-style near-dup detection; engine-specific hash, so
-    checked by property tests rather than a SQL oracle.  Same
-    zip-of-shifted-slices + let-bound tokens shape as
+    winnowing-style near-dup detection.  Default hash is xxhash64
+    (fastest, engine-specific); ``portable=True`` uses the md5-derived
+    60-bit hash (``dedup.md5_hash60``) that any engine with md5
+    replays, making downstream winnowing output oracle-checkable.
+    Same zip-of-shifted-slices + let-bound tokens shape as
     :func:`word_ngram_hashes` (the index-lambda formulation re-runs the
     tokenizer per shingle)."""
     toks = tokens(normalize_text(text))
 
+    def hash_one(s) -> Column:
+        joined = F.concat_ws(" ", *[s[str(i)] for i in range(window)])
+        if portable:
+            from .dedup import md5_hash60
+
+            return md5_hash60(joined)
+        return F.xxhash64(joined)
+
     def fps(tk: Column) -> Column:
         m = F.greatest(F.size(tk) - window + 1, F.lit(0))
         zipped = F.arrays_zip(*[F.slice(tk, i + 1, m) for i in range(window)])
-        return F.transform(
-            zipped,
-            lambda s: F.xxhash64(
-                F.concat_ws(" ", *[s[str(i)] for i in range(window)])
-            ),
-        )
+        return F.transform(zipped, hash_one)
 
     return F.element_at(F.transform(F.array(toks), fps), 1)
 

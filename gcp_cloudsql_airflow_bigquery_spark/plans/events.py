@@ -353,17 +353,67 @@ FROM events GROUP BY event_type
 def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (nodes = event
     types, edge weight = observed transition count) — which states the
-    user journey gravitates to.  Iterative power iteration
-    (``operators/graph.pagerank``), so no SQL oracle: the driver's
-    rows-only check applies; convergence is unit-tested against numpy
+    user journey gravitates to.  Pinned at exactly 20 power iterations
+    (``tol=0`` disables the early exit) so the DuckDB oracle can replay
+    the identical recurrence as 20 unrolled CTE steps; double-precision
+    drift across engines is bounded far below the 6-decimal rounding.
+    Convergence properties are additionally unit-tested against numpy
     power iteration in tests/test_quality_ops.py."""
     edges = events_transition_matrix(spark, sf_dir)
     ranks = graph.pagerank(
-        edges, src="from_type", dst="to_type", weight="n", tol=1e-9
+        edges, src="from_type", dst="to_type", weight="n", tol=0.0, max_iter=20
     )
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"))
+
+
+def _pagerank_unrolled_sql(iters: int = 20, damping: float = 0.85) -> str:
+    """DuckDB replay of ``operators/graph.pagerank`` at a FIXED
+    iteration count: the recurrence
+    ``rank' = (1-d)/n + (d/n)*(1-emitted) + d*contrib`` is unrolled as
+    ``iters`` chained CTEs (a recursive CTE can't reference the
+    previous iterate twice — once for per-node contributions, once for
+    the dangling-mass total — so unrolling is the faithful form)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""pr{k} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {damping}) / (SELECT n FROM cnt)
+         + {damping} / (SELECT n FROM cnt)
+           * (1.0 - (SELECT COALESCE(SUM(norm.p * r.rank), 0)
+                     FROM pr{k - 1} r JOIN norm ON norm.src = r.node))
+         + {damping} * COALESCE(c.contrib, 0) AS rank
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.dst, SUM(norm.p * r.rank) AS contrib
+             FROM pr{k - 1} r JOIN norm ON norm.src = r.node
+             GROUP BY norm.dst) c
+    ON c.dst = nd.node
+)""")
+    joined = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('ms', ts), event_id) AS to_type
+  FROM events
+), g AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+norm AS MATERIALIZED (
+  SELECT from_type AS src, to_type AS dst,
+         n::DOUBLE / SUM(n::DOUBLE) OVER (PARTITION BY from_type) AS p
+  FROM g
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM norm
+                       UNION SELECT DISTINCT dst FROM norm),
+cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+{joined}
+SELECT node AS event_type, ROUND(rank, 6) AS rank FROM pr{iters}
+"""
 
 
 def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +612,7 @@ ORACLE: dict[str, str] = {
     "events_cohort_retention": _COHORT_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
     "events_variant_props": _VARIANT_SQL,
+    "event_type_pagerank": _pagerank_unrolled_sql(),
 }
 
 

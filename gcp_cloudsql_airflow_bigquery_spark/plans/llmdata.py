@@ -881,12 +881,28 @@ ORACLE["knn_int8"] = _KNN_INT8_SQL
 
 def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style shared-passage candidates (mod-sampled rolling
-    fingerprints).  Rows-only: fingerprints are engine-specific
-    xxhash64; the shared-passage property is unit-tested."""
-    return dedup.winnow_candidates(_docs(spark, sf_dir))
+    fingerprints) over the portable md5-derived hash, so the DuckDB
+    oracle replays the whole pipeline: 8-token rolling windows, hash,
+    ``fp % 4 == 0`` sampling, and the fingerprint self-join.  The
+    xxhash64 default stays the scale path."""
+    return dedup.winnow_candidates(_docs(spark, sf_dir), portable=True)
 
+
+_WINNOW_SQL = rf"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id AS id, string_split(norm, ' ') AS w FROM n WHERE norm <> ''),
+grams AS (
+  SELECT id,
+         ('0x' || substr(md5(array_to_string(w[i.i:i.i+7], ' ')), 1, 15))::BIGINT AS fp
+  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w) - 6, 1))) AS i) i
+),
+fps AS (SELECT DISTINCT id, fp FROM grams WHERE fp % 4 = 0)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+"""
 
 QUERIES["doc_winnow_candidates"] = doc_winnow_candidates
+ORACLE["doc_winnow_candidates"] = _WINNOW_SQL
 
 
 def doc_bloom_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
