@@ -598,3 +598,40 @@ FROM m
 
 QUERIES["doc_gopher_report"] = doc_gopher_report
 ORACLE["doc_gopher_report"] = _GOPHER_SQL
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style learned quality filter, end to end: train a
+    distributed Newton logistic regression (``operators/linalg
+    .logistic_fit`` — per-batch X'WX / X'(y-p) partials via Arrow, one
+    tiny d^2 aggregation per iteration, driver-side 4x4 solve) to
+    predict the language-ID label from surface quality features, then
+    score every document with a pure Catalyst sigmoid expression
+    (``logistic_score`` — whole-stage codegen, zero Python at
+    inference).  Rows-only: the Newton solve is iterative linear
+    algebra, not SQL-expressible; separability/monotonicity of the
+    fit are unit-tested (tests/test_llmdata.py).  At 100 TB the
+    training pass stays d^2-per-batch and inference is a free column
+    expression over the corpus scan."""
+    from ..operators.linalg import logistic_fit, logistic_score
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = d.select(
+        "doc_id",
+        textstats.stopword_ratio(t).alias("stop_ratio"),
+        textstats.punct_ratio(t).alias("punct_ratio"),
+        (F.length(t) / F.greatest(textstats.token_count(t), F.lit(1))).alias(
+            "mean_tok_len"
+        ),
+        (textstats.detect_lang(t) == "en").cast("double").alias("is_en"),
+    )
+    beta = logistic_fit(
+        feats, ["stop_ratio", "punct_ratio", "mean_tok_len"], "is_en", n_iter=8
+    )
+    return logistic_score(
+        feats, ["stop_ratio", "punct_ratio", "mean_tok_len"], beta
+    ).select("doc_id", F.col("is_en").cast("int").alias("label"), "score")
+
+
+QUERIES["doc_quality_classifier"] = doc_quality_classifier
