@@ -35,6 +35,19 @@ import __spark_entry__ as entrymod
 from gcp_cloudsql_airflow_bigquery_spark.catalog import TABLES
 from gcp_cloudsql_airflow_bigquery_spark.session import get_spark
 
+# These oracles rely on the Datasketches exact-mode guarantee (HLL
+# coupon list / Theta below k retained hashes), which holds at the
+# driver's correctness SFs (sf0.001, sf0.01: <=150 users/type, 1500
+# join keys) but not at sf0.1+ where the sketches go dense/estimating
+# (documented in plans/scale.py).  At other SFs they downgrade to the
+# rows-only check here.
+SKETCH_EXACT_SFS = ("sf0.001", "sf0.01")
+SKETCH_EXACT_ONLY = {
+    "events_distinct_users_rollup",
+    "events_audience_overlap",
+    "orders_customer_join_estimate",
+}
+
 
 def _norm(v):
     """Canonical string for one cell; int and float stay DISTINCT."""
@@ -102,7 +115,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)
             continue
-        if name not in oracles:
+        if name not in oracles or (
+            name in SKETCH_EXACT_ONLY
+            and not any(s in sf_dir for s in SKETCH_EXACT_SFS)
+        ):
             print(f"OK?  {name}: rows-only ({len(spdf)} rows)")
             continue
         try:

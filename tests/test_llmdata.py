@@ -42,6 +42,25 @@ def test_minhash_recall_vs_exact(docs):
     assert approx <= exact
 
 
+def test_minhash_portable_twin_matches_xxhash_path(docs):
+    """``doc_dedup_minhash_portable`` (md5-derived hashes, the
+    oracle-replayable twin) must surface the same verified pair set as
+    the xxhash64 scale path on the fixture — the twin exists to make
+    the pipeline cross-engine checkable, not to change its answer."""
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_near_dups(
+            docs, threshold=0.5, portable=True
+        ).collect()
+    }
+    assert fast, "fixture should contain planted near-dups"
+    assert portable == fast
+
+
 def test_minhash_banding_equals_exact(docs):
     """The banded pipeline the declared ``doc_dedup_ngram_jaccard``
     query runs (16 bands x 2 rows — candidate prob 1-(1-J^2)^16, ~1
