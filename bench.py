@@ -82,6 +82,14 @@ HEADLINE = [
     ("events_session_capped", temporal.QUERIES),
     ("doc_gopher_report", quality.QUERIES),
     ("part_affinity_pmi", advanced.QUERIES),
+    # r5 additions: the fixed-iteration PageRank, the learned quality
+    # classifier, and the exact distinct rollup — cost tracked from the
+    # round they landed.  (doc_dedup_minhash_portable is deliberately
+    # NOT benched: it is the sf0.01 oracle-replay twin, and its cost is
+    # the md5-vs-xxhash64 ratio by construction.)
+    ("event_type_pagerank", events.QUERIES),
+    ("doc_quality_classifier", quality.QUERIES),
+    ("events_distinct_users_rollup_exact", scale.QUERIES),
 ]
 
 
