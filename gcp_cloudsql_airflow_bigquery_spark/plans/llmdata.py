@@ -262,8 +262,10 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means cells bound the pair space, within-cell cosine ≥ 0.95
     drops the larger id.  A scaled copy has identical centroid dots,
     so it deterministically lands in its original's cell and is
-    dropped — asserted in tests/test_llmdata.py; rows-only here
-    (k-means is not ANSI-SQL-expressible)."""
+    dropped — asserted in tests/test_llmdata.py.  Hash-checked: the
+    deterministic k-means codebook is replayed by the oracle's
+    unrolled Lloyd-round CTEs (``_kmeans_ctes``), then cell
+    assignment, within-cell cosine pairs, and the keep verdict."""
     base = _emb(spark, sf_dir).filter(F.col("vec_id") % 20 == 0)
     planted = base.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -630,14 +632,128 @@ ORACLE["doc_dup_clusters"] = _DUP_CLUSTERS_SQL
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF cells (rows-only; recall vs brute force is
-    property-tested in tests/test_llmdata.py)."""
+    """ANN via IVF cells.  Hash-checkable: the codebook is
+    deterministic spherical k-means-lite (init = the 16 smallest ids'
+    normalized vectors, 2 Lloyd rounds), so the DuckDB oracle replays
+    the training loop as unrolled CTEs, then the cell assignment,
+    nprobe probing, and exact cosine rerank.  Assignment/probe argmax
+    margins dwarf cross-engine float drift (same argument as
+    ``knn_lsh``); recall vs brute force is property-tested."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def _kmeans_ctes(k: int, iters: int = 2) -> str:
+    """Unrolled-CTE DuckDB replay of ``similarity.ivf_build`` over a
+    prior CTE ``v(id, vec DOUBLE[])``: normalize, init from the ``k``
+    smallest ids, then per Lloyd round argmax-assign (first-max
+    tie-break like ``array_position``) and re-average + re-normalize
+    with empty cells keeping their old centroid.  Produces ``vn`` and
+    the final centroid table ``c{iters}``."""
+    parts = [
+        "vn AS MATERIALIZED (SELECT id,"
+        " list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS nv,"
+        " vec FROM v)",
+        f"c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1"
+        f" AS cluster, nv AS c FROM vn ORDER BY id LIMIT {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT id, nv, cluster FROM (
+    SELECT vn.id, vn.nv, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c{i - 1} c) WHERE rn = 1
+)""")
+        parts.append(f"""m{i} AS MATERIALIZED (
+  SELECT cluster, list(m ORDER BY pos) AS mc FROM (
+    SELECT cluster, pos, AVG(x) AS m FROM (
+      SELECT a.cluster, generate_subscripts(a.nv, 1) AS pos,
+             unnest(a.nv) AS x FROM a{i} a)
+    GROUP BY 1, 2) GROUP BY cluster
+)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT p.cluster,
+         CASE WHEN m.mc IS NULL THEN p.c
+              ELSE list_transform(m.mc,
+                     x -> x / sqrt(list_dot_product(m.mc, m.mc))) END AS c
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (cluster)
+)""")
+    return ",\n".join(parts)
+
+
+_KNN_IVF_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+corpus AS MATERIALIZED (
+  SELECT vn.id AS neighbor_id, vn.vec AS vec_n, a.cluster
+  FROM vn JOIN (
+    SELECT id, cluster FROM (
+      SELECT vn.id, c.cluster,
+             ROW_NUMBER() OVER (PARTITION BY vn.id
+                                ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                         c.cluster) AS rn
+      FROM vn, c2 c) WHERE rn = 1) a USING (id)
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, vec AS vec_q, cluster FROM (
+    SELECT vn.id, vn.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS pr
+    FROM vn, c2 c WHERE vn.id < 5) WHERE pr <= 4
+),
+scored AS (
+  SELECT p.query_id, co.neighbor_id,
+         ROUND(list_dot_product(p.vec_q, co.vec_n) /
+               (SQRT(list_dot_product(p.vec_q, p.vec_q)) *
+                SQRT(list_dot_product(co.vec_n, co.vec_n))), 6) AS cosine
+  FROM corpus co JOIN probes p USING (cluster)
+  WHERE p.query_id <> co.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
 QUERIES["knn_ivf"] = knn_ivf
+ORACLE["knn_ivf"] = _KNN_IVF_SQL
+
+
+# embedding_semantic_dedup's oracle reuses the same unrolled k-means
+# replay (k=8) over the planted-duplicate input, then within-cell
+# cosine pairs and the smallest-id-canonical keep verdict.
+_SEMANTIC_DEDUP_SQL = f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+              FROM embeddings WHERE vec_id % 20 = 0),
+v AS (SELECT id, vec FROM base
+      UNION ALL
+      SELECT id + 1000000, list_transform(vec, x -> x * 2.0) FROM base),
+{_kmeans_ctes(8, 2)},
+assign AS MATERIALIZED (
+  SELECT id, vec, cluster FROM (
+    SELECT vn.id, vn.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c2 c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE ROUND(list_dot_product(a.vec, b.vec) /
+              (SQRT(list_dot_product(a.vec, a.vec)) *
+               SQRT(list_dot_product(b.vec, b.vec))), 6) >= 0.95
+)
+SELECT a.id, a.cluster, d.id IS NULL AS keep
+FROM assign a LEFT JOIN dropped d ON d.id = a.id
+"""
+
+ORACLE["embedding_semantic_dedup"] = _SEMANTIC_DEDUP_SQL
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
