@@ -514,20 +514,29 @@ def hashed_tfidf_vectors(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, vec): dense hashed TF-IDF document vectors
     (``array<double>``, length ``dim``) — the bridge from text to the
     vector operators (k-means cells via ``similarity.ivf_build``, ANN,
-    PCA).  Token buckets come from ``xxhash64 % dim`` (engine-internal
-    is fine here: the vectors feed rows-only vector ops, not a
-    cross-engine oracle).  Two map-side-combined aggregations (tf per
+    PCA).  Token buckets come from ``xxhash64 % dim`` by default;
+    ``portable=True`` buckets with the md5-derived 60-bit hash
+    (``dedup.md5_hash60 % dim``) so any engine with md5 reproduces the
+    vectors — the hook that makes downstream k-means clustering
+    oracle-replayable.  Two map-side-combined aggregations (tf per
     (doc, bucket), df per bucket) + a broadcast of the ``dim``-row idf
     table; densification is a per-row ``transform`` over a
     ``map_from_entries`` lookup — no pivot, no UDF."""
+    if portable:
+        from .dedup import md5_hash60
+
+        bucket = md5_hash60(F.col("w")) % dim
+    else:
+        bucket = F.abs(F.xxhash64(F.col("w"))) % dim
     t = F.trim(F.lower(F.col(text_col)))
     tok = docs.filter(t != "").select(
         id_col, F.explode(F.split(t, r"\s+")).alias("w")
-    ).select(id_col, (F.abs(F.xxhash64(F.col("w"))) % dim).alias("b"))
+    ).select(id_col, bucket.alias("b"))
     tf = tok.groupBy(id_col, "b").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("b").agg(F.count_distinct(F.col(id_col)).alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))

@@ -1304,10 +1304,13 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``textstats.hashed_tfidf_vectors``) clustered by the deterministic
     spherical k-means codebook (``similarity.ivf_build``/``ivf_assign``
     — the same machinery as the ANN index, fed from text instead of
-    embeddings).  Rows-only: k-means is iterative.  Output: per-doc
-    cluster + per-cluster size/top-source audit."""
+    embeddings).  Hash-checked end to end: portable md5 token buckets
+    make the TF-IDF vectors engine-reproducible, and the oracle then
+    replays the unrolled Lloyd rounds (``_kmeans_ctes``), the final
+    assignment, and the per-topic audit.  Output: per-topic doc and
+    distinct-source counts."""
     docs = _docs(spark, sf_dir)
-    vecs = textstats.hashed_tfidf_vectors(docs, dim=64)
+    vecs = textstats.hashed_tfidf_vectors(docs, dim=64, portable=True)
     centroids = similarity.ivf_build(
         vecs, n_centroids=8, iters=2, id_col="doc_id", vec_col="vec"
     )
@@ -1328,7 +1331,47 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPIC_CLUSTERS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE trim(lower(text)) <> '')
+),
+tf AS (SELECT id, b, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT b, COUNT(DISTINCT id) AS df FROM tok GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+wts AS (
+  SELECT id, b, tf * ln(n_docs / df) AS wt
+  FROM tf JOIN dfq USING (b) CROSS JOIN nn
+),
+v AS MATERIALIZED (
+  SELECT id, list(COALESCE(wt, 0.0) ORDER BY i) AS vec
+  FROM (SELECT g.id, i.i, w.wt
+        FROM (SELECT DISTINCT id FROM tok) g
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+        LEFT JOIN wts w ON w.id = g.id AND w.b = i.i)
+  GROUP BY id
+),
+{_kmeans_ctes(8, 2)},
+assign AS MATERIALIZED (
+  SELECT id, cluster FROM (
+    SELECT vn.id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c2 c) WHERE rn = 1
+)
+SELECT CAST(a.cluster AS INTEGER) AS topic,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT d.source) AS n_sources
+FROM assign a JOIN documents d ON d.doc_id = a.id
+GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES["doc_topic_clusters"] = doc_topic_clusters
+ORACLE["doc_topic_clusters"] = _TOPIC_CLUSTERS_SQL
 
 
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
