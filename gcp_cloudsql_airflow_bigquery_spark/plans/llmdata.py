@@ -499,12 +499,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": doc_fingerprint,
 }
 
-# rows-only (no oracle): doc_dedup_minhash, knn_lsh
-# (engine-specific xxhash64 seeds), embedding_semantic_dedup / knn_ivf
-# (k-means not SQL-expressible), media_* (Python-side feature UDFs),
-# doc_winnow_candidates (xxhash64), event_type_pagerank (tolerance-based
-# early exit makes cross-engine float parity fragile).  knn_int8 IS
-# oracle-checked — quantization is integer-exact across engines.
+# rows-only (no oracle): doc_dedup_minhash (xxhash64 scale path — the
+# portable md5 twin doc_dedup_minhash_portable IS hash-checked and
+# unit-pinned to the same pair set), media_* (Python-side feature
+# UDFs), doc_bpe_* (sequential merge application has no SQL form;
+# differential-tested vs pure-Python Sennrich), embedding_pca_projected
+# (driver-side eigh).  Everything else here — including the formerly
+# rows-only knn_lsh (seeded hyperplanes inlined), knn_ivf /
+# embedding_semantic_dedup / doc_topic_clusters (unrolled k-means
+# replay) — is value-hash-checked against DuckDB.
 ORACLE: dict[str, str] = {
     "doc_dedup_exact": _DEDUP_EXACT_SQL,
     "doc_dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
