@@ -190,6 +190,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank: (node, rank), ranks summing to 1.
 
@@ -213,9 +214,17 @@ def pagerank(
         (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Pre-partition the (static) normalized edge list by dst ONCE: the
+    # per-round contribution aggregation groups by dst, so with ranks
+    # broadcast the round's plan reuses this partitioning and pays NO
+    # edge-sized exchange — one partitioning amortized over max_iter
+    # rounds, the Pregel trade.  (Checkpointed frames also lose size
+    # stats, so without the explicit broadcast below each round would
+    # fall back to a sort-merge join + full shuffle.)
     norm = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition(F.col("dst"))
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -227,8 +236,18 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # With ``broadcast_ranks`` (bounded node sets: types, labels,
+        # entities) the rank table broadcasts, the join is map-side,
+        # and the dst-grouped agg reuses norm's standing partitioning —
+        # no edge-sized exchange per round.  For node-scale graphs
+        # (web-graph PageRank) pass False: ranks shuffle by src each
+        # round (node-sized — still far cheaper than the edge list),
+        # the Pregel trade.  The explicit hint matters because the
+        # checkpointed ranks frame has no size stats and would
+        # otherwise sort-merge.
+        maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
         contribs = (
-            norm.join(ranks, norm.src == ranks.node)
+            norm.join(maybe_bc(ranks), norm.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
         )
@@ -244,7 +263,7 @@ def pagerank(
         )
         step = (
             ranks.withColumnRenamed("rank", "old_rank")
-            .join(contribs, F.col("node") == contribs.dst, "left")
+            .join(maybe_bc(contribs), F.col("node") == contribs.dst, "left")
             .crossJoin(F.broadcast(emitted))
             .select(
                 "node",
