@@ -439,3 +439,51 @@ def decontaminate_fuzzy(
         .filter(F.col("rn") == 1)
         .select(id_col, F.col(bench_id_col).alias("best_match"), "jaccard")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    order_col: str,
+    cost_col: str,
+    budget: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: take rows in global
+    ``(order_col DESC, id_col ASC)`` order while the running sum of
+    ``cost_col`` stays within ``budget`` — "highest-quality documents
+    until the token budget is spent", the standard pretraining
+    data-selection primitive.
+
+    Scale shape: a single global-order window would drag the whole
+    corpus onto one task, so the running sum is a two-phase prefix sum
+    instead — ``repartitionByRange`` + ``sortWithinPartitions`` give a
+    globally range-ordered layout, per-partition cost totals (one tiny
+    aggregation, partition-count rows) become driver-side prefix
+    offsets broadcast back as a literal map, and the window runs
+    per-partition.  No task ever sees more than its own partition.
+    Appends ``cum_cost`` (exact for integer costs)."""
+    key = [F.col(order_col).desc(), F.col(id_col).asc()]
+    d = df.repartitionByRange(*key).sortWithinPartitions(*key)
+    part = d.withColumn("_pid", F.spark_partition_id())
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid").agg(F.sum(cost_col).alias("t")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid]
+    off_map = F.create_map(
+        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(cost_col).over(w) + F.element_at(off_map, F.col("_pid"))
+    return (
+        part.withColumn("cum_cost", cum)
+        .filter(F.col("cum_cost") <= budget)
+        .drop("_pid")
+    )

@@ -400,3 +400,66 @@ FROM documents GROUP BY 1
 
 QUERIES["doc_kfold_assignment"] = doc_kfold_assignment
 ORACLE["doc_kfold_assignment"] = _KFOLD_SQL
+
+
+def doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a 20k-token budget
+    (``operators/curation.budget_select``): documents taken in
+    (quality DESC, doc_id) order while the running token count stays
+    within budget — the data-selection step that turns a scored corpus
+    into a fixed-size training mix.  The running sum is a two-phase
+    range-partitioned prefix sum, so no task ever holds the global
+    order; the oracle replays the same cumulative-sum semantics."""
+    from ..operators import textstats
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return curation.budget_select(
+        scored, "quality", "n_tokens", budget=20_000
+    ).select("doc_id", "source", "quality", "n_tokens", "cum_cost")
+
+
+from ..operators.textstats import STOPWORDS as _SW  # noqa: E402
+
+_SW_SQL = "', '".join(_SW)
+
+_BUDGET_SELECT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN ('{_SW_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct
+  FROM toks
+), r AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_r,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_r
+  FROM m
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - punct_r * 5) * 0.25 +
+               LEAST(stop_r * 4, 1.0) * 0.25, 6) AS quality
+  FROM r
+)
+SELECT doc_id, source, quality, n_tokens, cum_cost FROM (
+  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cost
+  FROM q)
+WHERE cum_cost <= 20000
+"""
+
+QUERIES["doc_token_budget_selection"] = doc_token_budget_selection
+ORACLE["doc_token_budget_selection"] = _BUDGET_SELECT_SQL

@@ -204,3 +204,31 @@ def test_decontaminate_fuzzy_flags_paraphrase_not_unrelated(spark):
     }
     assert 1 in got and got[1][0] == 1000 and got[1][1] >= 0.4
     assert 2 not in got
+
+
+def test_budget_select_two_phase_equals_global_window(spark, sf_dir):
+    """The range-partitioned two-phase prefix sum must reproduce the
+    naive single-partition global window exactly (same selected set,
+    same cumulative values) — the two-phase form exists purely so no
+    task ever holds the global order."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("cost")
+    )
+    got = {
+        (r.doc_id, r.cum_cost)
+        for r in curation.budget_select(
+            d, "cost", "cost", budget=50_000, id_col="doc_id"
+        ).collect()
+    }
+    w = Window.orderBy(F.col("cost").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.doc_id, r.cum)
+        for r in d.withColumn("cum", F.sum("cost").over(w))
+        .filter(F.col("cum") <= 50_000)
+        .collect()
+    }
+    assert want and got == want
