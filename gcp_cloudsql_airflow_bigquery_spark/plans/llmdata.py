@@ -634,6 +634,112 @@ QUERIES["doc_dup_clusters"] = doc_dup_clusters
 ORACLE["doc_dup_clusters"] = _DUP_CLUSTERS_SQL
 
 
+def doc_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with QUALITY-canonical selection: close the
+    Jaccard >= 0.5 pairs into clusters (same component machinery as
+    ``doc_dup_clusters``), then keep each cluster's highest-quality
+    member (ties to the smallest id) — what a production pipeline
+    actually keeps, vs the min-id convention.  Singletons keep
+    themselves.  Output: the kept doc per cluster with its quality and
+    the cluster size."""
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(
+        docs, threshold=0.5, num_hashes=32, bands=16
+    )
+    labels = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    q = docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    membered = q.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        membered.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality", "n_members")
+    )
+
+
+_KEEP_BEST_SQL = rf"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT id, len(sh) AS n_sh FROM nonempty),
+inv AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good
+          UNION SELECT id_b, id_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a),
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct
+  FROM toks
+), q AS (
+  SELECT doc_id,
+         ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - (CASE WHEN n_chars > 0
+                                         THEN n_punct / n_chars ELSE 0.0 END) * 5) * 0.25 +
+               LEAST((CASE WHEN n_tok > 0
+                           THEN n_stop / n_tok ELSE 0.0 END) * 4, 1.0) * 0.25,
+               6) AS quality
+  FROM m
+),
+membered AS (
+  SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality, n_members FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM membered)
+WHERE rn = 1
+"""
+
+QUERIES["doc_dedup_keep_best_quality"] = doc_dedup_keep_best_quality
+ORACLE["doc_dedup_keep_best_quality"] = _KEEP_BEST_SQL
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF cells.  Hash-checkable: the codebook is
     deterministic spherical k-means-lite (init = the 16 smallest ids'
