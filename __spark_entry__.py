@@ -59,6 +59,15 @@ _MODULES = (
 # (b) never present in any CORRECTNESS_r0{1..4}.json: the full TPC-H
 # shape suite, temporal, quality, curation, dq, search, the salted
 # scale queries, and one llmdata straggler.
+#
+# ROUND 6 PLAN: rotate the window again onto the still-never-checked
+# oracle-paired remainder — advanced's 38 unchecked entries plus the
+# round-5 conversions/additions (doc_dedup_minhash_portable,
+# doc_dedup_simhash, doc_winnow_candidates, doc_topic_clusters,
+# knn_lsh, knn_ivf, embedding_semantic_dedup, event_type_pagerank,
+# events_audience_overlap, orders_customer_join_estimate,
+# events_distinct_users_rollup(+_exact), doc_token_budget_selection,
+# doc_dedup_keep_best_quality, and llmdata's 4 stragglers).
 _WINDOW = (
     # tpch (6)
     "q3_shipping_priority",
