@@ -1374,12 +1374,17 @@ QUERIES["embedding_pca_projected"] = embedding_pca_projected
 
 
 def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a 24-merge BPE vocabulary on the corpus (rows-only: the
-    merge sequence is iterative and not SQL-expressible; the trainer is
-    differential-tested against a pure-Python BPE in
-    tests/test_tokenizer.py).  One corpus-sized word-count pass, then
-    one vocabulary-sized Spark job per merge round
-    (``operators/tokenizer.bpe_train``)."""
+    """Train a 24-merge BPE vocabulary on the corpus.  Hash-checked:
+    BPE training is pure integer/string arithmetic, so the DuckDB
+    oracle replays all 24 merge rounds as unrolled CTEs — words as
+    US-delimited symbol strings, adjacent-pair counting weighted by
+    word frequency, (count DESC, left, right) argmax, and left-to-right
+    non-overlapping merge application via ``replace`` (string replace's
+    left-to-right-consume semantics match the trainer's (out, skip)
+    fold exactly).  Also differential-tested against a pure-Python
+    Sennrich BPE in tests/test_tokenizer.py.  One corpus-sized
+    word-count pass, then one vocabulary-sized Spark job per merge
+    round (``operators/tokenizer.bpe_train``)."""
     from ..operators import tokenizer
 
     merges = tokenizer.bpe_train(_docs(spark, sf_dir), n_merges=24)
@@ -1387,6 +1392,93 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, left string, right string, merged string, weighted_count long",
     )
+
+
+def _bpe_vocab_sql(n_merges: int = 24, min_pair_count: int = 2) -> str:
+    """Unrolled DuckDB replay of ``tokenizer.bpe_train``.  Symbols are
+    stored as chr(31)-delimited strings ('\\x1f a \\x1f b \\x1f ▁ \\x1f')
+    so one ``replace`` applies a merge round with the exact
+    left-to-right non-overlap semantics of the trainer's fold; the
+    early-stop is replayed by gating each emitted row on every prior
+    round's count clearing ``min_pair_count``."""
+    d = "chr(31)"
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(f"""toks{r} AS MATERIALIZED (
+  SELECT n, list_filter(string_split(sym, {d}), x -> x <> '') AS t FROM wf{r}
+),
+pairs{r} AS MATERIALIZED (
+  SELECT t[i.i] AS a, t[i.i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM toks{r}, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) i
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+wf{r + 1} AS MATERIALIZED (
+  SELECT word, n, replace(sym,
+      {d} || (SELECT a FROM best{r}) || {d} || (SELECT b FROM best{r}) || {d},
+      {d} || (SELECT a || b FROM best{r}) || {d}) AS sym
+  FROM wf{r}
+)""")
+    emits = []
+    for r in range(n_merges):
+        valid = " AND ".join(
+            f"(SELECT cnt FROM best{j}) >= {min_pair_count}"
+            for j in range(r + 1)
+        )
+        emits.append(
+            f'SELECT {r + 1} AS merge_rank, a AS "left", b AS "right",'
+            f" a || b AS merged, cnt AS weighted_count FROM best{r}"
+            f" WHERE {valid}"
+        )
+    body = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(emits)
+    prefix = f"""
+WITH freq AS MATERIALIZED (
+  SELECT w AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents WHERE {_NORM} <> '')
+  GROUP BY 1
+),
+wf0 AS MATERIALIZED (
+  SELECT word, n,
+         {d} || array_to_string(regexp_split_to_array(word, ''), {d})
+             || {d} || '▁' || {d} AS sym
+  FROM freq
+),
+{body}"""
+    return prefix, union, d
+
+
+def _bpe_vocab_oracle(n_merges: int = 24) -> str:
+    prefix, union, _ = _bpe_vocab_sql(n_merges)
+    return f"{prefix}\n{union}\n"
+
+
+def _bpe_tokens_oracle(n_merges: int = 24) -> str:
+    """Per-doc BPE token counts: the trained word→symbol table joins
+    back onto the exploded corpus (same shape as ``bpe_encode``'s
+    distinct-word fold + broadcast join)."""
+    prefix, _, d = _bpe_vocab_sql(n_merges)
+    return f"""{prefix},
+wtok AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(sym, {d}), x -> x <> '')) AS n_tok
+  FROM wf{n_merges}
+),
+docw AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+  FROM documents WHERE {_NORM} <> ''
+)
+SELECT dw.doc_id,
+       CAST(SUM(w.n_tok) AS INTEGER) AS n_bpe_tokens,
+       ANY_VALUE(dd.n_chars) AS n_chars
+FROM docw dw
+JOIN wtok w USING (word)
+JOIN documents dd ON dd.doc_id = dw.doc_id
+GROUP BY dw.doc_id
+"""
 
 
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,7 +1497,9 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["doc_bpe_vocab"] = doc_bpe_vocab
+ORACLE["doc_bpe_vocab"] = _bpe_vocab_oracle()
 QUERIES["doc_bpe_tokens"] = doc_bpe_tokens
+ORACLE["doc_bpe_tokens"] = _bpe_tokens_oracle()
 
 
 def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
