@@ -464,7 +464,16 @@ def budget_select(
     Appends ``cum_cost`` (exact for integer costs)."""
     key = [F.col(order_col).desc(), F.col(id_col).asc()]
     d = df.repartitionByRange(*key).sortWithinPartitions(*key)
-    part = d.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the range boundaries: repartitionByRange
+    # samples them and is documented as not necessarily consistent
+    # across evaluations, and this frame is evaluated twice (the
+    # totals collect and the final cum-sum job) — without the
+    # materialization the two jobs can disagree on pid assignment and
+    # silently corrupt cum_cost (same failure sorted_neighborhood_pairs
+    # documents in fuzzy.py).
+    part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     totals = {
         r["_pid"]: r["t"]
         for r in part.groupBy("_pid").agg(F.sum(cost_col).alias("t")).collect()

@@ -641,7 +641,19 @@ def doc_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     member (ties to the smallest id) — what a production pipeline
     actually keeps, vs the min-id convention.  Singletons keep
     themselves.  Output: the kept doc per cluster with its quality and
-    the cluster size."""
+    the cluster size.
+
+    Oracle recall assumption (same caveat as ``doc_dup_clusters``):
+    the Spark side takes its pair set from MinHash-LSH candidates
+    (32 hashes / 16 bands, ~1% per-pair miss probability at J≈0.5)
+    while the DuckDB oracle computes exact all-pairs Jaccard, so a
+    REGENERATED fixture with a borderline near-dup pair can
+    hash-mismatch with no product bug.  On the pinned sf0.001/sf0.01
+    fixtures the LSH candidate set provably covers every J>=0.5 pair
+    (tests/test_llmdata.py::test_minhash_full_recall_on_pinned_fixtures
+    pins recall=1 at both correctness SFs); if the fixtures are
+    ever regenerated, re-check that property before trusting a red
+    driver row for this query."""
     from pyspark.sql.window import Window
 
     from ..operators.graph import connected_components
@@ -1379,9 +1391,13 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays all 24 merge rounds as unrolled CTEs — words as
     US-delimited symbol strings, adjacent-pair counting weighted by
     word frequency, (count DESC, left, right) argmax, and left-to-right
-    non-overlapping merge application via ``replace`` (string replace's
-    left-to-right-consume semantics match the trainer's (out, skip)
-    fold exactly).  Also differential-tested against a pure-Python
+    non-overlapping merge application via ``replace`` over a
+    DOUBLE-delimited symbol string (each match consumes only the inner
+    delimiter halves, so adjacent occurrences share no characters and
+    single-pass replace reproduces the trainer's (out, skip) fold
+    exactly — a single-delimiter encoding skips the second of two
+    boundary-sharing occurrences, e.g. merging (g,a) in 'gaga').
+    Also differential-tested against a pure-Python
     Sennrich BPE in tests/test_tokenizer.py.  One corpus-sized
     word-count pass, then one vocabulary-sized Spark job per merge
     round (``operators/tokenizer.bpe_train``)."""
@@ -1396,11 +1412,16 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_vocab_sql(n_merges: int = 24, min_pair_count: int = 2) -> str:
     """Unrolled DuckDB replay of ``tokenizer.bpe_train``.  Symbols are
-    stored as chr(31)-delimited strings ('\\x1f a \\x1f b \\x1f ▁ \\x1f')
-    so one ``replace`` applies a merge round with the exact
-    left-to-right non-overlap semantics of the trainer's fold; the
-    early-stop is replayed by gating each emitted row on every prior
-    round's count clearing ``min_pair_count``."""
+    stored as DOUBLE-chr(31)-delimited strings
+    ('\\x1f\\x1f a \\x1f\\x1f b \\x1f\\x1f ▁ \\x1f\\x1f'); a merge round is one
+    ``replace`` of ``D a DD b D`` with ``D ab D`` — the pattern
+    consumes only the inner half of each boundary, so adjacent
+    occurrences (e.g. merging (g,a) in 'gaga', or a run of repeated
+    symbols) never share characters and single-pass left-to-right
+    replace reproduces the trainer's (out, skip) fold exactly
+    (property-tested against the fold in tests/test_tokenizer.py).
+    The early-stop is replayed by gating each emitted row on every
+    prior round's count clearing ``min_pair_count``."""
     d = "chr(31)"
     rounds = []
     for r in range(n_merges):
@@ -1417,7 +1438,8 @@ best{r} AS MATERIALIZED (
 ),
 wf{r + 1} AS MATERIALIZED (
   SELECT word, n, replace(sym,
-      {d} || (SELECT a FROM best{r}) || {d} || (SELECT b FROM best{r}) || {d},
+      {d} || (SELECT a FROM best{r}) || {d} || {d}
+          || (SELECT b FROM best{r}) || {d},
       {d} || (SELECT a || b FROM best{r}) || {d}) AS sym
   FROM wf{r}
 )""")
@@ -1443,8 +1465,9 @@ WITH freq AS MATERIALIZED (
 ),
 wf0 AS MATERIALIZED (
   SELECT word, n,
-         {d} || array_to_string(regexp_split_to_array(word, ''), {d})
-             || {d} || '▁' || {d} AS sym
+         {d} || {d}
+             || array_to_string(regexp_split_to_array(word, ''), {d} || {d})
+             || {d} || {d} || '▁' || {d} || {d} AS sym
   FROM freq
 ),
 {body}"""

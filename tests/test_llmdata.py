@@ -25,6 +25,31 @@ def emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings").cache()
 
 
+@pytest.mark.parametrize(
+    "pin_sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_minhash_full_recall_on_pinned_fixtures(spark, pin_sf_dir):
+    """``doc_dedup_keep_best_quality``'s oracle computes exact
+    all-pairs Jaccard while the Spark side uses MinHash-LSH candidates
+    (32 hashes / 16 bands), so its hash check is only sound if LSH
+    recovers EVERY J>=0.5 pair on the pinned fixtures.  Pin recall=1
+    at both correctness SFs; if a regenerated fixture breaks this, the
+    driver row for that query is a fixture artifact, not a product bug
+    (see the query docstring in plans/llmdata.py)."""
+    d = load_table(spark, pin_sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(
+            d, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert exact <= approx, f"missed true pairs: {sorted(exact - approx)[:5]}"
+
+
 def test_minhash_recall_vs_exact(docs):
     """LSH candidates must recover (almost) all true near-dup pairs."""
     exact = {

@@ -125,6 +125,63 @@ def test_merge_pair_handles_overlaps_left_to_right(spark):
     assert list(out) == ["aa", "aa", "a"]
 
 
+_ADVERSARIAL_TEXTS = [
+    # doubled-pair words: merging (g,a) in 'gaga' makes two occurrences
+    # that share a boundary; repeated-symbol runs ('aaaaa') make
+    # overlapping occurrences — both break a naive single-delimiter
+    # string-replace oracle replay (ADVICE r5).
+    "gaga gaga gagaga gag",
+    "aaaaa aaaa aaa aa",
+    "banana bananas banana",
+    "low lower lowest low low",
+]
+
+
+def test_bpe_duckdb_oracle_matches_fold_on_adversarial_corpus(spark):
+    """The unrolled DuckDB replay (doubled-delimiter replace) must equal
+    both the Spark trainer and the pure-Python (out, skip) fold on a
+    corpus full of boundary-sharing and overlapping pair occurrences."""
+    import duckdb
+    import pandas as pd
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.llmdata import (
+        _bpe_tokens_oracle,
+        _bpe_vocab_oracle,
+    )
+
+    docs_pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(_ADVERSARIAL_TEXTS)),
+            "text": _ADVERSARIAL_TEXTS,
+            "n_chars": [len(t) for t in _ADVERSARIAL_TEXTS],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+
+    n_merges = 12
+    want = _py_bpe_train(_ADVERSARIAL_TEXTS, n_merges=n_merges)
+    got_oracle = con.execute(_bpe_vocab_oracle(n_merges)).fetchall()
+    got_oracle = sorted(got_oracle)  # merge_rank leads, so sorts by round
+    assert [
+        (a, b, c) for _, a, b, _, c in got_oracle
+    ] == want, "DuckDB vocab replay diverges from the (out, skip) fold"
+
+    sdocs = spark.createDataFrame(
+        list(enumerate(_ADVERSARIAL_TEXTS)), ["doc_id", "text"]
+    )
+    assert bpe_train(sdocs, n_merges=n_merges) == want
+
+    # token counts per doc: oracle vs pure-Python encode
+    tok_oracle = {
+        r[0]: r[1]
+        for r in con.execute(_bpe_tokens_oracle(n_merges)).fetchall()
+    }
+    merges = want
+    for i, t in enumerate(_ADVERSARIAL_TEXTS):
+        assert tok_oracle[i] == len(_py_encode(t, merges)), f"doc {i}"
+
+
 def test_word_freq_table_is_the_only_corpus_pass(spark):
     wf = {r.word: r.n for r in word_freq_table(_docs(spark)).collect()}
     assert wf["low"] == 5 and wf["newer"] == 3
