@@ -54,80 +54,78 @@ _MODULES = (
 
 # The driver hard-verifies the FIRST 50 queries() entries in dict
 # insertion order.  Rounds 1-3 spent the window on relational+advanced;
-# round 4 on events+llmdata.  Round 5 pins an explicit window of 50
-# entries that are (a) oracle-paired — every slot can hash-match — and
-# (b) never present in any CORRECTNESS_r0{1..4}.json: the full TPC-H
-# shape suite, temporal, quality, curation, dq, search, the salted
-# scale queries, and one llmdata straggler.
+# round 4 on events+llmdata; round 5 on the TPC-H shape suite,
+# temporal, quality, curation, dq, search, and scale (50/50
+# hash-green, CORRECTNESS_r05.json).
 #
-# ROUND 6 PLAN: rotate the window again onto the still-never-checked
-# oracle-paired remainder — advanced's 38 unchecked entries plus the
-# round-5 conversions/additions (doc_dedup_minhash_portable,
-# doc_dedup_simhash, doc_winnow_candidates, doc_topic_clusters,
-# knn_lsh, knn_ivf, embedding_semantic_dedup, event_type_pagerank,
-# events_audience_overlap, orders_customer_join_estimate,
-# events_distinct_users_rollup(+_exact), doc_token_budget_selection,
-# doc_dedup_keep_best_quality, and llmdata's 4 stragglers).
+# ROUND 6 (final rotation): the 45 oracle-paired queries never present
+# in any CORRECTNESS_r0{1..5}.json, plus the 5 round-5 oracle
+# conversions that only ever had rows-only driver signal in r4
+# (knn_lsh/knn_ivf/doc_dedup_simhash/doc_topic_clusters/
+# event_type_pagerank — all hash-paired since round 5).  After this
+# window, every oracle-paired query in the registry has had hard
+# driver hash signal at least once.
+#
+# ROUND 7 PLAN: spend rows-only slots on the never-driver-checked
+# unpaired queries (embedding_pca_projected, doc_quality_classifier,
+# events_value_quantiles_rollup, agg_approx_sketch) and re-check a
+# sample of earlier-round slots for regression signal.
 _WINDOW = (
-    # tpch (6)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    # tpch2 (8)
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipping_priority_class",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    # temporal (8)
-    "events_session_capped",
-    "events_blackout_merged",
-    "events_asof_purchase",
-    "events_error_blackout",
-    "events_session_error_overlap",
-    "events_time_weighted_value",
-    "events_gap_fill_locf",
-    "events_attribution_last_touch",
-    # quality (9)
-    "doc_pii_redact",
-    "doc_repetition",
-    "doc_decontaminated",
-    "doc_decontaminated_fuzzy",
-    "doc_packed_bins",
-    "table_profile",
-    "corpus_funnel",
-    "doc_unicode_clean",
-    "doc_gopher_report",
-    # curation (11)
-    "doc_chunks",
-    "doc_balanced_sample",
-    "doc_stratified_sample",
-    "doc_split_counts",
-    "doc_mix_rates",
-    "doc_mix_resampled",
-    "doc_shard_order",
-    "doc_weighted_sample",
-    "doc_dsir_resample",
-    "doc_curriculum_buckets",
-    "doc_kfold_assignment",
-    # dq (2)
-    "dq_orders_report",
-    "dq_lineitem_report",
-    # search (1)
-    "doc_bm25_search",
-    # scale — the 4 oracle-paired entries (4)
-    "salted_agg_hot_keys",
-    "salted_join_nation",
-    "topk_per_group_salted",
-    "events_user_skew_report",
-    # llmdata straggler (1) → exactly 50
-    "embedding_hard_negatives",
+    # relational residue (17)
+    "agg_corr",
+    "agg_grouping_id",
+    "array_funcs",
+    "date_funcs2",
+    "explode_outer_words",
+    "forward_fill",
+    "math_funcs2",
+    "posexplode_words",
+    "regexp_funcs",
+    "sample_hash",
+    "sentences_udtf",
+    "set_except_all",
+    "set_intersect_all",
+    "string_funcs2",
+    "url_funcs",
+    "window_analytics",
+    "snapshot_cdc_diff",
+    # advanced residue (17)
+    "custdist",
+    "customer_entity_clusters",
+    "customer_name_neardup",
+    "customer_sorted_neighborhood",
+    "geomean_prices",
+    "large_volume_orders",
+    "lone_late_supplier",
+    "order_price_outliers",
+    "orders_price_mad_outliers",
+    "part_affinity_pmi",
+    "part_cooccurrence_triangles",
+    "price_histogram_bits",
+    "scd2_customer_history",
+    "supplier_best_balance",
+    "supplier_fulfillment_latency",
+    "top_revenue_suppliers",
+    "weekly_revenue_growth",
+    # events rollups / sketch joins (4)
+    "events_audience_overlap",
+    "events_distinct_users_rollup",
+    "events_distinct_users_rollup_exact",
+    "orders_customer_join_estimate",
+    "events_user_rollup",
+    # llmdata never-checked (6)
+    "doc_dedup_keep_best_quality",
+    "doc_dedup_minhash_portable",
+    "doc_langid_confusion",
+    "doc_source_overlap",
+    "doc_token_budget_selection",
+    "embedding_standardized",
+    # round-5 oracle conversions, rows-only in r4 → hash slots now (5)
+    "knn_lsh",
+    "knn_ivf",
+    "doc_dedup_simhash",
+    "doc_topic_clusters",
+    "event_type_pagerank",
 )
 
 
