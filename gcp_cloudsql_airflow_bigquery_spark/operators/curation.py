@@ -496,3 +496,80 @@ def budget_select(
         .filter(F.col("cum_cost") <= budget)
         .drop("_pid")
     )
+
+
+def global_rank(
+    df: DataFrame, key: list, rank_col: str = "global_rank"
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over the total order ``key`` without
+    a single-partition sort (the plan a bare ``Window.orderBy`` emits —
+    Spark's ``WindowExec: No Partition Defined`` scale-killer).
+
+    Same two-phase prefix-sum machinery as :func:`budget_select`:
+    ``repartitionByRange`` + ``sortWithinPartitions`` give a globally
+    range-ordered layout, per-partition row counts (one tiny
+    aggregation, partition-count rows) become driver-side cumulative
+    offsets broadcast back as a literal map, and the ``row_number``
+    window runs per-partition.  The ``localCheckpoint`` pins the
+    sampled range boundaries so the size collect and the rank job see
+    the same partition assignment (the budget_select/fuzzy.py failure
+    mode).  Returns ``(ranked_df, total_rows)``; the total is free —
+    it is the sum of the partition counts already collected."""
+    d = df.repartitionByRange(*key).sortWithinPartitions(*key)
+    part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = run
+        run += sizes[pid]
+    off_map = F.create_map(
+        *[
+            x
+            for pid, off in sorted(offsets.items())
+            for x in (F.lit(pid), F.lit(off))
+        ]
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    ranked = part.withColumn(
+        rank_col,
+        F.row_number().over(w).cast("long")
+        + F.element_at(off_map, F.col("_pid")),
+    ).drop("_pid")
+    return ranked, run
+
+
+def exact_ntile(
+    df: DataFrame, n_buckets: int, key: list, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Exact SQL ``NTILE(n)`` over the total order ``key``, computed
+    distributed via :func:`global_rank` — identical results to
+    ``ntile(n).over(Window.orderBy(...))`` (the first ``total mod n``
+    buckets get ``ceil(total/n)`` rows, the rest ``floor(total/n)``)
+    but with no unpartitioned WindowExec dragging the corpus onto one
+    task.  Differential-tested against ``F.ntile`` in
+    tests/test_curation.py."""
+    ranked, total = global_rank(df, key, rank_col="_grank")
+    if total == 0:
+        return ranked.withColumn(bucket_col, F.lit(None).cast("int")).drop(
+            "_grank"
+        )
+    q, rem = divmod(total, n_buckets)
+    big = rem * (q + 1)  # ranks 1..big land in the first rem buckets
+    r = F.col("_grank")
+    if q == 0:
+        bucket = r.cast("int")  # fewer rows than buckets: bucket = rank
+    else:
+        # integer div on longs (ranks are exact well past any corpus
+        # size a driver can rank; floor(double) would drift at 2^53)
+        bucket = (
+            F.when(r <= big, F.expr(f"(_grank - 1) div {q + 1}"))
+            .otherwise(F.expr(f"{rem} + (_grank - {big} - 1) div {q}"))
+            .cast("int")
+            + F.lit(1)
+        )
+    return ranked.withColumn(bucket_col, bucket).drop("_grank")

@@ -331,18 +331,24 @@ def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shortest→1 … longest→10) with per-bucket stats — the
     length-ordered schedule many training curricula and
     padding-efficient batchers consume.  ``ntile`` needs a global
-    order: at this output grain (10 rows) the sort input is the tiny
-    (doc, n_tokens) projection; at 100 TB you bucket by
-    ``percentile_approx`` CUTS instead of a global ntile sort — the
-    same trade documented in ``textstats.unigram_logprob``."""
+    order, but a bare ``Window.orderBy`` drags every document onto one
+    task (``WindowExec: No Partition Defined``) — so the deciles come
+    from :func:`operators.curation.exact_ntile`: range-partitioned
+    per-partition ranks plus driver-side cumulative offsets (the same
+    two-phase prefix sum as ``budget_select``), identical results to
+    SQL ``NTILE(10)`` with no unpartitioned window.  (The inexact
+    alternative at 100 TB — ``percentile_approx`` cuts — stays
+    documented in ``textstats.unigram_logprob``; it is not needed for
+    exactness here.)"""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..operators.curation import exact_ntile
 
     n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     toks = d.select("doc_id", n_tok.alias("n_tokens"))
-    w = Window.orderBy("n_tokens", "doc_id")
     return (
-        toks.withColumn("bucket", F.ntile(10).over(w))
+        exact_ntile(
+            toks, 10, [F.col("n_tokens").asc(), F.col("doc_id").asc()]
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),

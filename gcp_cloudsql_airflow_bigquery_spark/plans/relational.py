@@ -527,9 +527,18 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 
 
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE(4) — via ``operators.curation.exact_ntile``'s
+    two-phase prefix-sum rank, not a bare ``Window.orderBy`` (which
+    would serialize every customer onto a single task); results are
+    identical to SQL NTILE by construction (differential-tested in
+    tests/test_curation.py)."""
+    from ..operators.curation import exact_ntile
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    key = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    return exact_ntile(
+        c.select("c_custkey", "c_acctbal"), 4, key, bucket_col="quartile"
+    ).select("c_custkey", "quartile")
 
 
 _WINDOW_NTILE_SQL = """

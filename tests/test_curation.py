@@ -232,3 +232,29 @@ def test_budget_select_two_phase_equals_global_window(spark, sf_dir):
         .collect()
     }
     assert want and got == want
+
+
+def test_exact_ntile_matches_spark_ntile(spark):
+    """operators.curation.exact_ntile (two-phase prefix-sum rank) must
+    reproduce F.ntile over a global Window exactly, across remainder
+    shapes (N % k), ties in the value column, and N < k."""
+    import random
+
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.curation import (
+        exact_ntile,
+    )
+
+    random.seed(1)
+    for n, k in [(10, 4), (3, 5), (100, 7), (1, 1), (57, 10), (16, 16)]:
+        rows = [(i, random.randint(0, 20)) for i in range(n)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        key = [F.col("v").asc(), F.col("id").asc()]
+        got = {r.id: r.bucket for r in exact_ntile(df, k, key).collect()}
+        w = Window.orderBy("v", "id")
+        want = {
+            r.id: r.nt
+            for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, (n, k)

@@ -257,3 +257,55 @@ def test_analyze_table_feeds_cost_based_optimizer(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         drop_managed_table(spark, "t_stats_nation")
+
+
+# Post-aggregation frames whose unpartitioned window input is already
+# reduced to a tiny grain (week / hour / language), so a global window
+# is harmless there — NOT corpus-sized inputs:
+#   weekly_revenue_growth  — week-grain revenue (plans/advanced.py)
+#   events_error_rate_sli  — hour-grain SLI (plans/events.py)
+#   doc_mix_rates / doc_mix_resampled — language-grain mix weights
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "weekly_revenue_growth",
+    "events_error_rate_sli",
+    "doc_mix_rates",
+    "doc_mix_resampled",
+}
+
+
+def _unpartitioned_windows(df):
+    """Window/WindowGroupLimit nodes with an empty partitionSpec in the
+    optimized logical plan (the shape Spark itself warns about:
+    'WindowExec: No Partition Defined ... serious performance
+    degradation'), including subquery plans."""
+    bad, stack = [], [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+        subs = n.subqueriesAll()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
+        if n.nodeName() in ("Window", "WindowGroupLimit"):
+            if n.partitionSpec().isEmpty():
+                bad.append(n.nodeName())
+    return bad
+
+
+def test_no_unpartitioned_window_over_corpus_inputs(spark, sf_dir):
+    """Registry-wide guard closing the class of bug behind the old
+    global-ntile plans (doc_curriculum_buckets / window_ntile, fixed
+    via operators.curation.exact_ntile): no query may plan a
+    Window with an empty partitionSpec unless its window input is a
+    post-aggregation tiny-grain frame (allowlist above).  One loop,
+    not parametrize, so the whole registry shares one session and
+    offenders are reported together."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        bad = _unpartitioned_windows(df)
+        if bad and name not in _GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = bad
+    assert not offenders, f"unpartitioned corpus windows: {offenders}"
