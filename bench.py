@@ -188,6 +188,106 @@ def scale_probe(spark, sf_dir: str) -> dict:
     }
 
 
+def iterative_scale_probe(spark, sf_dir: str) -> dict:
+    """10× self-scaling curves for the two heavy ITERATIVE queries
+    (VERDICT r5 #7), same protocol as the sessionization 10× probe:
+    union ten id-shifted copies of the input and re-run, so rows/sec
+    holding near the 1× figure is measured evidence that per-round cost
+    scales with data (PageRank: one edge join + one agg per round;
+    classifier: d²-per-Arrow-batch partials), not with luck.
+
+    PageRank's 10× copy also shifts event_type, so the GRAPH (nodes and
+    edges) grows 10× along with the event stream — otherwise ten copies
+    would collapse onto the same |types|² edge list and measure nothing.
+    """
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import graph, textstats
+    from gcp_cloudsql_airflow_bigquery_spark.operators.linalg import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    out: dict = {}
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    for mult in (1, 10):
+        e = ev
+        for i in range(1, mult):
+            e = e.unionByName(
+                ev.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+                ).withColumn(
+                    "event_type",
+                    F.concat(F.col("event_type"), F.lit(f"_{i}")),
+                )
+            )
+        w = Window.partitionBy("user_id").orderBy(
+            F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+        )
+        edges = (
+            e.withColumn("next_type", F.lead("event_type").over(w))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("from_type"),
+                F.col("next_type").alias("to_type"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        t0 = _t.perf_counter()
+        graph.pagerank(
+            edges, src="from_type", dst="to_type", weight="n",
+            tol=0.0, max_iter=20,
+        ).write.format("noop").mode("overwrite").save()
+        dt = _t.perf_counter() - t0
+        out[f"pagerank_sec_{mult}x"] = round(dt, 3)
+        out[f"pagerank_rows_per_sec_{mult}x"] = (
+            int(mult * n_events / dt) if dt > 0 else -1
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    for mult in (1, 10):
+        d = docs
+        for i in range(1, mult):
+            d = d.unionByName(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                )
+            )
+        t = F.col("text")
+        feats = d.select(
+            "doc_id",
+            textstats.stopword_ratio(t).alias("stop_ratio"),
+            textstats.punct_ratio(t).alias("punct_ratio"),
+            (
+                F.length(t) / F.greatest(textstats.token_count(t), F.lit(1))
+            ).alias("mean_tok_len"),
+            (textstats.detect_lang(t) == "en").cast("double").alias("is_en"),
+        )
+        t0 = _t.perf_counter()
+        beta = logistic_fit(
+            feats,
+            ["stop_ratio", "punct_ratio", "mean_tok_len"],
+            "is_en",
+            n_iter=8,
+        )
+        logistic_score(
+            feats, ["stop_ratio", "punct_ratio", "mean_tok_len"], beta
+        ).write.format("noop").mode("overwrite").save()
+        dt = _t.perf_counter() - t0
+        out[f"classifier_sec_{mult}x"] = round(dt, 3)
+        out[f"classifier_rows_per_sec_{mult}x"] = (
+            int(mult * n_docs / dt) if dt > 0 else -1
+        )
+    return out
+
+
 def aqe_probe(spark) -> dict:
     """Demonstrate AQE actually engaging (VERDICT r4 #5).
 
@@ -331,6 +431,7 @@ def main() -> None:
                 "sf": sf,
                 "regressions_vs_baseline": regressions,
                 "scale_probe": scale_probe(spark, sf_dir),
+                "iterative_scale_probe": iterative_scale_probe(spark, sf_dir),
                 "aqe_probe": aqe_probe(spark),
             }
         )

@@ -608,11 +608,17 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict the language-ID label from surface quality features, then
     score every document with a pure Catalyst sigmoid expression
     (``logistic_score`` — whole-stage codegen, zero Python at
-    inference).  Rows-only: the Newton solve is iterative linear
-    algebra, not SQL-expressible; separability/monotonicity of the
-    fit are unit-tested (tests/test_llmdata.py).  At 100 TB the
-    training pass stays d^2-per-batch and inference is a free column
-    expression over the corpus scan."""
+    inference).  Hash-checked since round 6: the Newton solve is a
+    FIXED-iteration recurrence over SUM-aggregable (d+1)^2 moments, so
+    the DuckDB oracle replays all 8 rounds as unrolled CTEs with the
+    4x4 Newton system solved in closed form via Cramer's rule
+    (``_classifier_oracle`` — the same unrolled-replay trick as
+    k-means/PageRank/BPE).  Cross-engine float drift is ~1e-12 on the
+    converged betas vs the 1e-6 score rounding, so the value hash is
+    stable; separability/monotonicity of the fit stay unit-tested
+    (tests/test_llmdata.py).  At 100 TB the training pass stays
+    d^2-per-batch and inference is a free column expression over the
+    corpus scan."""
     from ..operators.linalg import logistic_fit, logistic_score
 
     d = load_table(spark, sf_dir, "documents")
@@ -634,4 +640,105 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("is_en").cast("int").alias("label"), "score")
 
 
+def _classifier_oracle(n_iter: int = 8, ridge: float = 1e-6) -> str:
+    """Unrolled DuckDB replay of ``doc_quality_classifier``: the same
+    feature SQL fragments as the other quality oracles, then per Newton
+    round one moments CTE (the ten upper-triangle X'WX sums plus the
+    four X'(y-p) score sums — exactly what the Arrow batches emit) and
+    one beta CTE solving the ridge-damped 4x4 system in closed form by
+    Cramer's rule (five Leibniz determinant expansions, 24 terms each,
+    generated below).  Spark's early-stop (step < 1e-10) needs no
+    replay: once converged the remaining steps perturb beta below the
+    1e-6 score rounding."""
+    from itertools import permutations
+
+    from .llmdata import _STOPLIST_SQL, _lang_list_sql
+
+    d = 4
+    gmax = "GREATEST(s_en, s_de, s_es, s_fr)"
+
+    def sign(p: tuple[int, ...]) -> int:
+        inv = sum(
+            1
+            for i in range(len(p))
+            for j in range(i + 1, len(p))
+            if p[i] > p[j]
+        )
+        return -1 if inv % 2 else 1
+
+    def mat(i: int, j: int) -> str:
+        i, j = min(i, j), max(i, j)
+        return f"(m.h{i}{j} + {ridge!r})" if i == j else f"m.h{i}{j}"
+
+    def det(col_replaced: int | None) -> str:
+        terms = []
+        for p in permutations(range(d)):
+            factors = [
+                f"m.g{k}" if p[k] == col_replaced else mat(k, p[k])
+                for k in range(d)
+            ]
+            s = "+" if sign(p) == 1 else "-"
+            terms.append(f"{s} {' * '.join(factors)}")
+        return " ".join(terms)
+
+    x = ["1.0", "f1", "f2", "f3"]
+    moments = ", ".join(
+        f"SUM(p * (1.0 - p) * {x[i]} * {x[j]}) AS h{i}{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    scores = ", ".join(
+        f"SUM((y - p) * {x[i]}) AS g{i}" for i in range(d)
+    )
+    z_prev = "b.b0 + b.b1 * f1 + b.b2 * f2 + b.b3 * f3"
+    rounds = []
+    for r in range(1, n_iter + 1):
+        rounds.append(f"""mom{r} AS MATERIALIZED (
+  SELECT {moments}, {scores}
+  FROM (SELECT f1, f2, f3, y,
+               1.0 / (1.0 + exp(-({z_prev}))) AS p
+        FROM feats, beta{r - 1} b) t
+),
+beta{r} AS MATERIALIZED (
+  SELECT b.b0 + ({det(0)}) / ({det(None)}) AS b0,
+         b.b1 + ({det(1)}) / ({det(None)}) AS b1,
+         b.b2 + ({det(2)}) / ({det(None)}) AS b2,
+         b.b3 + ({det(3)}) / ({det(None)}) AS b3
+  FROM mom{r} m, beta{r - 1} b
+)""")
+    body = ",\n".join(rounds)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+), feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS f1,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS f2,
+         n_chars / GREATEST(n_tok, 1) AS f3,
+         CASE WHEN {gmax} > 0 AND s_en = {gmax} THEN 1.0 ELSE 0.0 END AS y
+  FROM m
+),
+beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+{body}
+SELECT doc_id, CAST(y AS INTEGER) AS label,
+       ROUND(1.0 / (1.0 + exp(-({z_prev}))), 6) AS score
+FROM feats, beta{n_iter} b
+"""
+
+
 QUERIES["doc_quality_classifier"] = doc_quality_classifier
+ORACLE["doc_quality_classifier"] = _classifier_oracle()
