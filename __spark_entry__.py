@@ -66,10 +66,12 @@ _MODULES = (
 # window, every oracle-paired query in the registry has had hard
 # driver hash signal at least once.
 #
-# ROUND 7 PLAN: spend rows-only slots on the never-driver-checked
-# unpaired queries (embedding_pca_projected, doc_quality_classifier,
-# events_value_quantiles_rollup, agg_approx_sketch) and re-check a
-# sample of earlier-round slots for regression signal.
+# ROUND 7 PLAN: hash-check the round-6 additions that missed this
+# window (doc_quality_classifier — Newton-replay oracle landed r6 —
+# and doc_perplexity_bigram), spend rows-only slots on the unpaired
+# residue (embedding_pca_projected, events_value_quantiles_rollup,
+# agg_approx_sketch), and re-check a sample of earlier-round slots
+# for regression signal.
 _WINDOW = (
     # relational residue (17)
     "agg_corr",

@@ -90,6 +90,9 @@ HEADLINE = [
     ("event_type_pagerank", events.QUERIES),
     ("doc_quality_classifier", quality.QUERIES),
     ("events_distinct_users_rollup_exact", scale.QUERIES),
+    # r6 addition: bigram-LM perplexity filter (corpus-trained model +
+    # one model join over the exploded corpus)
+    ("doc_perplexity_bigram", llmdata.QUERIES),
 ]
 
 

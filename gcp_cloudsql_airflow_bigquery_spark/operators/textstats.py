@@ -398,6 +398,83 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the next
+    order of :func:`unigram_logprob`'s CCNet-style filter (Wenzek et
+    al. 2020 filter on KenLM perplexity; this is the self-trained
+    stand-in).  Per document: the mean ``-ln p(w_i | w_{i-1})`` over
+    its consecutive token pairs under add-alpha-smoothed conditional
+    probabilities ``p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V)``,
+    where ``c(w1·)`` counts ``w1`` as a bigram PREFIX (so the
+    conditionals sum to 1 over a V-word vocabulary) and ``V`` is the
+    observed SUCCESSOR vocabulary (distinct ``w2``) — chosen over the
+    full unigram vocabulary so the whole model derives from the bigram
+    count table without a second corpus aggregation.  Output: ``(id,
+    n_bigrams, avg_neg_logprob, ppl)`` with ``ppl = exp(avg)``;
+    documents with fewer than two tokens have no bigrams and are
+    absent.
+
+    Scale shape (same reasoning as :func:`unigram_logprob` /
+    :func:`tfidf_top_terms`): one bigram explode (rows = tokens-1 per
+    doc), one map-side-combined count shuffle for the bigram model —
+    prefix counts and ``V`` then reduce from the MODEL (vocab-sized),
+    never re-scanning the corpus — and ONE shuffle join of the
+    exploded corpus against the model on the near-uniform ``(w1, w2)``
+    key — NOT broadcast: the bigram vocabulary is open and grows with
+    the corpus.  ``V`` rides along as a 1-row broadcast.
+
+    The count table is lineage-cut (lazy ``localCheckpoint``, the
+    ``minhash_near_dups`` trick): its three consumers (prefix sums,
+    ``V``, the model join) are pruned to different columns, which
+    defeats ``ReuseExchange`` canonicalization — without the cut each
+    consumer re-tokenizes the corpus (measured: 4 corpus scans in the
+    final adaptive plan, 2 after).  Cutting the MODEL (vocab-sized) is
+    cheap; the exploded bigram frame (corpus-sized) is deliberately
+    not cut, so scoring pays one more scan instead of a
+    bigger-than-corpus checkpoint write.  Two corpus scans total;
+    nothing leaves the JVM."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = docs.filter(t != "").select(
+        id_col, F.split(t, r"\s+").alias("w")
+    )
+    bg = toks.filter(F.size("w") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "w1")
+    vocab = c2.agg(F.count_distinct("w2").alias("v"))
+    nll = -F.log(
+        (F.col("c2") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_neg_logprob"),
+            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+        )
+    )
+
+
 # C0/C1 control characters except \t and \n
 _CTL_RANGE = r"[\x00-\x08\x0B-\x1F\x7F-\x9F]"
 _CTL_RE = None  # compiled lazily inside the UDF workers

@@ -553,6 +553,41 @@ QUERIES["doc_lm_score"] = doc_lm_score
 ORACLE["doc_lm_score"] = _LM_SCORE_SQL
 
 
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document (new r6) — the conditional
+    next-order of ``doc_lm_score``'s CCNet-style filter: mean
+    ``-ln p(w_i | w_{i-1})`` under add-alpha conditionals trained on
+    the corpus itself (``operators/textstats.bigram_logprob``).
+    Hash-checked: pure arithmetic over corpus bigram/prefix counts, so
+    the DuckDB oracle recomputes the identical model and score."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
+
+
+_BIGRAM_PPL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT w2) AS v FROM c2)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln((c2 + 0.1) / (c1 + 0.1 * v))), 6) AS avg_neg_logprob,
+       ROUND(exp(AVG(-ln((c2 + 0.1) / (c1 + 0.1 * v)))), 6) AS ppl
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), voc
+GROUP BY doc_id
+"""
+
+QUERIES["doc_perplexity_bigram"] = doc_perplexity_bigram
+ORACLE["doc_perplexity_bigram"] = _BIGRAM_PPL_SQL
+
+
 def doc_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top TF-IDF term — the canonical keyword-extraction
     pass of a training-data pipeline."""

@@ -405,6 +405,47 @@ def test_unigram_logprob_rare_terms_score_higher(spark):
     assert got[2] > got[1]  # rare-term doc is less typical
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """Exact check on a corpus tiny enough to hand-compute the model:
+    'a b a b' + 'a b'.  Bigrams: (a,b)x3, (b,a)x1; prefix counts
+    c(a·)=3, c(b·)=1; V=2.  p(b|a)=(3+α)/(3+2α), p(a|b)=(1+α)/(1+2α)."""
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b")]
+    )
+    a = 0.1
+    p_ba = (3 + a) / (3 + 2 * a)
+    p_ab = (1 + a) / (1 + 2 * a)
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in textstats.bigram_logprob(df).collect()
+    }
+    want1 = round(-(2 * math.log(p_ba) + math.log(p_ab)) / 3, 6)
+    want2 = round(-math.log(p_ba), 6)
+    assert got == {1: (3, want1), 2: (1, want2)}
+
+
+def test_bigram_logprob_surprising_transitions_score_higher(spark):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat the cat sat the cat sat"),
+            Row(doc_id=2, text="the cat sat sat the cat the sat cat"),
+            Row(doc_id=3, text="x"),  # single token: no bigrams
+        ]
+    )
+    got = {
+        r.doc_id: r.avg_neg_logprob
+        for r in textstats.bigram_logprob(df).collect()
+    }
+    assert 3 not in got  # <2 tokens -> absent
+    assert got[2] > got[1]  # shuffled transitions are less predictable
+
+
 def test_bloom_new_docs_exact_and_pruning(spark):
     """The bloom-pruned incremental gate must (a) equal the plain
     anti-join result exactly and (b) actually short-circuit genuinely
