@@ -499,7 +499,10 @@ def budget_select(
 
 
 def global_rank(
-    df: DataFrame, key: list, rank_col: str = "global_rank"
+    df: DataFrame,
+    key: list,
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number`` over the total order ``key`` without
     a single-partition sort (the plan a bare ``Window.orderBy`` emits —
@@ -515,7 +518,11 @@ def global_rank(
     the same partition assignment (the budget_select/fuzzy.py failure
     mode).  Returns ``(ranked_df, total_rows)``; the total is free —
     it is the sum of the partition counts already collected."""
-    d = df.repartitionByRange(*key).sortWithinPartitions(*key)
+    d = (
+        df.repartitionByRange(num_partitions, *key)
+        if num_partitions
+        else df.repartitionByRange(*key)
+    ).sortWithinPartitions(*key)
     part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )

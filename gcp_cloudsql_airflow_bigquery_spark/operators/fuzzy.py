@@ -88,43 +88,27 @@ def sorted_neighborhood_pairs(
     trades bounded recall for a distance- and window-free cost model
     (exactly ``window`` comparisons per record, any distance cutoff).
 
-    Distributed global rank without a single-partition sort:
-    ``repartitionByRange`` on the sort key, per-partition
-    ``row_number``, plus broadcast cumulative partition offsets — the
-    rank is a property of the total order ``(name, key)``, so partition
-    boundary placement cannot change it.  Pairing is an equi-join on
-    rank (the predecessor side explodes deltas ``1..window``), so the
-    shuffle is uniform; no theta join, no window over one partition.
-    The per-partition size collect is ``num_partitions`` rows —
-    model-sized, legitimate.
+    Distributed global rank without a single-partition sort via
+    :func:`.curation.global_rank` (the shared two-phase prefix-sum
+    machinery: ``repartitionByRange`` + per-partition ``row_number`` +
+    broadcast cumulative offsets, boundary-pinned by an eager
+    ``localCheckpoint`` — the rank is a property of the total order
+    ``(name, key)``, so partition boundary placement cannot change
+    it).  The +400-phantom-pairs failure this module originally
+    documented (range boundaries resampled between the size collect
+    and the rank job) is now guarded inside ``global_rank`` itself.
+    Pairing is an equi-join on rank (the predecessor side explodes
+    deltas ``1..window``), so the shuffle is uniform; no theta join,
+    no window over one partition.
     """
-    base = df.select(F.col(key_col).alias("k"), F.col(name_col).alias("n"))
-    # localCheckpoint pins the range boundaries: repartitionByRange
-    # estimates them by sampling and is documented as not necessarily
-    # consistent across evaluations, and this frame is evaluated twice
-    # (the size collect below and the rank job) — without the
-    # materialization the two jobs can disagree on pid assignment and
-    # corrupt the offset-reconstructed global rank (observed at sf0.1:
-    # +400 phantom pairs from colliding ranks).
-    part = (
-        base.repartitionByRange(num_partitions, "n", "k")
-        .sortWithinPartitions("n", "k")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sizes = sorted(part.groupBy("pid").count().collect(), key=lambda r: r.pid)
-    offsets, acc = [], 0
-    for row in sizes:
-        offsets.append((row.pid, acc))
-        acc += row["count"]
-    off = df.sparkSession.createDataFrame(offsets, "pid int, off long")
-    from pyspark.sql import Window
+    from .curation import global_rank
 
-    w_pid = Window.partitionBy("pid").orderBy("n", "k")
-    ranked = (
-        part.withColumn("rn", F.row_number().over(w_pid))
-        .join(F.broadcast(off), "pid")
-        .select("k", "n", (F.col("off") + F.col("rn")).alias("r"))
+    base = df.select(F.col(key_col).alias("k"), F.col(name_col).alias("n"))
+    ranked, _ = global_rank(
+        base,
+        [F.col("n").asc(), F.col("k").asc()],
+        rank_col="r",
+        num_partitions=num_partitions,
     )
     a = ranked.select(
         F.col("k").alias("key_a"),
