@@ -1027,3 +1027,65 @@ def test_topic_clusters_separate_disjoint_vocabularies(spark):
     a = {assigned[i] for i in range(20)}
     b = {assigned[100 + i] for i in range(20)}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+def _py_bigram_logprob(texts, alpha=0.1):
+    """Pure-Python reference for bigram_logprob (same conventions:
+    lower+trim, \\s+ split, prefix-count conditionals, V = distinct
+    successors)."""
+    import math
+    from collections import Counter
+
+    docs = {}
+    for i, t in enumerate(texts):
+        w = t.strip().lower()
+        toks = [x for x in __import__("re").split(r"\s+", w)] if w else []
+        docs[i] = toks
+    bigrams = {
+        i: list(zip(t, t[1:])) for i, t in docs.items() if len(t) >= 2
+    }
+    c2 = Counter(p for bs in bigrams.values() for p in bs)
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    v = len({w2 for (_, w2) in c2})
+    out = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            continue
+        nll = [
+            -math.log((c2[p] + alpha) / (c1[p[0]] + alpha * v)) for p in bs
+        ]
+        m = sum(nll) / len(nll)
+        out[i] = (len(bs), round(m, 6), round(math.exp(m), 6))
+    return out
+
+
+@given(
+    hst.lists(
+        hst.lists(
+            hst.sampled_from(["a", "b", "cc", "ddd", "e"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bigram_logprob_matches_python_reference(spark, word_lists):
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob, r.ppl)
+        for r in textstats.bigram_logprob(df).collect()
+    }
+    assert got == _py_bigram_logprob(texts)
