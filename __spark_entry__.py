@@ -68,8 +68,9 @@ _MODULES = (
 #
 # ROUND 7 PLAN: hash-check the round-6 additions that missed this
 # window (doc_quality_classifier — Newton-replay oracle landed r6 —
-# and doc_perplexity_bigram), spend rows-only slots on the unpaired
-# residue (embedding_pca_projected, events_value_quantiles_rollup,
+# doc_perplexity_bigram, and events_value_quantiles_rollup_exactmode),
+# spend rows-only slots on the unpaired residue
+# (embedding_pca_projected, events_value_quantiles_rollup,
 # agg_approx_sketch), and re-check a sample of earlier-round slots
 # for regression signal.
 _WINDOW = (

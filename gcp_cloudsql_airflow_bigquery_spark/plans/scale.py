@@ -195,6 +195,53 @@ def events_value_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_value_quantiles_rollup_exactmode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checkable twin of the KLL rollup, same pipeline at
+    k=4096: with ~200 (sf0.001) / ~2000 (sf0.01) events per type, every
+    per-day sketch AND their per-type merge retain ALL values (a KLL
+    sketch is exact while n <= k — no compaction has occurred), so the
+    inclusive-rank ``get_quantile`` equals the discrete quantile
+    (DuckDB ``quantile_disc``) and the merged-sketch path gets a hard
+    cross-engine oracle (verified identical at both correctness SFs).
+    Above the exact threshold (sf0.1: ~20k/type) the driver check
+    downgrades to rows-only (``scripts/check_oracle.py``
+    SKETCH_EXACT_ONLY) — the same exact-regime scoping as the
+    Theta/HLL oracles.  The production-shaped k=200 variant
+    (``events_value_quantiles_rollup``) keeps its rank-error unit
+    bound."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F2.to_date("ts")
+    )
+    daily = sketches.quantile_sketch_build(
+        ev, ["event_type", "day"], "value", k=4096
+    )
+    return sketches.quantile_sketch_rollup(daily, ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+_VALUE_QUANTILES_EXACT_SQL = """
+SELECT event_type,
+       ROUND(quantile_disc(value, 0.5), 6) AS p50,
+       ROUND(quantile_disc(value, 0.95), 6) AS p95,
+       ROUND(quantile_disc(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_value_quantiles_rollup_exactmode"] = (
+    events_value_quantiles_rollup_exactmode
+)
+ORACLE["events_value_quantiles_rollup_exactmode"] = (
+    _VALUE_QUANTILES_EXACT_SQL
+)
+
+
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs audience algebra over event types from stored Theta
     sketches: users doing both A and B, only A, only B — answered from

@@ -46,6 +46,10 @@ SKETCH_EXACT_ONLY = {
     "events_distinct_users_rollup",
     "events_audience_overlap",
     "orders_customer_join_estimate",
+    # KLL(4096) retains every value at the correctness SFs (<=2000
+    # events/type), so merged-sketch quantiles are exact there; at
+    # sf0.1+ the sketch compacts and the check downgrades to rows-only
+    "events_value_quantiles_rollup_exactmode",
 }
 
 
