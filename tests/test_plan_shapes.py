@@ -297,9 +297,11 @@ def test_no_unpartitioned_window_over_corpus_inputs(spark, sf_dir):
     global-ntile plans (doc_curriculum_buckets / window_ntile, fixed
     via operators.curation.exact_ntile): no query may plan a
     Window with an empty partitionSpec unless its window input is a
-    post-aggregation tiny-grain frame (allowlist above).  One loop,
-    not parametrize, so the whole registry shares one session and
-    offenders are reported together."""
+    post-aggregation tiny-grain frame (allowlist above).  Also bans
+    CartesianProduct registry-wide (BroadcastNestedLoopJoin is left to
+    the targeted tests: broadcast 1-row scalar crossJoins legitimately
+    plan as BNLJ).  One loop, not parametrize, so the whole registry
+    shares one session and offenders are reported together."""
     import __spark_entry__ as entrymod
 
     offenders = {}
@@ -308,4 +310,7 @@ def test_no_unpartitioned_window_over_corpus_inputs(spark, sf_dir):
         bad = _unpartitioned_windows(df)
         if bad and name not in _GLOBAL_WINDOW_ALLOWLIST:
             offenders[name] = bad
-    assert not offenders, f"unpartitioned corpus windows: {offenders}"
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in phys:
+            offenders[name] = offenders.get(name, []) + ["CartesianProduct"]
+    assert not offenders, f"bad plan shapes: {offenders}"
