@@ -258,3 +258,31 @@ def test_exact_ntile_matches_spark_ntile(spark):
             for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
         }
         assert got == want, (n, k)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+@given(
+    rows=hst.lists(hst.integers(0, 9), min_size=1, max_size=60),
+    k=hst.integers(1, 12),
+)
+@settings(max_examples=10, deadline=None)
+def test_exact_ntile_matches_spark_ntile_hypothesis(spark, rows, k):
+    """Random value multisets (heavy ties) and bucket counts: the
+    two-phase exact_ntile must equal F.ntile everywhere."""
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.curation import (
+        exact_ntile,
+    )
+
+    df = spark.createDataFrame(list(enumerate(rows)), ["id", "v"])
+    key = [F.col("v").asc(), F.col("id").asc()]
+    got = {r.id: r.bucket for r in exact_ntile(df, k, key).collect()}
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.nt for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
