@@ -344,6 +344,76 @@ def extract_features(
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_ppm_nearest(b: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 PPM image — a REAL resize over
+    the pure codec path (decode → index-sampled RGB grid → re-encode),
+    no imaging library needed.  Raises on malformed input like
+    :func:`decode_ppm`."""
+    import numpy as np
+
+    w, h, rgb = decode_ppm(b)
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dims must be positive")
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = np.arange(out_h) * h // out_h
+    xs = np.arange(out_w) * w // out_w
+    return encode_ppm(out_w, out_h, a[ys][:, xs].tobytes())
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    decode_backend: str = "pure",
+) -> DataFrame:
+    """Distributed image resize (the standard normalize-before-embed
+    step of a multimodal ingest): image blobs are decoded, resized to
+    ``out_w × out_h`` with nearest-neighbor sampling, and re-encoded —
+    per Arrow batch via ``mapInPandas``, so blob work is distributed
+    and batch-bounded exactly like :func:`extract_features`.  Only the
+    ``pure`` backend (real PPM codec) is available in this container;
+    ``pil`` is gated like the other decode paths.  Non-image rows are
+    dropped (resize is an image op; audio/video have their own
+    kernels)."""
+    if decode_backend == "pil":
+        raise NotImplementedError(
+            "decode_backend='pil' requires Pillow, not present in this "
+            "container; use decode_backend='pure'"
+        )
+    if decode_backend != "pure":
+        raise NotImplementedError(f"unknown decode backend {decode_backend!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["kind"] == "image"
+            pdf = pdf[mask]
+            resized = [
+                resize_ppm_nearest(b, out_w, out_h) for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": out_w,
+                    "height": out_h,
+                    "content": resized,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, decode_backend: str = "fake"
 ) -> DataFrame:

@@ -958,6 +958,32 @@ def media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["media_codec_features"] = media_codec_features
 
 
+def media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image RESIZE over the real codec path (new r6):
+    deterministic PPM blobs encoded per row, nearest-neighbor resized
+    to 8×8 in an Arrow-batched ``mapInPandas`` kernel
+    (``operators/multimodal.resize_media``), re-encoded, and reported
+    as (media_id, dims, crc32).  Rows-only like its media siblings
+    (blob bytes are codec-path-specific); resize correctness — exact
+    index-sampled pixels, round-trip, malformed rejection — is
+    unit-tested in tests/test_llmdata.py."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    resized = multimodal.resize_media(media, out_w=8, out_h=8)
+    return resized.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.crc32("content").alias("checksum"),
+    ).orderBy("media_id")
+
+
+QUERIES["media_resized"] = media_resized
+
+
 def doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END PRODUCT: the documents table with non-canonical
     near-duplicates removed (canonical = min doc_id per Jaccard>=0.5

@@ -1089,3 +1089,43 @@ def test_bigram_logprob_matches_python_reference(spark, word_lists):
         for r in textstats.bigram_logprob(df).collect()
     }
     assert got == _py_bigram_logprob(texts)
+
+
+def test_resize_ppm_nearest_exact_pixels():
+    """4x2 gradient -> 2x1: nearest-neighbor must pick the exact
+    index-sampled pixels (ys = y*h//oh, xs = x*w//ow), and the output
+    must re-parse with the new dims."""
+    import numpy as np
+
+    a = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    b = multimodal.encode_ppm(4, 2, a.tobytes())
+    out = multimodal.resize_ppm_nearest(b, 2, 1)
+    w, h, rgb = multimodal.decode_ppm(out)
+    assert (w, h) == (2, 1)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(1, 2, 3)
+    assert (got == a[[0]][:, [0, 2]]).all()
+    # upscale round-trips too (2x1 -> 4x4 repeats pixels)
+    up_w, up_h, up = multimodal.decode_ppm(
+        multimodal.resize_ppm_nearest(out, 4, 4)
+    )
+    assert (up_w, up_h) == (4, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_ppm_nearest(b"JFIF...", 2, 2)
+    with _pytest.raises(ValueError):
+        multimodal.resize_ppm_nearest(b, 0, 2)
+
+
+def test_resize_media_distributed(spark):
+    """resize_media: every image blob comes back as a valid PPM with
+    the requested dims; non-image rows are dropped."""
+    df = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = multimodal.attach_codec_media(df)
+    out = multimodal.resize_media(media, out_w=5, out_h=3).collect()
+    n_images = sum(1 for r in media.collect() if r.kind == "image")
+    assert len(out) == n_images > 0
+    for r in out:
+        w, h, rgb = multimodal.decode_ppm(bytes(r.content))
+        assert (w, h) == (5, 3) == (r.width, r.height)
+        assert len(rgb) == 5 * 3 * 3
