@@ -58,21 +58,27 @@ _MODULES = (
 # temporal, quality, curation, dq, search, and scale (50/50
 # hash-green, CORRECTNESS_r05.json).
 #
-# ROUND 6 (final rotation): the 45 oracle-paired queries never present
-# in any CORRECTNESS_r0{1..5}.json, plus the 5 round-5 oracle
-# conversions that only ever had rows-only driver signal in r4
+# ROUND 6 rotation: the 45 oracle-paired queries never present in any
+# CORRECTNESS_r0{1..5}.json (they take the slots — zero driver signal
+# of any kind so far), plus 5 of the 9 round-5 oracle conversions
+# whose only driver signal was r4 rows-only
 # (knn_lsh/knn_ivf/doc_dedup_simhash/doc_topic_clusters/
-# event_type_pagerank — all hash-paired since round 5).  After this
-# window, every oracle-paired query in the registry has had hard
-# driver hash signal at least once.
+# event_type_pagerank).  After this window every registered query has
+# had SOME driver signal, and every oracle-paired query has had hash
+# signal EXCEPT the four r5 conversions that did not fit (doc_bpe_vocab,
+# doc_bpe_tokens, doc_winnow_candidates, embedding_semantic_dedup —
+# r4 rows-only, hash-green in the local sf0.01 replica) and the
+# round-6 additions below.
 #
-# ROUND 7 PLAN: hash-check the round-6 additions that missed this
-# window (doc_quality_classifier — Newton-replay oracle landed r6 —
-# doc_perplexity_bigram, and events_value_quantiles_rollup_exactmode),
+# ROUND 7 PLAN (hash slots, in priority order): the four r5
+# conversions left over above (doc_bpe_vocab, doc_bpe_tokens,
+# doc_winnow_candidates, embedding_semantic_dedup), then the round-6
+# oracle additions (doc_quality_classifier — Newton-replay oracle —
+# doc_perplexity_bigram, events_value_quantiles_rollup_exactmode);
 # spend rows-only slots on the unpaired residue
 # (embedding_pca_projected, events_value_quantiles_rollup,
-# agg_approx_sketch), and re-check a sample of earlier-round slots
-# for regression signal.
+# agg_approx_sketch, media_resized), and re-check a sample of
+# earlier-round slots for regression signal.
 _WINDOW = (
     # relational residue (17)
     "agg_corr",
@@ -110,7 +116,7 @@ _WINDOW = (
     "supplier_fulfillment_latency",
     "top_revenue_suppliers",
     "weekly_revenue_growth",
-    # events rollups / sketch joins (4)
+    # events rollups / sketch joins / dim join (5)
     "events_audience_overlap",
     "events_distinct_users_rollup",
     "events_distinct_users_rollup_exact",
