@@ -64,3 +64,24 @@ def test_registry_outputs_are_scalar_columns(spark, sf_dir):
             if t.startswith(("array", "map", "struct")):
                 complex_cols.append((name, f.name, t))
     assert not complex_cols, complex_cols
+
+
+def test_window_is_exactly_the_first_fifty_and_unique():
+    """The driver hard-verifies the FIRST 50 queries() entries; the
+    _WINDOW tuple must be exactly those, 50 long, duplicate-free —
+    a rotation typo (49 slots, a dup, or a name drifting out of the
+    prefix) silently wastes a driver slot otherwise."""
+    mod = _entry()
+    w = mod._WINDOW
+    assert len(w) == 50, f"window has {len(w)} slots"
+    assert len(set(w)) == 50, "duplicate window entries"
+    assert list(mod.queries())[:50] == list(w)
+
+
+def test_window_names_all_resolve():
+    """Every _WINDOW name must exist in the registry (a renamed query
+    would KeyError the driver's whole correctness pass)."""
+    mod = _entry()
+    q = mod.queries()
+    missing = [n for n in mod._WINDOW if n not in q]
+    assert not missing, missing
