@@ -94,3 +94,171 @@ FROM ranked WHERE rank <= {_K}
 
 QUERIES["doc_bm25_search"] = doc_bm25_search
 ORACLE["doc_bm25_search"] = _BM25_SQL
+
+
+# --- hybrid retrieval (r6): BM25 + vector cosine, RRF fusion ---------------
+
+_HYBRID_QIDS = (0, 7, 13)  # pinned "more like this" anchor docs
+_SIDE_K = 25  # per-side candidate depth
+_FUSE_K = 10  # fused top-k per query
+_RRF_C = 60  # the standard RRF constant
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (new r6): for pinned anchor documents, fuse
+    lexical BM25 ranks (query text = the anchor's own text) with exact
+    cosine vector ranks (query vector = the anchor's embedding, 1:1 on
+    id) via reciprocal-rank fusion ``Σ 1/(60 + rank)`` — the standard
+    fusion used by hybrid search engines.  Output: fused top-10 per
+    anchor with both side ranks (0 = absent from that side's top-25).
+
+    Cross-engine exactness: both sides rank on ROUNDED scores (BM25
+    decimal-summed + round-4, cosine round-6) with id tie-breaks, so
+    ranks — and therefore the RRF arithmetic, which is exact integer
+    reciprocals — reproduce bit-stably in DuckDB.  Scale shape: each
+    side is its existing scale-audited operator (broadcast query
+    vocabulary / broadcast query vectors, per-query partitioned rank
+    windows); fusion adds one (query_id, doc_id) outer join of two
+    k-sized frames — model-sized work after the retrieval."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id").isin(*_HYBRID_QIDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    text25 = bm25_topk(docs, qd, k=_SIDE_K, k1=_K1, b=_B)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    t = (
+        text25.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rank_text", F.row_number().over(wt))
+        .select("query_id", "doc_id", "rank_text")
+    )
+    v = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(*_HYBRID_QIDS)), k=_SIDE_K
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
+    )
+    fused = t.join(v, ["query_id", "doc_id"], "full")
+    contrib_t = F.when(
+        F.col("rank_text").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_text")),
+    ).otherwise(F.lit(0.0))
+    contrib_v = F.when(
+        F.col("rank_vec").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_vec")),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        fused.withColumn("rrf", F.round(contrib_t + contrib_v, 6))
+        .withColumn("rank_text", F.coalesce("rank_text", F.lit(0)))
+        .withColumn("rank_vec", F.coalesce("rank_vec", F.lit(0)))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _FUSE_K)
+        .select("query_id", "doc_id", "rank_text", "rank_vec", "rrf", "rank")
+    )
+
+
+_QID_LIST = ", ".join(str(i) for i in _HYBRID_QIDS)
+
+_HYBRID_RRF_SQL = rf"""
+WITH qd AS (
+  SELECT doc_id AS query_id, text AS query_text
+  FROM documents WHERE doc_id IN ({_QID_LIST})
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(
+    trim(regexp_replace(lower(query_text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM qd
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+doc_lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM doc_lens) AS avgdl
+),
+matched AS (
+  SELECT q.query_id, p.term, p.doc_id, p.tf
+  FROM postings p JOIN qterms q ON p.term = q.term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY 1
+),
+bscored AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(ROUND(SUM(CAST(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * ({_K1} + 1)) / (m.tf + {_K1} * (1 - {_B} + {_B} * l.dl / c.avgdl))
+         AS DECIMAL(28,10))), 4) AS DOUBLE) AS score
+  FROM matched m
+  JOIN dfreq d ON m.term = d.term
+  JOIN doc_lens l ON m.doc_id = l.doc_id
+  CROSS JOIN consts c
+  GROUP BY 1, 2
+),
+t25 AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bscored
+),
+tt AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT)
+           AS rank_text
+  FROM t25 WHERE rank <= {_SIDE_K} AND doc_id != query_id
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id IN ({_QID_LIST})),
+vscored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         ROUND(list_dot_product(q.e, v.e) /
+               (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               6) AS cosine
+  FROM q JOIN v ON q.vec_id != v.vec_id
+),
+vv AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS rank_vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id) AS rank
+    FROM vscored
+  ) WHERE rank <= {_SIDE_K}
+),
+f AS (
+  SELECT query_id, doc_id,
+         ROUND(
+           (CASE WHEN rank_text IS NULL THEN 0.0
+                 ELSE 1.0 / ({_RRF_C} + rank_text) END)
+           + (CASE WHEN rank_vec IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_C} + rank_vec) END), 6) AS rrf,
+         COALESCE(rank_text, 0) AS rank_text,
+         COALESCE(rank_vec, 0) AS rank_vec
+  FROM tt FULL JOIN vv USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rank_text, rank_vec, rrf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM f
+QUALIFY rank <= {_FUSE_K}
+"""
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLE["hybrid_search_rrf"] = _HYBRID_RRF_SQL

@@ -75,3 +75,39 @@ def test_bm25_plan_broadcasts_query_side_only(spark):
     q = spark.createDataFrame([(1, "spark join")], ["query_id", "query_text"])
     plan = bm25_topk(docs, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """hybrid_search_rrf: every fused hit comes from at least one side
+    (a nonzero side rank), rrf equals the reciprocal formula of the
+    reported side ranks exactly, anchors never retrieve themselves,
+    per-anchor output is the fused top-10, and a doc ranked by BOTH
+    sides outscores one with the same single-side rank."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans.search import (
+        _FUSE_K,
+        _RRF_C,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        assert r.rank_text > 0 or r.rank_vec > 0
+        want = round(
+            (1.0 / (_RRF_C + r.rank_text) if r.rank_text else 0.0)
+            + (1.0 / (_RRF_C + r.rank_vec) if r.rank_vec else 0.0),
+            6,
+        )
+        assert r.rrf == want, (r, want)
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, hits in per_q.items():
+        assert len(hits) == _FUSE_K
+        ranks = sorted(h.rank for h in hits)
+        assert ranks == list(range(1, _FUSE_K + 1))
+        # fused order is non-increasing in rrf
+        by_rank = sorted(hits, key=lambda h: h.rank)
+        assert all(
+            a.rrf >= b.rrf for a, b in zip(by_rank, by_rank[1:])
+        )
