@@ -1852,3 +1852,103 @@ GROUP BY 1, 2
 
 QUERIES["doc_langid_confusion"] = doc_langid_confusion
 ORACLE["doc_langid_confusion"] = _LANGID_CONF_SQL
+
+
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label evaluation (new r6) — the standard embedding-quality
+    probe: for a deterministic 10% probe set (``vec_id % 10 == 0``),
+    predict each probe's label by majority vote over its 10 nearest
+    neighbors (exact cosine, self excluded; vote ties to the smallest
+    label) and report per-true-label probe counts and accuracy.
+    Hash-checked: ranks come from rounded cosines with id tie-breaks
+    and the vote is integer arithmetic, so the full DuckDB replay is
+    exact.  Scale shape: the probe set broadcasts against one corpus
+    scan (the `knn_bruteforce` shape); at full-corpus eval scale you
+    route the same vote through ``knn_ivf``'s partition-pruned index
+    instead — the vote aggregation is k-sized per probe either way."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    nn = brute_force_topk(emb, probes, k=10)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "neighbor_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("pred_label"))
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_probes"), 6)
+        )
+        .orderBy("true_label")
+    )
+
+
+_KNN_LABEL_EVAL_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+         ROUND(list_dot_product(q.e, v.e) /
+               (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               6) AS cosine
+  FROM q JOIN v ON q.vec_id != v.vec_id
+),
+nn AS (
+  SELECT query_id, neighbor_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, neighbor_label, COUNT(*) AS n_votes
+  FROM nn GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, neighbor_label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, neighbor_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT t.label AS true_label,
+       COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS accuracy
+FROM pred p JOIN v t ON t.vec_id = p.query_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["embedding_knn_label_eval"] = embedding_knn_label_eval
+ORACLE["embedding_knn_label_eval"] = _KNN_LABEL_EVAL_SQL
