@@ -167,12 +167,78 @@ SELECT 'l_orderkey_referential',
 """
 
 
+def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing contract for the north-star ``documents`` corpus (new
+    r6): null/unique checks, the declared-vs-actual length coherence
+    check (``n_chars`` must equal ``length(text)`` — the first thing a
+    re-encoded or truncated landing breaks), a lang domain check, and
+    a source naming-convention check — one aggregate pass, same shape
+    as the fact-table gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return V.report(
+        docs,
+        [
+            V.not_null("doc_id"),
+            V.not_null("text"),
+            V.in_set("lang", ["en", "de", "es", "fr", "zh"]),
+            V.matches("source", "^src[0-9]+$"),
+            V.Check(
+                "n_chars_coherent",
+                F.col("n_chars").isNotNull()
+                & (F.col("n_chars") != F.length("text")),
+            ),
+            V.in_range("n_chars", 0, 100_000),
+        ],
+        unique=[["doc_id"]],
+    )
+
+
+_DQ_DOCUMENTS_SQL = """
+SELECT 'doc_id_not_null' AS check_name,
+       COUNT(CASE WHEN doc_id IS NULL THEN 1 END)::BIGINT AS violations,
+       COUNT(*)::BIGINT AS n_rows FROM documents
+UNION ALL
+SELECT 'text_not_null',
+       COUNT(CASE WHEN text IS NULL THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'lang_domain',
+       COUNT(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'source_format',
+       COUNT(CASE WHEN source IS NOT NULL
+                   AND NOT regexp_matches(source, '^src[0-9]+$')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_chars_coherent',
+       COUNT(CASE WHEN n_chars IS NOT NULL AND n_chars <> LENGTH(text)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'n_chars_range',
+       COUNT(CASE WHEN n_chars IS NOT NULL
+                   AND (n_chars < 0 OR n_chars > 100000)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+UNION ALL
+SELECT 'doc_id_unique',
+       (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT,
+       COUNT(*)::BIGINT FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_orders_report": dq_orders_report,
     "dq_lineitem_report": dq_lineitem_report,
+    "dq_documents_report": dq_documents_report,
 }
 
 ORACLE: dict[str, str] = {
     "dq_orders_report": _DQ_ORDERS_SQL,
     "dq_lineitem_report": _DQ_LINEITEM_SQL,
+    "dq_documents_report": _DQ_DOCUMENTS_SQL,
 }
