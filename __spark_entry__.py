@@ -75,8 +75,8 @@ _MODULES = (
 # doc_winnow_candidates, embedding_semantic_dedup), then the round-6
 # oracle additions (doc_quality_classifier — Newton-replay oracle —
 # doc_perplexity_bigram, events_value_quantiles_rollup_exactmode,
-# hybrid_search_rrf, embedding_knn_label_eval — also add the last
-# three to the bench headline with min-of-3-runs baselines),
+# hybrid_search_rrf, embedding_knn_label_eval, dq_documents_report —
+# all five already in the bench headline with min-of-3 baselines),
 # then json_funcs (driver-red in r1 on the DuckDB HUGEINT dtype
 # mismatch, fixed since and replica-green, but the driver never
 # re-recorded it: its r2/r3 slots errored on the events encoding

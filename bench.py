@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gcp_cloudsql_airflow_bigquery_spark.plans import (
     advanced,
     curation,
+    dq,
     events,
     llmdata,
     quality,
@@ -90,9 +91,15 @@ HEADLINE = [
     ("event_type_pagerank", events.QUERIES),
     ("doc_quality_classifier", quality.QUERIES),
     ("events_distinct_users_rollup_exact", scale.QUERIES),
-    # r6 addition: bigram-LM perplexity filter (corpus-trained model +
-    # one model join over the exploded corpus)
+    # r6 additions: bigram-LM perplexity filter (corpus-trained model +
+    # one model join over the exploded corpus), hybrid BM25+vector RRF
+    # retrieval, the kNN label-eval probe, the documents DQ gate, and
+    # the exact-regime KLL rollup twin
     ("doc_perplexity_bigram", llmdata.QUERIES),
+    ("hybrid_search_rrf", search.QUERIES),
+    ("embedding_knn_label_eval", llmdata.QUERIES),
+    ("dq_documents_report", dq.QUERIES),
+    ("events_value_quantiles_rollup_exactmode", scale.QUERIES),
 ]
 
 
