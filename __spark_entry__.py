@@ -76,7 +76,9 @@ _MODULES = (
 # oracle additions (doc_quality_classifier — Newton-replay oracle —
 # doc_perplexity_bigram, events_value_quantiles_rollup_exactmode,
 # hybrid_search_rrf, embedding_knn_label_eval, dq_documents_report —
-# all five already in the bench headline with min-of-3 baselines),
+# all five already in the bench headline with min-of-3 baselines;
+# dq_events_report landed after the baseline runs — add it to the
+# headline with a min-of-3 baseline next round),
 # then json_funcs (driver-red in r1 on the DuckDB HUGEINT dtype
 # mismatch, fixed since and replica-green, but the driver never
 # re-recorded it: its r2/r3 slots errored on the events encoding

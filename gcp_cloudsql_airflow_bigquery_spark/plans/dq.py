@@ -231,14 +231,86 @@ SELECT 'doc_id_unique',
 """
 
 
+def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing contract for the ``events`` stream (new r6): null
+    checks on the identity/time/actor columns, the type domain, value
+    and timestamp range gates, and event-id uniqueness — one aggregate
+    pass, completing the per-table DQ gates (orders / lineitem /
+    documents / events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return V.report(
+        ev,
+        [
+            V.not_null("event_id"),
+            V.not_null("ts"),
+            V.not_null("user_id"),
+            V.in_set(
+                "event_type",
+                ["click", "view", "purchase", "signup", "error"],
+            ),
+            V.in_range("value", 0, 1e6),
+            V.Check(
+                "ts_bounds",
+                F.col("ts").isNotNull()
+                & (
+                    (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                    | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp"))
+                ),
+            ),
+        ],
+        unique=[["event_id"]],
+    )
+
+
+_DQ_EVENTS_SQL = """
+SELECT 'event_id_not_null' AS check_name,
+       COUNT(CASE WHEN event_id IS NULL THEN 1 END)::BIGINT AS violations,
+       COUNT(*)::BIGINT AS n_rows FROM events
+UNION ALL
+SELECT 'ts_not_null',
+       COUNT(CASE WHEN ts IS NULL THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM events
+UNION ALL
+SELECT 'user_id_not_null',
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM events
+UNION ALL
+SELECT 'event_type_domain',
+       COUNT(CASE WHEN event_type IS NOT NULL
+                   AND event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup', 'error')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM events
+UNION ALL
+SELECT 'value_range',
+       COUNT(CASE WHEN value IS NOT NULL
+                   AND (value < 0 OR value > 1e6)
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM events
+UNION ALL
+SELECT 'ts_bounds',
+       COUNT(CASE WHEN ts IS NOT NULL
+                   AND (ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2025-01-01')
+             THEN 1 END)::BIGINT,
+       COUNT(*)::BIGINT FROM events
+UNION ALL
+SELECT 'event_id_unique',
+       (COUNT(*) - COUNT(DISTINCT event_id))::BIGINT,
+       COUNT(*)::BIGINT FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_orders_report": dq_orders_report,
     "dq_lineitem_report": dq_lineitem_report,
     "dq_documents_report": dq_documents_report,
+    "dq_events_report": dq_events_report,
 }
 
 ORACLE: dict[str, str] = {
     "dq_orders_report": _DQ_ORDERS_SQL,
     "dq_lineitem_report": _DQ_LINEITEM_SQL,
     "dq_documents_report": _DQ_DOCUMENTS_SQL,
+    "dq_events_report": _DQ_EVENTS_SQL,
 }
