@@ -70,79 +70,87 @@ _MODULES = (
 # r4 rows-only, hash-green in the local sf0.01 replica) and the
 # round-6 additions below.
 #
-# ROUND 7 PLAN (hash slots, in priority order): the four r5
-# conversions left over above (doc_bpe_vocab, doc_bpe_tokens,
-# doc_winnow_candidates, embedding_semantic_dedup), then the round-6
-# oracle additions (doc_quality_classifier — Newton-replay oracle —
-# doc_perplexity_bigram, events_value_quantiles_rollup_exactmode,
-# hybrid_search_rrf, embedding_knn_label_eval, dq_documents_report —
-# all five already in the bench headline with min-of-3 baselines;
-# dq_events_report landed after the baseline runs — add it to the
-# headline with a min-of-3 baseline next round),
-# then json_funcs (driver-red in r1 on the DuckDB HUGEINT dtype
-# mismatch, fixed since and replica-green, but the driver never
-# re-recorded it: its r2/r3 slots errored on the events encoding
-# drift that r4's catalog dtype guard closed);
-# spend rows-only slots on the unpaired residue
-# (embedding_pca_projected, events_value_quantiles_rollup,
-# agg_approx_sketch, media_resized), and re-check a sample of
-# earlier-round slots for regression signal.
+# ROUND 7 window (this round): burn the hash slots on (a) the 12
+# oracle-paired queries with no driver hash signal yet — the four r5
+# conversions, the seven r6 additions, and json_funcs (the only
+# historical hash-fail, r1 DuckDB HUGEINT dtype; fixed, replica-green,
+# never driver-re-recorded) — (b) the new r7 query
+# embedding_knn_label_eval_ivf (persisted-IVF-index label eval, VERDICT
+# r6 #2/#7), (c) re-confirmation of the four queries whose shared
+# prefix-sum helper changed this round (curation._offset_frame:
+# create_map literal → broadcast-joined offsets frame, ADVICE r6) plus
+# hybrid_search_rrf whose candidate-depth asymmetry fix changed its
+# results, (d) the six never-driver-green rows-only residue slots, and
+# (e) a 27-query regression sample of the r1–r3 hash-green
+# relational/tpch slots that have not been driver-re-checked since r3
+# while their shared helpers (catalog dtype guard, session defaults)
+# kept evolving (VERDICT r6 #5).
+#
+# ROUND 8 PLAN: after this window, every oracle-paired query has
+# driver hash signal and ~30 of the 49 r1-r3-only slots are
+# re-confirmed; rotate the remaining ~22 early slots (agg_basic,
+# agg_having, join_left/right/semi/cross, set_union_distinct,
+# set_except, window-* residue, case_expr, split_explode,
+# array_agg_sorted, null_funcs, between_like_in, conditional_agg,
+# late_shipment_orders, nation_trade_volume, sql_in_subquery,
+# string/date/math residue) into the sample slots, plus any new r7/r8
+# queries, plus a rotating sample of the r4-r6 windows.
 _WINDOW = (
-    # relational residue (17)
-    "agg_corr",
-    "agg_grouping_id",
-    "array_funcs",
-    "date_funcs2",
-    "explode_outer_words",
-    "forward_fill",
-    "math_funcs2",
-    "posexplode_words",
-    "regexp_funcs",
-    "sample_hash",
-    "sentences_udtf",
-    "set_except_all",
-    "set_intersect_all",
-    "string_funcs2",
-    "url_funcs",
-    "window_analytics",
-    "snapshot_cdc_diff",
-    # advanced residue (17)
-    "custdist",
-    "customer_entity_clusters",
-    "customer_name_neardup",
-    "customer_sorted_neighborhood",
-    "geomean_prices",
-    "large_volume_orders",
-    "lone_late_supplier",
-    "order_price_outliers",
-    "orders_price_mad_outliers",
-    "part_affinity_pmi",
-    "part_cooccurrence_triangles",
-    "price_histogram_bits",
-    "scd2_customer_history",
-    "supplier_best_balance",
-    "supplier_fulfillment_latency",
-    "top_revenue_suppliers",
-    "weekly_revenue_growth",
-    # events rollups / sketch joins / dim join (5)
-    "events_audience_overlap",
-    "events_distinct_users_rollup",
-    "events_distinct_users_rollup_exact",
-    "orders_customer_join_estimate",
-    "events_user_rollup",
-    # llmdata never-checked (6)
-    "doc_dedup_keep_best_quality",
-    "doc_dedup_minhash_portable",
-    "doc_langid_confusion",
-    "doc_source_overlap",
+    # (a) oracle-paired, no driver hash signal yet (12)
+    "doc_bpe_vocab",
+    "doc_bpe_tokens",
+    "doc_winnow_candidates",
+    "embedding_semantic_dedup",
+    "doc_quality_classifier",
+    "doc_perplexity_bigram",
+    "events_value_quantiles_rollup_exactmode",
+    "hybrid_search_rrf",
+    "embedding_knn_label_eval",
+    "dq_documents_report",
+    "dq_events_report",
+    "json_funcs",
+    # (b) new this round (1)
+    "embedding_knn_label_eval_ivf",
+    # (c) helper/semantics changed this round — re-confirm (4)
     "doc_token_budget_selection",
-    "embedding_standardized",
-    # round-5 oracle conversions, rows-only in r4 → hash slots now (5)
-    "knn_lsh",
-    "knn_ivf",
-    "doc_dedup_simhash",
-    "doc_topic_clusters",
-    "event_type_pagerank",
+    "doc_curriculum_buckets",
+    "doc_kfold_assignment",
+    "customer_sorted_neighborhood",
+    # (d) rows-only residue, never driver-green (6)
+    "embedding_pca_projected",
+    "media_resized",
+    "agg_approx_sketch",
+    "events_value_quantiles_rollup",
+    "media_features",
+    "media_codec_features",
+    # (e) r1-r3 regression sample (27)
+    "flagship_revenue_by_region_nation",
+    "pricing_summary",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "filter_incremental",
+    "join_inner",
+    "join_full",
+    "join_anti",
+    "join_broadcast",
+    "scalar_subquery",
+    "window_rank",
+    "window_lag_lead",
+    "window_running",
+    "window_ntile",
+    "window_range_frame",
+    "topk_per_group",
+    "set_union_all",
+    "set_intersect",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
+    "cast_types",
+    "dedup_last_write_wins",
+    "agg_percentiles",
+    "sql_exists_subquery",
 )
 
 

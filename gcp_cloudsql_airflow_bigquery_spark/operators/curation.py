@@ -441,6 +441,26 @@ def decontaminate_fuzzy(
     )
 
 
+def _offset_frame(part: DataFrame, offsets: dict) -> DataFrame:
+    """Driver-computed per-partition prefix offsets as a tiny
+    ``(_pid, _off)`` frame to broadcast-join back onto the data.  A
+    ``create_map`` literal of the same content costs two expression
+    nodes per shuffle partition (ADVICE r6) — at large configured
+    partition counts that bloats every plan that embeds it — while
+    this frame is partition-count ROWS, kilobytes at any sane count
+    (the shape ``fuzzy.sorted_neighborhood_pairs`` originally used).
+    Integer offsets stay exact long arithmetic; float costs promote
+    to double."""
+    spark = part.sparkSession
+    if offsets and any(not isinstance(v, int) for v in offsets.values()):
+        rows = [(int(p), float(v)) for p, v in offsets.items()]
+        typ = "double"
+    else:
+        rows = [(int(p), int(v)) for p, v in offsets.items()]
+        typ = "bigint"
+    return spark.createDataFrame(rows, f"_pid int, _off {typ}")
+
+
 def budget_select(
     df: DataFrame,
     order_col: str,
@@ -459,7 +479,8 @@ def budget_select(
     instead — ``repartitionByRange`` + ``sortWithinPartitions`` give a
     globally range-ordered layout, per-partition cost totals (one tiny
     aggregation, partition-count rows) become driver-side prefix
-    offsets broadcast back as a literal map, and the window runs
+    offsets broadcast-joined back as a tiny (pid, offset) frame
+    (:func:`_offset_frame`), and the window runs
     per-partition.  No task ever sees more than its own partition.
     Appends ``cum_cost`` (exact for integer costs)."""
     key = [F.col(order_col).desc(), F.col(id_col).asc()]
@@ -482,19 +503,17 @@ def budget_select(
     for pid in sorted(totals):
         offsets[pid] = run
         run += totals[pid]
-    off_map = F.create_map(
-        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(cost_col).over(w) + F.element_at(off_map, F.col("_pid"))
+    cum = F.sum(cost_col).over(w) + F.col("_off")
     return (
-        part.withColumn("cum_cost", cum)
+        part.join(F.broadcast(_offset_frame(part, offsets)), "_pid")
+        .withColumn("cum_cost", cum)
         .filter(F.col("cum_cost") <= budget)
-        .drop("_pid")
+        .drop("_pid", "_off")
     )
 
 
@@ -512,7 +531,8 @@ def global_rank(
     ``repartitionByRange`` + ``sortWithinPartitions`` give a globally
     range-ordered layout, per-partition row counts (one tiny
     aggregation, partition-count rows) become driver-side cumulative
-    offsets broadcast back as a literal map, and the ``row_number``
+    offsets broadcast-joined back as a tiny (pid, offset) frame
+    (:func:`_offset_frame`), and the ``row_number``
     window runs per-partition.  The ``localCheckpoint`` pins the
     sampled range boundaries so the size collect and the rank job see
     the same partition assignment (the budget_select/fuzzy.py failure
@@ -534,19 +554,15 @@ def global_rank(
     for pid in sorted(sizes):
         offsets[pid] = run
         run += sizes[pid]
-    off_map = F.create_map(
-        *[
-            x
-            for pid, off in sorted(offsets.items())
-            for x in (F.lit(pid), F.lit(off))
-        ]
-    )
     w = Window.partitionBy("_pid").orderBy(*key)
-    ranked = part.withColumn(
-        rank_col,
-        F.row_number().over(w).cast("long")
-        + F.element_at(off_map, F.col("_pid")),
-    ).drop("_pid")
+    ranked = (
+        part.join(F.broadcast(_offset_frame(part, offsets)), "_pid")
+        .withColumn(
+            rank_col,
+            F.row_number().over(w).cast("long") + F.col("_off"),
+        )
+        .drop("_pid", "_off")
+    )
     return ranked, run
 
 

@@ -231,12 +231,24 @@ SELECT 'doc_id_unique',
 """
 
 
+# Calendar window the events fixture is generated inside (TESTDATA.md:
+# all ts fall in 2024).  FIXTURE-COUPLED by design, like
+# doc_dedup_keep_best_quality's quality weights: a regenerated fixture
+# with a different year must update this constant alongside, or the
+# gate itself reports violations (ADVICE r6).  Shared by the Spark
+# check and the DuckDB oracle below so the two can never drift apart.
+_EVENTS_TS_LO = "2024-01-01"
+_EVENTS_TS_HI = "2025-01-01"  # exclusive
+
+
 def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landing contract for the ``events`` stream (new r6): null
     checks on the identity/time/actor columns, the type domain, value
     and timestamp range gates, and event-id uniqueness — one aggregate
     pass, completing the per-table DQ gates (orders / lineitem /
-    documents / events)."""
+    documents / events).  The ts_bounds window comes from the shared
+    ``_EVENTS_TS_LO/_HI`` constants (fixture-calendar coupling
+    documented there)."""
     ev = load_table(spark, sf_dir, "events")
     return V.report(
         ev,
@@ -253,8 +265,8 @@ def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ts_bounds",
                 F.col("ts").isNotNull()
                 & (
-                    (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
-                    | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp"))
+                    (F.col("ts") < F.lit(_EVENTS_TS_LO).cast("timestamp"))
+                    | (F.col("ts") >= F.lit(_EVENTS_TS_HI).cast("timestamp"))
                 ),
             ),
         ],
@@ -262,7 +274,7 @@ def dq_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DQ_EVENTS_SQL = """
+_DQ_EVENTS_SQL = f"""
 SELECT 'event_id_not_null' AS check_name,
        COUNT(CASE WHEN event_id IS NULL THEN 1 END)::BIGINT AS violations,
        COUNT(*)::BIGINT AS n_rows FROM events
@@ -290,8 +302,8 @@ SELECT 'value_range',
 UNION ALL
 SELECT 'ts_bounds',
        COUNT(CASE WHEN ts IS NOT NULL
-                   AND (ts < TIMESTAMP '2024-01-01'
-                        OR ts >= TIMESTAMP '2025-01-01')
+                   AND (ts < TIMESTAMP '{_EVENTS_TS_LO}'
+                        OR ts >= TIMESTAMP '{_EVENTS_TS_HI}')
              THEN 1 END)::BIGINT,
        COUNT(*)::BIGINT FROM events
 UNION ALL

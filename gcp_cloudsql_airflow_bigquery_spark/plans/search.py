@@ -111,6 +111,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) via reciprocal-rank fusion ``Σ 1/(60 + rank)`` — the standard
     fusion used by hybrid search engines.  Output: fused top-10 per
     anchor with both side ranks (0 = absent from that side's top-25).
+    Both sides exclude the anchor doc BEFORE the top-25 cutoff, so the
+    candidate depth is symmetric: exactly 25 non-self candidates per
+    side (ADVICE r6: the old order filtered self after the text
+    cutoff, leaving 24 text candidates vs 25 vector ones).
 
     Cross-engine exactness: both sides rank on ROUNDED scores (BM25
     decimal-summed + round-4, cosine round-6) with id tie-breaks, so
@@ -129,13 +133,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = docs.filter(F.col("doc_id").isin(*_HYBRID_QIDS)).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
-    text25 = bm25_topk(docs, qd, k=_SIDE_K, k1=_K1, b=_B)
+    # fetch k+1 so dropping the (at most one) self-match still leaves a
+    # full _SIDE_K non-self candidates: the top-25 non-self docs are
+    # always contained in the overall top-26
+    text25 = bm25_topk(docs, qd, k=_SIDE_K + 1, k1=_K1, b=_B)
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     t = (
         text25.filter(F.col("doc_id") != F.col("query_id"))
         .withColumn("rank_text", F.row_number().over(wt))
+        .filter(F.col("rank_text") <= _SIDE_K)
         .select("query_id", "doc_id", "rank_text")
     )
     v = brute_force_topk(
@@ -213,18 +221,13 @@ bscored AS (
   CROSS JOIN consts c
   GROUP BY 1, 2
 ),
-t25 AS (
-  SELECT query_id, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rank
-  FROM bscored
-),
 tt AS (
   SELECT query_id, doc_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, doc_id) AS INT)
            AS rank_text
-  FROM t25 WHERE rank <= {_SIDE_K} AND doc_id != query_id
+  FROM bscored WHERE doc_id != query_id
+  QUALIFY rank_text <= {_SIDE_K}
 ),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id IN ({_QID_LIST})),
