@@ -90,11 +90,12 @@ _MODULES = (
 # driver hash signal and ~30 of the 49 r1-r3-only slots are
 # re-confirmed; rotate the remaining ~22 early slots (agg_basic,
 # agg_having, join_left/right/semi/cross, set_union_distinct,
-# set_except, window-* residue, case_expr, split_explode,
-# array_agg_sorted, null_funcs, between_like_in, conditional_agg,
-# late_shipment_orders, nation_trade_volume, sql_in_subquery,
-# string/date/math residue) into the sample slots, plus any new r7/r8
-# queries, plus a rotating sample of the r4-r6 windows.
+# set_except, set_intersect, window-* residue, case_expr,
+# split_explode, array_agg_sorted, null_funcs, between_like_in,
+# conditional_agg, late_shipment_orders, nation_trade_volume,
+# sql_in_subquery, sql_exists_subquery, string/date/math residue) into
+# the sample slots, plus any new r7/r8 queries, plus a rotating sample
+# of the r4-r6 windows.
 _WINDOW = (
     # (a) oracle-paired, no driver hash signal yet (12)
     "doc_bpe_vocab",
@@ -109,8 +110,10 @@ _WINDOW = (
     "dq_documents_report",
     "dq_events_report",
     "json_funcs",
-    # (b) new this round (1)
+    # (b) new this round (3)
     "embedding_knn_label_eval_ivf",
+    "embedding_semantic_dedup_indexed",
+    "events_zorder_layout",
     # (c) helper/semantics changed this round — re-confirm (4)
     "doc_token_budget_selection",
     "doc_curriculum_buckets",
@@ -123,7 +126,7 @@ _WINDOW = (
     "events_value_quantiles_rollup",
     "media_features",
     "media_codec_features",
-    # (e) r1-r3 regression sample (27)
+    # (e) r1-r3 regression sample (25)
     "flagship_revenue_by_region_nation",
     "pricing_summary",
     "agg_count_distinct",
@@ -143,14 +146,30 @@ _WINDOW = (
     "window_range_frame",
     "topk_per_group",
     "set_union_all",
-    "set_intersect",
     "string_funcs",
     "date_funcs",
     "math_funcs",
     "cast_types",
     "dedup_last_write_wins",
     "agg_percentiles",
-    "sql_exists_subquery",
+)
+
+# Deliberate rows-only slots inside the r7 window (VERDICT r6 #3):
+# these six unpaired queries have NEVER had a driver-green rows-only
+# record (their r4 slots predated the driver's rows-only handling or
+# errored), so six hash slots are spent converting them this round.
+# tests/test_entry_contract.py permits unpaired window entries ONLY
+# when they are listed here — an unpaired entry NOT in this set is
+# still a wasted-slot bug.
+_WINDOW_ROWS_ONLY = frozenset(
+    {
+        "embedding_pca_projected",
+        "media_resized",
+        "agg_approx_sketch",
+        "events_value_quantiles_rollup",
+        "media_features",
+        "media_codec_features",
+    }
 )
 
 

@@ -101,10 +101,13 @@ HEADLINE = [
     ("dq_documents_report", dq.QUERIES),
     ("events_value_quantiles_rollup_exactmode", scale.QUERIES),
     # r7 additions: the events DQ gate (landed after the r6 baseline
-    # runs) and the persisted-IVF-index kNN label eval (index build +
-    # partition-pruned probe + vote, the full-corpus-eval scale path)
+    # runs), the persisted-IVF-index kNN label eval and SemDeDup pass
+    # (index build + partition-pruned probe/partition-local pair join —
+    # the full-corpus scale paths), and the Z-order layout audit
     ("dq_events_report", dq.QUERIES),
     ("embedding_knn_label_eval_ivf", llmdata.QUERIES),
+    ("embedding_semantic_dedup_indexed", llmdata.QUERIES),
+    ("events_zorder_layout", scale.QUERIES),
 ]
 
 

@@ -622,3 +622,42 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_from_index(
+    spark, table: str = "ivf_index", threshold: float = 0.95
+) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF inverted file (see
+    :func:`materialize_ivf_index`) — the recurring-dedup production
+    shape at 100 TB: the k-means clustering shuffle was pre-paid by the
+    index build, so each dedup pass is ONE read of the
+    ``partitionBy(cluster)`` table and a partition-local within-cell
+    self-join (cluster is the leading partition column, so the join
+    co-locates without a global shuffle).  Same criterion and output as
+    :func:`semantic_dedup`: drop every vector with a same-cell neighbor
+    at cosine >= ``threshold`` and a smaller id; returns
+    ``(id, cluster, keep)`` for every indexed vector."""
+    v = spark.table(table).select("cluster", "id", "vec")
+    a = v.select(
+        "cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = v.select(
+        "cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return v.join(
+        dropped.withColumn("dropped", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        "cluster",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+    )

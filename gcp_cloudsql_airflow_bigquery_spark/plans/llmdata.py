@@ -2060,3 +2060,51 @@ nn AS (
 
 QUERIES["embedding_knn_label_eval_ivf"] = embedding_knn_label_eval_ivf
 ORACLE["embedding_knn_label_eval_ivf"] = _KNN_LABEL_EVAL_IVF_SQL
+
+
+def embedding_semantic_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup routed through the PERSISTED IVF index (VERDICT r6 #7
+    stretch): ``materialize_ivf_index`` writes the full corpus as the
+    ``partitionBy(cluster)`` inverted file once, then
+    ``semantic_dedup_from_index`` runs the within-cell pair comparison
+    as a partition-local self-join of the persisted table — no k-means
+    re-train, no clustering shuffle per dedup pass, which is the shape
+    a recurring 100 TB ingest dedup actually runs.  Hash-checked end to
+    end: the oracle replays the deterministic codebook (unrolled
+    k-means CTEs), the cell assignment, and the smallest-id-canonical
+    keep verdict over the REAL corpus (16 cells, cosine >= 0.95)."""
+    emb = _emb(spark, sf_dir)
+    similarity.materialize_ivf_index(
+        emb, table="semdedup_ivf_index", n_centroids=16, iters=2
+    )
+    return similarity.semantic_dedup_from_index(
+        spark, table="semdedup_ivf_index", threshold=0.95
+    )
+
+
+_SEMANTIC_DEDUP_INDEXED_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+assign AS MATERIALIZED (
+  SELECT id, vec, cluster FROM (
+    SELECT vn.id, vn.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c2 c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE ROUND(list_dot_product(a.vec, b.vec) /
+              (SQRT(list_dot_product(a.vec, a.vec)) *
+               SQRT(list_dot_product(b.vec, b.vec))), 6) >= 0.95
+)
+SELECT a.id, a.cluster, d.id IS NULL AS keep
+FROM assign a LEFT JOIN dropped d ON d.id = a.id
+"""
+
+QUERIES["embedding_semantic_dedup_indexed"] = embedding_semantic_dedup_indexed
+ORACLE["embedding_semantic_dedup_indexed"] = _SEMANTIC_DEDUP_INDEXED_SQL

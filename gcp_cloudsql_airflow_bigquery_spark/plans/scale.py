@@ -351,3 +351,90 @@ FROM l, r, s
 
 QUERIES["orders_customer_join_estimate"] = orders_customer_join_estimate
 ORACLE["orders_customer_join_estimate"] = _JOIN_ESTIMATE_SQL
+
+
+def _interleave_sql(cols: tuple, bits: int) -> str:
+    """DuckDB replay of ``operators.layout.zorder_value``: the same
+    unrolled shift/mask terms (bucket i's bit b at position b*n+i);
+    bit positions are disjoint so + equals |."""
+    n = len(cols)
+    return " + ".join(
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    )
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) re-layout audit for the events table —
+    the storage-side 100 TB lever: parquet data skipping prunes on
+    per-file min/max, so a table queried by BOTH ``user_id`` and time
+    needs files narrow in both dimensions at once, which no
+    single-column sort gives.  ``operators/layout.zorder_layout``
+    buckets each dim to 256 equal-width cells (exact integer
+    arithmetic), bit-interleaves them, and cuts the curve into 64
+    files; this query reports the per-file row count and raw min/max
+    of each dimension — the exact statistics a scan planner would
+    prune on.  Pure Catalyst (shift/mask codegen, no UDF); the only
+    driver traffic is the 4-scalar bounds collect every clustering
+    rewrite needs.  tests/test_layout.py asserts the z-layout's
+    per-file spans beat a single-column-sorted layout on the second
+    dimension by construction."""
+    from ..operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    b = d.agg(
+        F.min("user_id"), F.max("user_id"), F.min("es"), F.max("es")
+    ).first()
+    umin, umax, tmin, tmax = (int(b[i]) for i in range(4))
+    laid = layout.zorder_layout(
+        d,
+        [(F.col("user_id"), umin, umax), (F.col("es"), tmin, tmax)],
+        bits=8,
+        n_files=64,
+    )
+    return (
+        laid.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("es").alias("t_min"),
+            F.max("es").alias("t_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+_ZORDER_SQL = f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+bounds AS (
+  SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+         MIN(es) AS tmin, MAX(es) AS tmax
+  FROM d
+),
+bucketed AS (
+  SELECT user_id, es,
+         ((user_id - umin) * 256) // (umax - umin + 1) AS ub,
+         ((es - tmin) * 256) // (tmax - tmin + 1) AS tb
+  FROM d, bounds
+),
+z AS (
+  SELECT user_id, es, {_interleave_sql(("ub", "tb"), 8)} AS zvalue
+  FROM bucketed
+),
+f AS (SELECT user_id, es, (zvalue * 64) // 65536 AS file_id FROM z)
+SELECT CAST(file_id AS INT) AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+       MIN(es) AS t_min, MAX(es) AS t_max
+FROM f GROUP BY 1
+"""
+
+QUERIES["events_zorder_layout"] = events_zorder_layout
+ORACLE["events_zorder_layout"] = _ZORDER_SQL

@@ -43,12 +43,21 @@ def test_entry_smoke(spark):
 
 def test_first_fifty_entries_are_all_oracle_paired():
     """The driver hash-verifies only the first 50 queries() entries;
-    a rows-only (no-oracle) entry in that window wastes a slot that can
-    never hash-match (r4 verdict).  Keep the window 100% hash-checkable."""
+    a rows-only (no-oracle) entry in that window spends a slot on a
+    weaker check (r4 verdict), so any such entry must be DECLARED in
+    ``_WINDOW_ROWS_ONLY`` (r7: the verdict explicitly budgets slots to
+    convert the never-driver-green rows-only residue).  An unpaired
+    window entry not in that set is still a wasted-slot bug."""
     mod = _entry()
     q, o = list(mod.queries()), mod.oracle_sql()
-    unpaired = [n for n in q[:50] if n not in o]
-    assert not unpaired, f"no-oracle entries inside the 50-slot window: {unpaired}"
+    allowed = getattr(mod, "_WINDOW_ROWS_ONLY", frozenset())
+    unpaired = [n for n in q[:50] if n not in o and n not in allowed]
+    assert not unpaired, f"undeclared no-oracle entries in the window: {unpaired}"
+    # the declared rows-only slots must actually be in the window and
+    # actually unpaired — a stale declaration hides real waste
+    window = set(q[:50])
+    stale = [n for n in allowed if n not in window or n in o]
+    assert not stale, f"stale _WINDOW_ROWS_ONLY declarations: {stale}"
 
 
 def test_registry_outputs_are_scalar_columns(spark, sf_dir):
