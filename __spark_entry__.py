@@ -87,9 +87,10 @@ _MODULES = (
 # kept evolving (VERDICT r6 #5).
 #
 # ROUND 8 PLAN: after this window, every oracle-paired query has
-# driver hash signal and ~30 of the 49 r1-r3-only slots are
-# re-confirmed; rotate the remaining ~22 early slots (agg_basic,
-# agg_having, join_left/right/semi/cross, set_union_distinct,
+# driver hash signal and ~28 of the 49 r1-r3-only slots are
+# re-confirmed; rotate the remaining early slots (agg_basic, agg_cube,
+# agg_having, join_left/right/semi/cross, window_lag_lead,
+# set_union_distinct,
 # set_except, set_intersect, window-* residue, case_expr,
 # split_explode, array_agg_sorted, null_funcs, between_like_in,
 # conditional_agg, late_shipment_orders, nation_trade_volume,
@@ -110,10 +111,12 @@ _WINDOW = (
     "dq_documents_report",
     "dq_events_report",
     "json_funcs",
-    # (b) new this round (3)
+    # (b) new this round (5)
     "embedding_knn_label_eval_ivf",
     "embedding_semantic_dedup_indexed",
     "events_zorder_layout",
+    "doc_containment_pairs",
+    "doc_tfidf_knn",
     # (c) helper/semantics changed this round — re-confirm (4)
     "doc_token_budget_selection",
     "doc_curriculum_buckets",
@@ -126,12 +129,11 @@ _WINDOW = (
     "events_value_quantiles_rollup",
     "media_features",
     "media_codec_features",
-    # (e) r1-r3 regression sample (25)
+    # (e) r1-r3 regression sample (23)
     "flagship_revenue_by_region_nation",
     "pricing_summary",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
     "filter_incremental",
     "join_inner",
@@ -140,7 +142,6 @@ _WINDOW = (
     "join_broadcast",
     "scalar_subquery",
     "window_rank",
-    "window_lag_lead",
     "window_running",
     "window_ntile",
     "window_range_frame",

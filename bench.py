@@ -108,6 +108,11 @@ HEADLINE = [
     ("embedding_knn_label_eval_ivf", llmdata.QUERIES),
     ("embedding_semantic_dedup_indexed", llmdata.QUERIES),
     ("events_zorder_layout", scale.QUERIES),
+    # r7 wave 2: asymmetric containment dedup (one-sided prefix filter)
+    # and the sparse tf-idf lexical kNN — both new candidate/scoring
+    # shapes whose cost should be tracked from the round they landed
+    ("doc_containment_pairs", llmdata.QUERIES),
+    ("doc_tfidf_knn", search.QUERIES),
 ]
 
 

@@ -939,3 +939,92 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs ``C(A,B) = |A∩B| / |A| >=
+    threshold`` — the asymmetric near-dup criterion Jaccard misses: a
+    short document wholly embedded in a 10x-longer one has
+    ``J ≈ |A|/|B| ≈ 0.1`` (invisible to every Jaccard-tuned candidate
+    generator, including MinHash banding) but containment 1.0.  This
+    is the standard quote/boilerplate/subset-dup test in web-corpus
+    pipelines.
+
+    Candidate generation is the one-sided prefix-filter: if A shares
+    >= ``ceil(t*|A|)`` shingles with B, then A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles (under the hash total order)
+    must hit B somewhere — so only the PROBE side explodes a
+    ``(1-t)``-fraction prefix, while the indexed side contributes its
+    full (already materialized-index-shaped) shingle rows.  Unlike the
+    symmetric PPJoin (:func:`prefix_filter_jaccard_pairs`) there is no
+    prefix bound on B — containment puts no lower bound on B's share —
+    but the size prune ``|B| >= t*|A|`` still rides the join.
+    Verification is one ``array_intersect`` over the two array-valued
+    (never exploded) shingle sets.  Returns ORDERED pairs
+    ``(id_a, id_b, containment)``: A is the contained side.
+
+    ``portable=True`` hashes shingle strings with :func:`md5_hash60`
+    so the DuckDB oracle replays bit-for-bit
+    (``plans/llmdata.doc_containment_pairs``); the default xxhash64
+    path is the cheap in-engine twin, equal w.h.p."""
+    if portable:
+        hashes = F.transform(
+            word_shingles(F.col(text_col), n), lambda s: md5_hash60(s)
+        )
+    else:
+        hashes = word_shingle_hashes(F.col(text_col), n)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(hashes)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    plen = (
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
+    )
+    probe = sh.select(
+        F.col("id").alias("id_a"),
+        F.size("sh").alias("m_a"),
+        F.explode(F.slice("sh", 1, plen)).alias("tok"),
+    ).repartition(n_parts, "tok")
+    index = sh.select(
+        F.col("id").alias("id_b"),
+        F.size("sh").alias("m_b"),
+        F.explode("sh").alias("tok"),
+    ).repartition(n_parts, "tok")
+    cand = (
+        probe.join(index, "tok")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("m_b") >= F.lit(threshold) * F.col("m_a"))
+        )
+        .select("id_a", "id_b")
+        .repartition(n_parts, "id_a", "id_b")
+        .dropDuplicates()
+    )
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

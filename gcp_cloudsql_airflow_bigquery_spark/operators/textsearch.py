@@ -127,3 +127,104 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Sparse lexical kNN: cosine over tf-idf weighted term vectors —
+    the inverted-index dual of :mod:`.similarity`'s dense ANN stack
+    (and the second retrieval model beside :func:`bm25_topk`: tf-idf
+    cosine length-normalizes by the FULL document vector, so verbose
+    docs are not favored the way BM25's saturation-only norm can be).
+
+    score(q, d) = Σ_t w(t,q)·w(t,d) / (‖q‖·‖d‖) with
+    w = tf · ln(N/df); query terms unseen in the corpus drop out
+    (df = 0 has no idf), the standard convention.
+
+    Scale shape: one corpus df pass and one norm pass (both map-side
+    combined aggregations over the shared postings build); the dot
+    products join the model-sized BROADCAST query vectors against the
+    postings filtered to the query vocabulary, so per-query work is
+    proportional to matched postings, not the corpus.  The only
+    corpus-sized join key is ``id`` for the norm attach.  Exactness:
+    per-term contributions are decimal-cast before summing
+    (order-independent addition — same pattern as :func:`bm25_topk`),
+    norms are sqrts of decimal sums, and the final cosine rounds to 4
+    decimals with id tie-breaks, so ranks reproduce cross-engine.
+
+    ``exclude_self=True`` drops hits whose doc id equals the query id
+    BEFORE the top-k cutoff (for "more like this" anchor queries that
+    share the corpus id space — symmetric candidate depth, the
+    ADVICE-r6 hybrid fix).  Returns (query_id, <id_col>, score, rank).
+    """
+    postings, _ = build_text_index(docs, id_col, text_col)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
+    widf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    dw = postings.join(widf, "term").select(
+        "term", id_col, (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    dnorm = dw.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,10)")).cast(
+                "double"
+            )
+        ).alias("dn")
+    )
+    qtf = (
+        queries.select(
+            query_id_col,
+            F.explode(
+                tokens(normalize_text(F.col(query_text_col)))
+            ).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    qw = qtf.join(widf, "term").select(
+        query_id_col, "term", (F.col("qtf") * F.col("idf")).alias("wq")
+    )
+    qnorm = qw.groupBy(query_id_col).agg(
+        F.sqrt(
+            F.sum((F.col("wq") * F.col("wq")).cast("decimal(28,10)")).cast(
+                "double"
+            )
+        ).alias("qn")
+    )
+    dots = (
+        dw.join(F.broadcast(qw), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum((F.col("wt") * F.col("wq")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), query_id_col)
+        .join(dnorm, id_col)
+        .withColumn(
+            "score", F.round(F.col("dot") / (F.col("qn") * F.col("dn")), 4)
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

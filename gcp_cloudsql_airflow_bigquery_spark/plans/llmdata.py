@@ -2108,3 +2108,41 @@ FROM assign a LEFT JOIN dropped d ON d.id = a.id
 
 QUERIES["embedding_semantic_dedup_indexed"] = embedding_semantic_dedup_indexed
 ORACLE["embedding_semantic_dedup_indexed"] = _SEMANTIC_DEDUP_INDEXED_SQL
+
+
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (new r7): ordered pairs where
+    >= 80% of A's distinct 3-word shingles appear in B — the
+    subset/quote/boilerplate criterion that Jaccard-tuned candidate
+    generators structurally miss (a short doc embedded in a 10x longer
+    one has J ~ 0.1 but containment 1.0).  One-sided prefix-filter
+    candidates + exact array-intersect verify
+    (``operators/dedup.containment_pairs``); portable md5-derived
+    shingle hashes so the DuckDB oracle replays the exact pair set."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.8, portable=True
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w
+  FROM documents WHERE {_NORM} <> ''
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_SHINGLES},
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+  FROM toks
+),
+nz AS (SELECT doc_id, hs FROM sh WHERE len(hs) > 0)
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.hs, b.hs)) / CAST(len(a.hs) AS DOUBLE),
+               6) AS containment
+  FROM nz a JOIN nz b ON a.doc_id != b.doc_id
+) WHERE containment >= 0.8
+"""
+
+QUERIES["doc_containment_pairs"] = doc_containment_pairs
+ORACLE["doc_containment_pairs"] = _CONTAINMENT_SQL

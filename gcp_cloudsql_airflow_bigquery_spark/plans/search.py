@@ -265,3 +265,88 @@ QUALIFY rank <= {_FUSE_K}
 
 QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
 ORACLE["hybrid_search_rrf"] = _HYBRID_RRF_SQL
+
+
+def doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical kNN (new r7): for the pinned anchor docs, the
+    top-10 nearest documents under tf-idf COSINE (w = tf·ln(N/df),
+    full-vector length normalization) — the lexical dual of the dense
+    `knn_bruteforce` probe and the second retrieval model beside BM25
+    (`doc_bm25_search`).  Anchors are excluded before the cutoff
+    (symmetric depth, the ADVICE-r6 convention).  Decimal-summed
+    contributions + round-4 scores + id tie-breaks make ranks
+    reproduce bit-stably in DuckDB (`operators/textsearch.tfidf_topk`)."""
+    from ..operators.textsearch import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qd = docs.filter(F.col("doc_id").isin(*_HYBRID_QIDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return tfidf_topk(docs, qd, k=10, exclude_self=True)
+
+
+_TFIDF_KNN_SQL = rf"""
+WITH qd AS (
+  SELECT doc_id AS query_id, text AS query_text
+  FROM documents WHERE doc_id IN ({_QID_LIST})
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+widf AS (
+  SELECT term, ln(n_docs / CAST(df AS DOUBLE)) AS idf FROM dfreq, n
+),
+dw AS (
+  SELECT p.term, p.doc_id, p.tf * w.idf AS wt
+  FROM postings p JOIN widf w USING (term)
+),
+dnorm AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(28,10))) AS DOUBLE)) AS dn
+  FROM dw GROUP BY 1
+),
+qtoks AS (
+  SELECT query_id, unnest(string_split(
+    trim(regexp_replace(lower(query_text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM qd
+),
+qtf AS (SELECT query_id, term, COUNT(*) AS qtf FROM qtoks GROUP BY 1, 2),
+qw AS (
+  SELECT q.query_id, q.term, q.qtf * w.idf AS wq
+  FROM qtf q JOIN widf w USING (term)
+),
+qnorm AS (
+  SELECT query_id,
+         sqrt(CAST(SUM(CAST(wq * wq AS DECIMAL(28,10))) AS DOUBLE)) AS qn
+  FROM qw GROUP BY 1
+),
+dots AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(SUM(CAST(d.wt * q.wq AS DECIMAL(28,10))) AS DOUBLE) AS dot
+  FROM dw d JOIN qw q USING (term)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.query_id, s.doc_id,
+         ROUND(s.dot / (qn.qn * dn.dn), 4) AS score
+  FROM dots s
+  JOIN qnorm qn USING (query_id)
+  JOIN dnorm dn USING (doc_id)
+  WHERE s.doc_id != s.query_id
+)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+QUERIES["doc_tfidf_knn"] = doc_tfidf_knn
+ORACLE["doc_tfidf_knn"] = _TFIDF_KNN_SQL
