@@ -18,7 +18,7 @@ on a 120-node near-path component.  Lineage is cut per round with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -346,3 +346,65 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     ).distinct()
     tris = wedges.join(closing, ["x", "y"], "left_semi")
     return tris.agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    weight: str | None = None,
+    *,
+    rounds: int = 5,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection):
+    every node starts in its own community, and each round adopts the
+    label with the greatest summed edge weight among its neighbors
+    (ties to the SMALLEST label).  Fixed synchronous rounds + the
+    deterministic tie-break make the result a pure function of the
+    graph — replayable as unrolled CTEs by the DuckDB oracle
+    (``plans/events.event_state_communities``), unlike the
+    asynchronous/randomized LPA variants.
+
+    Returns ``(node, community)`` after ``rounds`` rounds.
+
+    Scale shape — same Pregel economics as :func:`pagerank`: the
+    symmetrized, parallel-edge-merged edge list is pre-partitioned by
+    ``dst`` ONCE and checkpointed; with ``broadcast_labels`` (bounded
+    node sets: types, states, entities) each round's join is map-side
+    against the broadcast model-sized label table, so a round costs
+    one vote aggregation over the static edge partitioning and NO
+    edge-sized exchange.  For unbounded node sets set
+    ``broadcast_labels=False`` and the round degrades to a sort-merge
+    join — still one shuffle per round, never quadratic."""
+    w = (F.col(weight) if weight else F.lit(1)).cast("long")
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
+    sym = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .repartition(F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        votes = (
+            sym.join(lab.withColumnRenamed("node", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        wn = Window.partitionBy("v").orderBy(F.col("s").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -868,3 +868,96 @@ FROM rolled CROSS JOIN base
 
 QUERIES["events_error_rate_sli"] = events_error_rate_sli
 ORACLE["events_error_rate_sli"] = _ERROR_SLI_SQL
+
+
+def event_state_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the (event_type, hour-of-day) state
+    graph (new r7): nodes are ``type@HH`` behavioral states, edges are
+    observed consecutive-state transitions per user (the
+    ``events_transition_matrix`` sequence primitive on a finer state
+    space), symmetrized; ``operators/graph.label_propagation`` runs 5
+    synchronous LPA rounds with smallest-label tie-breaks — the
+    deterministic variant, so the DuckDB oracle replays the rounds as
+    unrolled CTEs exactly like the PageRank and k-means oracles.
+    Scale shape: bounded node set (|types|x24) => labels broadcast,
+    the edge list is pre-partitioned once, each round is one vote
+    aggregation with no edge-sized exchange."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    state = F.concat(
+        F.col("event_type"),
+        F.lit("@"),
+        F.lpad(F.hour("ts").cast("string"), 2, "0"),
+    )
+    edges = (
+        e.withColumn("state", state)
+        .withColumn("next_state", F.lead("state").over(w))
+        .filter(F.col("next_state").isNotNull())
+        .groupBy(
+            F.col("state").alias("a"), F.col("next_state").alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        graph.label_propagation(edges, src="a", dst="b", weight="n", rounds=5)
+        .select(F.col("node").alias("state"), "community")
+        .orderBy("state")
+    )
+
+
+def _lpa_unrolled_sql(rounds: int = 5) -> str:
+    """DuckDB replay of ``graph.label_propagation``: per round, each
+    node adopts the neighbor label with the greatest summed weight
+    (ties to the smallest label) — unrolled as chained CTEs over the
+    symmetrized edge list ``sym(u, v, w)``."""
+    steps = ["l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""v{i} AS MATERIALIZED (
+  SELECT s.v, l.label, SUM(s.w) AS sw
+  FROM sym s JOIN l{i - 1} l ON s.u = l.node
+  GROUP BY 1, 2
+)""")
+        steps.append(f"""l{i} AS MATERIALIZED (
+  SELECT v AS node, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                                 ORDER BY sw DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1
+)""")
+    return ",\n".join(steps)
+
+
+_STATE_COMMUNITIES_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         event_type || '@' ||
+         lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') AS state
+  FROM events
+),
+seq AS (
+  SELECT state,
+         LEAD(state) OVER (PARTITION BY user_id
+                           ORDER BY date_trunc('ms', ts), event_id)
+           AS next_state
+  FROM ev
+),
+he AS (
+  SELECT state AS u, next_state AS v, COUNT(*) AS w
+  FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2
+),
+sym AS (
+  SELECT u, v, SUM(w) AS w FROM (
+    SELECT u, v, w FROM he
+    UNION ALL
+    SELECT v AS u, u AS v, w FROM he
+  ) WHERE u <> v GROUP BY 1, 2
+),
+{_lpa_unrolled_sql(5)}
+SELECT node AS state, label AS community FROM l5 ORDER BY state
+"""
+
+QUERIES["event_state_communities"] = event_state_communities
+ORACLE["event_state_communities"] = _STATE_COMMUNITIES_SQL

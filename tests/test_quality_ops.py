@@ -607,3 +607,35 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # no contaminated doc survived: overlap vs benchmark is empty
     leaked = curation.decontaminate(curated, bench, n=8)
     assert leaked.count() == 0
+
+
+def test_label_propagation_two_planted_communities(spark):
+    """label_propagation: two densely connected triangles joined by a
+    weak bridge resolve to exactly two communities split on the
+    bridge; rerunning gives the identical labeling (synchronous
+    rounds + smallest-label tie-break = deterministic)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (1, 3, 10), (2, 3, 10),   # community A
+            (4, 5, 10), (4, 6, 10), (5, 6, 10),   # community B
+            (3, 4, 1),                              # weak bridge
+        ],
+        ["a", "b", "n"],
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, weight="n", rounds=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    again = {
+        r.node: r.community
+        for r in label_propagation(edges, weight="n", rounds=5).collect()
+    }
+    assert got == again
