@@ -640,3 +640,66 @@ def hashed_tfidf_vectors(
         .agg(m.alias("m"))
         .select(id_col, dense.alias("vec"))
     )
+
+
+def source_token_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus — the
+    source-mixture monitor of a training-data pipeline (flags a crawl
+    snapshot or source whose unigram distribution shifted).  For each
+    source, the Jensen-Shannon divergence (natural log) between the
+    source's unigram distribution and the corpus distribution, both
+    restricted to the global top-``vocab_size`` vocabulary
+    (count-desc, term-asc tie-break — deterministic, so the DuckDB
+    oracle replays it exactly), plus the source's vocabulary coverage
+    (in-vocab token share).
+
+    Scale shape: one explode + map-side-combined term-count shuffle;
+    the top-K vocabulary is ``ORDER BY count DESC LIMIT K`` — Spark
+    plans this as TakeOrderedAndProject (per-partition partial top-K,
+    O(K) heap per partition, no global sort of the open vocabulary).
+    The K-row vocab and the bounded source list broadcast; the
+    source×vocab grid is K·|sources| rows, model-sized.  Nothing
+    leaves the JVM."""
+    t = F.trim(F.lower(F.col(text_col)))
+    tok = docs.filter(t != "").select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(t, r"\s+")).alias("term"),
+    )
+    g = tok.groupBy("term").agg(F.count("*").alias("cg"))
+    vocab = g.orderBy(F.desc("cg"), "term").limit(vocab_size)
+    tg = vocab.agg(F.sum("cg").alias("tg"))
+    src_all = tok.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    sc = (
+        tok.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cs"))
+    )
+    ts = sc.groupBy("source").agg(F.sum("cs").alias("ts"))
+    grid = (
+        src_all.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(ts), "source", "left")
+        .join(F.broadcast(sc), ["source", "term"], "left")
+        .crossJoin(F.broadcast(tg))
+    )
+    p = F.when(
+        F.coalesce(F.col("cs"), F.lit(0)) > 0, F.col("cs") / F.col("ts")
+    ).otherwise(F.lit(0.0))
+    q = F.col("cg") / F.col("tg")
+    m = (p + q) / F.lit(2.0)
+    contrib = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) * F.lit(
+        0.5
+    ) + q * F.log(q / m) * F.lit(0.5)
+    return grid.groupBy("source", "n_tokens").agg(
+        F.round(F.sum(contrib), 6).alias("js_divergence"),
+        F.count("cs").cast("long").alias("n_vocab_present"),
+        F.round(
+            F.coalesce(F.max("ts"), F.lit(0)) / F.first("n_tokens"), 6
+        ).alias("vocab_coverage"),
+    ).select(
+        "source", "js_divergence", "n_vocab_present", "vocab_coverage", "n_tokens"
+    )

@@ -1646,3 +1646,90 @@ GROUP BY 1
 
 QUERIES["supplier_fulfillment_latency"] = supplier_fulfillment_latency
 ORACLE["supplier_fulfillment_latency"] = _FULFILL_SQL
+
+
+def map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType/StructType surface: ``from_json`` into ``map<string,int>``
+    (the NDJSON props of reference dags/copy_cloudsql_to_bigquery_v2.py:109),
+    per-user event-type maps via ``map_from_entries``, and the map
+    higher-order functions (``map_filter``/``transform_values``) plus
+    lexicographic struct MAX — all Catalyst expressions inside
+    whole-stage codegen, no UDFs.  Two shuffles total: (user, type)
+    partial counts, then the user rollup.  Oracle parity notes: DuckDB
+    has no map HOFs, so the oracle derives the identical canonical
+    strings/scalars from the (user, type) counts directly; Spark
+    ``size``/int arithmetic is cast to long to match DuckDB BIGINT,
+    and the props sum is BIGINT-cast on both sides (DuckDB SUM →
+    HUGEINT, the historical json_funcs r1 lesson)."""
+    e = _t(spark, sf_dir, "events")
+    cnts = (
+        e.withColumn(
+            "k_val",
+            F.try_element_at(F.from_json("props", "map<string,int>"), F.lit("k")),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("k_val").alias("sum_k"))
+    )
+    per_user = cnts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m"),
+        F.sum("sum_k").alias("sum_props_k"),
+        F.max(
+            F.struct(F.col("cnt").alias("c"), F.col("event_type").alias("t"))
+        ).alias("top"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_events"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.map_filter("m", lambda k, v: v >= 3))), ","
+        ).alias("hot_types"),
+        F.try_element_at(
+            F.transform_values("m", lambda k, v: v * 2), F.lit("purchase")
+        )
+        .cast("long")
+        .alias("purchase_doubled"),
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda kv: F.concat(
+                    kv["key"], F.lit(":"), kv["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("entries_str"),
+        "sum_props_k",
+        F.col("top.c").alias("top_cnt"),
+        F.col("top.t").alias("top_type"),
+    )
+
+
+_MAP_STRUCT_SQL = """
+WITH kv AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_types,
+       string_agg(event_type, ',' ORDER BY event_type) AS keys_sorted,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       COALESCE(string_agg(event_type, ',' ORDER BY event_type)
+                  FILTER (WHERE cnt >= 3), '') AS hot_types,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN cnt * 2 END)
+            AS BIGINT) AS purchase_doubled,
+       string_agg(event_type || ':' || cnt, ',' ORDER BY event_type)
+         AS entries_str,
+       CAST(SUM(sum_k) AS BIGINT) AS sum_props_k,
+       (MAX({'c': cnt, 't': event_type})).c AS top_cnt,
+       (MAX({'c': cnt, 't': event_type})).t AS top_type
+FROM kv GROUP BY user_id
+"""
+
+QUERIES["map_struct_funcs"] = map_struct_funcs
+ORACLE["map_struct_funcs"] = _MAP_STRUCT_SQL

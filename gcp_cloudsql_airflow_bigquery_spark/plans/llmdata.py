@@ -2146,3 +2146,53 @@ SELECT id_a, id_b, containment FROM (
 
 QUERIES["doc_containment_pairs"] = doc_containment_pairs
 ORACLE["doc_containment_pairs"] = _CONTAINMENT_SQL
+
+
+def doc_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift vs the corpus (new r7):
+    Jensen-Shannon divergence over the global top-200 vocabulary plus
+    vocabulary coverage — the source-mixture drift monitor that flags
+    a shifted crawl snapshot before it pollutes a training mix
+    (:func:`..operators.textstats.source_token_drift`).  Deterministic
+    top-K vocab (count-desc, term-asc) so the oracle replays it; the
+    JS sum is 200 bounded double terms per source, ROUND(6)-stable
+    cross-engine like the other log-space scores."""
+    return textstats.source_token_drift(_docs(spark, sf_dir), vocab_size=200)
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+g AS (SELECT term, COUNT(*) AS cg FROM tok GROUP BY 1),
+vocab AS (SELECT term, cg FROM g ORDER BY cg DESC, term LIMIT 200),
+tg AS (SELECT SUM(cg) AS tg FROM vocab),
+src_all AS (SELECT source, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+sc AS (
+  SELECT source, term, COUNT(*) AS cs
+  FROM tok JOIN vocab USING (term) GROUP BY 1, 2
+),
+ts AS (SELECT source, SUM(cs) AS ts FROM sc GROUP BY 1),
+grid AS (
+  SELECT sa.source, sa.n_tokens, v.cg, t.ts, s.cs,
+         CASE WHEN COALESCE(s.cs, 0) > 0
+              THEN s.cs * 1.0 / t.ts ELSE 0.0 END AS p,
+         v.cg * 1.0 / (SELECT tg FROM tg) AS q
+  FROM src_all sa
+  CROSS JOIN vocab v
+  LEFT JOIN ts t ON t.source = sa.source
+  LEFT JOIN sc s ON s.source = sa.source AND s.term = v.term
+)
+SELECT source,
+       ROUND(SUM(0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                            ELSE 0.0 END
+                 + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js_divergence,
+       COUNT(cs) AS n_vocab_present,
+       ROUND(COALESCE(MAX(ts), 0) * 1.0 / MAX(n_tokens), 6) AS vocab_coverage,
+       MAX(n_tokens) AS n_tokens
+FROM grid GROUP BY source
+"""
+
+QUERIES["doc_source_token_drift"] = doc_source_token_drift
+ORACLE["doc_source_token_drift"] = _SOURCE_DRIFT_SQL

@@ -12,6 +12,7 @@ from gcp_cloudsql_airflow_bigquery_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    textstats,
 )
 
 
@@ -1129,3 +1130,35 @@ def test_resize_media_distributed(spark):
         w, h, rgb = multimodal.decode_ppm(bytes(r.content))
         assert (w, h) == (5, 3) == (r.width, r.height)
         assert len(rgb) == 5 * 3 * 3
+
+
+def test_source_token_drift_planted_shift(spark):
+    """source_token_drift: a source sampling the corpus distribution
+    scores near-zero JS divergence; a skewed source scores strictly
+    higher; JS is symmetric-bounded in [0, ln 2]; coverage is 1.0 when
+    every token is in-vocab."""
+    import math
+
+    rows = []
+    # "typical" source: same unigram mix as the bulk corpus
+    for i in range(200):
+        rows.append((i, "the cat sat on the mat", "typical"))
+    # "shifted" source: disjoint heavy vocabulary
+    for i in range(200, 260):
+        rows.append((i, "zzz qqq zzz qqq zzz", "shifted"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r.source: r
+        for r in textstats.source_token_drift(docs, vocab_size=50).collect()
+    }
+    assert set(got) == {"typical", "shifted"}
+    for r in got.values():
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+        assert r.vocab_coverage == 1.0  # tiny vocab, fully in top-50
+    # the corpus reference mixes BOTH sources, so even the typical
+    # source diverges a little (the shifted tokens dilute q); the
+    # signal is the gap, not an absolute zero
+    assert got["shifted"].js_divergence > 3 * got["typical"].js_divergence
+    assert got["typical"].js_divergence < 0.15
+    assert got["typical"].n_tokens == 200 * 6
+    assert got["shifted"].n_tokens == 60 * 5
