@@ -2196,3 +2196,230 @@ FROM grid GROUP BY source
 
 QUERIES["doc_source_token_drift"] = doc_source_token_drift
 ORACLE["doc_source_token_drift"] = _SOURCE_DRIFT_SQL
+
+
+def doc_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH recall (new r7) — replaces the documented
+    "recall is assumed from the band math" caveat with a number: exact
+    ground-truth pairs (J >= 0.5) from the prefix-filter AllPairs join
+    (``dedup.prefix_filter_jaccard_pairs`` — exact, sub-inverted-index
+    shuffle, no probabilistic step) vs the verified output of the
+    16-band/2-row portable MinHash pipeline.  Because the verify stage
+    is exact Jaccard, LSH output is a subset of truth and
+    recall = |LSH| ∩ |truth| / |truth|; the band math predicts
+    1-(1-J^2)^16 >= 0.99 at the threshold.  Portable md5 hashing so
+    the DuckDB oracle replays signatures, banding, candidates, verify
+    AND the exact truth set value-for-value.
+
+    Scale shape: both sides are the scale-shaped operators themselves
+    (prefix explode / banded buckets — nothing quadratic); at 100 TB
+    this eval runs on a sampled slice, but nothing in the plan changes
+    with corpus size except the slice filter."""
+    docs = _docs(spark, sf_dir)
+    truth = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    lsh = dedup.minhash_near_dups(
+        docs, threshold=0.5, num_hashes=32, bands=16, portable=True
+    )
+    hit = lsh.select("id_a", "id_b").join(
+        truth.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+_MINHASH_RECALL_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+inv AS (
+  SELECT id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS shingle
+  FROM nonempty
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM inv GROUP BY id),
+tpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM tpairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+slots AS (SELECT unnest(range(0, 32)) AS i),
+sig AS (
+  SELECT id, i,
+         MIN(('0x' || substr(md5(i::VARCHAR || ':' || shingle::VARCHAR), 1, 15))::BIGINT) AS h
+  FROM inv, slots GROUP BY 1, 2
+),
+banded AS (
+  SELECT id, i // 2 AS band, STRING_AGG(h::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+vinter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN inv a ON a.id = c.id_a
+  JOIN inv b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+lsh AS (
+  SELECT id_a, id_b
+  FROM vinter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+hit AS (
+  SELECT * FROM lsh
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.id_a = lsh.id_a AND t.id_b = lsh.id_b)
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / (SELECT COUNT(*) FROM truth), 6) AS recall
+"""
+
+QUERIES["doc_minhash_recall_eval"] = doc_minhash_recall_eval
+ORACLE["doc_minhash_recall_eval"] = _MINHASH_RECALL_SQL
+
+
+def embedding_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN recall@10 (new r7) — the vector twin of
+    ``doc_minhash_recall_eval``: IVF probing (16 cells, nprobe=4, the
+    ``knn_ivf`` configuration) scored against exact brute-force
+    ground truth on the constant-size probe set, reporting average and
+    worst-case per-query recall.  Both engines rank by
+    ROUND(cosine, 6) DESC with id tie-breaks, so the overlap count is
+    deterministic and the DuckDB oracle replays codebook training
+    (unrolled k-means CTEs), probing, both rerankes, and the recall
+    arithmetic value-for-value.
+
+    Scale shape: ground truth is probe-set-sized brute force — 100
+    broadcast queries against one corpus scan (the eval practice the
+    brute-force twin's docstring prescribes); the IVF side reads
+    ~nprobe/n_centroids of the corpus.  Nothing scales quadratically
+    with the corpus."""
+    emb = _emb(spark, sf_dir)
+    probes = _knn_probe_set(emb)
+    gt = similarity.brute_force_topk(emb, probes, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = similarity.ivf_topk(
+        emb, probes, k=10, n_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id")
+    hits = (
+        ann.join(gt, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per = (
+        gt.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("r")
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("r"), 6).alias("avg_recall"),
+        F.round(F.min("r"), 6).alias("min_recall"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+corpus AS MATERIALIZED (
+  SELECT vn.id AS neighbor_id, vn.vec AS vec_n, a.cluster
+  FROM vn JOIN (
+    SELECT id, cluster FROM (
+      SELECT vn.id, c.cluster,
+             ROW_NUMBER() OVER (PARTITION BY vn.id
+                                ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                         c.cluster) AS rn
+      FROM vn, c2 c) WHERE rn = 1) a USING (id)
+),
+probe_ids AS MATERIALIZED (
+  SELECT id FROM vn ORDER BY md5(CAST(id AS VARCHAR)), id
+  LIMIT {_KNN_EVAL_PROBES}
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, vec AS vec_q, cluster FROM (
+    SELECT vn.id, vn.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS pr
+    FROM vn, c2 c WHERE vn.id IN (SELECT id FROM probe_ids)) WHERE pr <= 4
+),
+ivf_scored AS (
+  SELECT p.query_id, co.neighbor_id,
+         ROUND(list_dot_product(p.vec_q, co.vec_n) /
+               (SQRT(list_dot_product(p.vec_q, p.vec_q)) *
+                SQRT(list_dot_product(co.vec_n, co.vec_n))), 6) AS cosine
+  FROM corpus co JOIN probes p USING (cluster)
+  WHERE p.query_id <> co.neighbor_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 10
+),
+bf_scored AS (
+  SELECT q.id AS query_id, w.id AS neighbor_id,
+         ROUND(list_dot_product(q.vec, w.vec) /
+               (SQRT(list_dot_product(q.vec, q.vec)) *
+                SQRT(list_dot_product(w.vec, w.vec))), 6) AS cosine
+  FROM (SELECT vn.id, vn.vec FROM vn
+        WHERE vn.id IN (SELECT id FROM probe_ids)) q
+  JOIN vn w ON q.id <> w.id
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bf_scored
+  ) WHERE rank <= 10
+),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hit
+  FROM ann a JOIN gt g
+    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY 1
+),
+per AS (
+  SELECT g.query_id, COUNT(*) AS n_true,
+         COALESCE(MAX(h.n_hit), 0) AS n_hit
+  FROM gt g LEFT JOIN hits h ON h.query_id = g.query_id
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(n_hit * 1.0 / n_true), 6) AS avg_recall,
+       ROUND(MIN(n_hit * 1.0 / n_true), 6) AS min_recall
+FROM per
+"""
+
+QUERIES["embedding_ann_recall_eval"] = embedding_ann_recall_eval
+ORACLE["embedding_ann_recall_eval"] = _ANN_RECALL_SQL
