@@ -88,15 +88,18 @@ _MODULES = (
 #
 # ROUND 8 PLAN: after this window, every oracle-paired query has
 # driver hash signal and ~28 of the 49 r1-r3-only slots are
-# re-confirmed; rotate the remaining early slots (agg_basic, agg_cube,
-# agg_having, join_left/right/semi/cross, window_lag_lead,
-# set_union_distinct,
-# set_except, set_intersect, window-* residue, case_expr,
-# split_explode, array_agg_sorted, null_funcs, between_like_in,
-# conditional_agg, late_shipment_orders, nation_trade_volume,
-# sql_in_subquery, sql_exists_subquery, string/date/math residue) into
-# the sample slots, plus any new r7/r8 queries, plus a rotating sample
-# of the r4-r6 windows.
+# re-confirmed.  The r8 window MUST include the five r7-wave-3
+# additions that landed after this window was frozen
+# (event_state_communities, map_struct_funcs, doc_source_token_drift,
+# doc_minhash_recall_eval, embedding_ann_recall_eval — all
+# replica-green at sf0.001+sf0.01), then rotate the remaining early
+# slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,
+# window_lag_lead, set_union_distinct, set_except, set_intersect,
+# window-* residue, case_expr, split_explode, array_agg_sorted,
+# null_funcs, between_like_in, conditional_agg, late_shipment_orders,
+# nation_trade_volume, sql_in_subquery, sql_exists_subquery,
+# string/date/math residue) into the sample slots, plus a rotating
+# sample of the r4-r6 windows.
 _WINDOW = (
     # (a) oracle-paired, no driver hash signal yet (12)
     "doc_bpe_vocab",

@@ -113,6 +113,16 @@ HEADLINE = [
     # shapes whose cost should be tracked from the round they landed
     ("doc_containment_pairs", llmdata.QUERIES),
     ("doc_tfidf_knn", search.QUERIES),
+    # r7 wave 3: LPA community detection over the event-state graph,
+    # the map/struct HOF surface, the per-source token-distribution
+    # drift monitor, and the IVF recall@10 eval.  (doc_minhash_recall_eval
+    # is NOT benched for the same reason as doc_dedup_minhash_portable:
+    # it is the portable md5 oracle-replay shape, and its cost is the
+    # md5-vs-xxhash64 ratio by construction.)
+    ("event_state_communities", events.QUERIES),
+    ("map_struct_funcs", advanced.QUERIES),
+    ("doc_source_token_drift", llmdata.QUERIES),
+    ("embedding_ann_recall_eval", llmdata.QUERIES),
 ]
 
 

@@ -2423,3 +2423,97 @@ FROM per
 
 QUERIES["embedding_ann_recall_eval"] = embedding_ann_recall_eval
 ORACLE["embedding_ann_recall_eval"] = _ANN_RECALL_SQL
+
+
+def doc_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (new r7): hash-split on
+    the near-dup CLUSTER representative instead of the document id, so
+    a document and its near-duplicates can never straddle train and
+    eval — the split-time complement of decontamination (a near-copy
+    in test + original in train is exactly the leak benchmark decontam
+    guards against, but introduced by the splitter itself).  Clusters
+    come from the same MinHash-LSH → exact-verify → connected-components
+    machinery as ``doc_dup_clusters`` (min-id representative);
+    singletons are their own cluster.  The split rule is the stable
+    md5 first-hex-digit 12/2/2 of ``curation.assign_splits`` applied
+    to the cluster id.
+
+    Scale shape: the pair/CC machinery is the banded near-dup path
+    (never quadratic); the only additions are one cluster-size
+    aggregation and one join back on ``cluster_id`` — both shuffles on
+    a key whose cardinality is ~the corpus (clusters are tiny), plus
+    the row-local hash split.  Output is per-document, suitable as the
+    split column of a materialized corpus table."""
+    from ..operators.curation import assign_splits
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(
+        docs, threshold=0.5, num_hashes=32, bands=16
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    csize = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assign_splits(
+        assigned.join(csize, "cluster_id"), id_col="cluster_id"
+    ).select("doc_id", "cluster_id", "cluster_size", "split")
+
+
+_LEAKAGE_SPLITS_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+), nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT id, len(sh) AS n_sh FROM nonempty),
+inv AS (SELECT id, unnest(sh) AS shingle FROM nonempty),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM good
+          UNION SELECT id_b, id_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM assigned
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN
+                 ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM sized
+"""
+
+QUERIES["doc_leakage_safe_splits"] = doc_leakage_safe_splits
+ORACLE["doc_leakage_safe_splits"] = _LEAKAGE_SPLITS_SQL

@@ -1162,3 +1162,44 @@ def test_source_token_drift_planted_shift(spark):
     assert got["typical"].js_divergence < 0.15
     assert got["typical"].n_tokens == 200 * 6
     assert got["shifted"].n_tokens == 60 * 5
+
+
+def test_leakage_safe_splits_neardups_never_straddle(spark):
+    """doc_leakage_safe_splits semantics on a planted corpus: docs 4
+    and 5 are near-identical; hashed INDIVIDUALLY their md5 digits land
+    in train and test respectively (the leak), but the cluster-keyed
+    split puts both where the min-id representative (4 -> train)
+    lands.  The distinct doc 3 keeps its own bucket (test)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.curation import (
+        assign_splits,
+    )
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        connected_components,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [
+            (3, "completely different content about spark shuffles and joins"),
+            (4, base),
+            (5, base + " tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5, num_hashes=32, bands=16)
+    labels = connected_components(pairs, "id_a", "id_b")
+    assigned = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in assign_splits(assigned, id_col="cluster_id").collect()
+    }
+    assert got[4] == (4, "train")
+    assert got[5] == (4, "train")  # would be "test" if hashed on doc_id
+    assert got[3] == (3, "test")
