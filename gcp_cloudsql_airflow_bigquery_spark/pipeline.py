@@ -672,6 +672,7 @@ def curate_corpus(
     target: DataFrame | None = None,
     select_k: int | None = None,
     pack_budget: int | None = None,
+    leakage_safe_splits: bool = False,
 ) -> dict[str, int]:
     """The LLM training-corpus pipeline, EXECUTED (the counterpart of
     the ``corpus_funnel`` audit query, which only reports): quality
@@ -684,7 +685,14 @@ def curate_corpus(
     this function only sequences them, so the composition inherits
     each stage's scale shape (no corpus self-joins, broadcast
     benchmark/model sides, hash-local dedup shuffle).  Returns the
-    per-stage surviving-doc counts as the run's audit record."""
+    per-stage surviving-doc counts as the run's audit record.
+
+    With ``leakage_safe_splits`` the split hash is keyed on the
+    near-dup CLUSTER representative (MinHash-LSH → exact verify →
+    connected components, the ``doc_leakage_safe_splits`` semantics)
+    instead of the document id, so surviving near-duplicates can never
+    straddle train and eval — the split-time complement of the
+    decontamination stage."""
     from pyspark.sql import Window
 
     from .operators import curation as cur
@@ -721,7 +729,28 @@ def curate_corpus(
         )
         audit["dsir_selected"] = deduped.count()
 
-    curated = cur.assign_splits(deduped)
+    if leakage_safe_splits:
+        from .operators.dedup import minhash_near_dups
+        from .operators.graph import connected_components
+
+        pairs = minhash_near_dups(
+            deduped, threshold=0.5, num_hashes=32, bands=16
+        )
+        labels = connected_components(pairs, "id_a", "id_b")
+        keyed = (
+            deduped.join(
+                labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+            )
+            .withColumn(
+                "_split_key", F.coalesce("label", F.col("doc_id"))
+            )
+            .drop("label")
+        )
+        curated = cur.assign_splits(keyed, id_col="_split_key").drop(
+            "_split_key"
+        )
+    else:
+        curated = cur.assign_splits(deduped)
     if pack_budget:
         curated = cur.pack_bins(curated, budget=pack_budget)
     curated.write.mode("overwrite").partitionBy("split").parquet(out_path)

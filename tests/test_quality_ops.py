@@ -639,3 +639,34 @@ def test_label_propagation_two_planted_communities(spark):
         for r in label_propagation(edges, weight="n", rounds=5).collect()
     }
     assert got == again
+
+
+def test_curate_corpus_leakage_safe_splits(spark, tmp_path):
+    """curate_corpus(leakage_safe_splits=True): surviving near-dup
+    docs land in the SAME split even when their individual id hashes
+    bucket differently (doc 4 -> train, doc 5 -> test under the plain
+    rule), and the audit/partition contract is unchanged."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.pipeline import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps near the old barn while the fox waits for the night "
+    ) * 3
+    rows = [
+        (3, "a completely different story about rivers and the mountains "
+            "that the travellers crossed on the way to the sea " * 3),
+        (4, base),
+        (5, base + " one extra tail sentence to keep the pair inexact"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "curated_ls")
+    audit = curate_corpus(spark, docs, out, leakage_safe_splits=True)
+    curated = spark.read.parquet(out)
+    got = {r.doc_id: r.split for r in curated.collect()}
+    # near-dup exact-survivors: exact dedup keeps both 4 and 5 (texts
+    # differ), and the cluster-keyed split puts them together
+    assert audit["written"] == 3
+    assert got[4] == got[5] == "train"  # min-id rep 4 hashes to train
+    assert got[3] == "test"             # singleton keeps its own bucket
