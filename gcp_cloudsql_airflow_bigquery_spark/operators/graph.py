@@ -408,3 +408,56 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    *,
+    k: int = 3,
+    rounds: int = 6,
+    broadcast_alive: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peeling (the crawl-curation centrality
+    filter: keep only nodes embedded in a dense mutual neighborhood —
+    host-graph k-cores are a published web-corpus quality signal):
+    each round drops every node whose degree in the surviving subgraph
+    is below ``k``, then recomputes degrees.  A FIXED number of
+    synchronous rounds (converged when no round removes anything)
+    keeps the result a pure function of the graph, replayable by the
+    DuckDB oracle as unrolled CTEs — same determinism contract as
+    :func:`label_propagation` and :func:`pagerank`.
+
+    Returns ``(node, core_degree)`` — the nodes with at least one
+    surviving edge after ``rounds`` peels, with their degree inside
+    the surviving subgraph.
+
+    Scale shape: the symmetrized edge list is cut once; each round is
+    ONE degree aggregation plus two semi-joins against the alive set
+    (broadcast for bounded node sets, shuffle otherwise) — never
+    quadratic, and the edge frame only shrinks."""
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    cur = (
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = cur.groupBy("u").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("u").localCheckpoint(
+            eager=True
+        )
+        a_u = F.broadcast(alive) if broadcast_alive else alive
+        a_v = alive.withColumnRenamed("u", "v")
+        if broadcast_alive:
+            a_v = F.broadcast(a_v)
+        cur = (
+            cur.join(a_u, "u", "left_semi")
+            .join(a_v, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy("u").agg(F.count("*").alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )

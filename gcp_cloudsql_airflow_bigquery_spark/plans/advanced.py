@@ -1733,3 +1733,74 @@ FROM kv GROUP BY user_id
 
 QUERIES["map_struct_funcs"] = map_struct_funcs
 ORACLE["map_struct_funcs"] = _MAP_STRUCT_SQL
+
+
+def part_cooccurrence_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #4 (new r7): 3-core of the repeat co-purchase
+    graph — parts ordered together in at least TWO distinct orders
+    form an edge; 6 peeling rounds of ``operators/graph.k_core`` strip
+    everything not embedded in a dense mutual-bundling neighborhood
+    (the host-graph k-core quality filter of web-corpus curation,
+    applied to the co-order graph).  Deterministic fixed-round peeling
+    with converged fixpoint ⇒ the DuckDB oracle unrolls the rounds as
+    chained CTEs, like the PageRank/LPA replays."""
+    from ..operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("a", "b")
+    )
+    return (
+        k_core(edges, k=3, rounds=6)
+        .select(F.col("node").alias("part"), "core_degree")
+        .orderBy("part")
+    )
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB replay of ``graph.k_core`` over a prior CTE
+    ``e0(u, v)`` (symmetrized, deduped): per round, degrees →
+    alive(deg >= k) → edge restriction to alive×alive."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM e{i - 1} GROUP BY u
+)""")
+        steps.append(f"""a{i} AS MATERIALIZED (
+  SELECT u FROM d{i} WHERE deg >= {k}
+)""")
+        steps.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN a{i} x ON e.u = x.u
+  JOIN a{i} y ON e.v = y.u
+)""")
+    return ",\n".join(steps)
+
+
+_KCORE_SQL = f"""
+WITH he AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e0 AS (
+  SELECT u, v FROM he
+  UNION
+  SELECT v AS u, u AS v FROM he
+),
+{_kcore_unrolled_sql(3, 6)}
+SELECT u AS part, COUNT(*) AS core_degree
+FROM e6 GROUP BY u ORDER BY part
+"""
+
+QUERIES["part_cooccurrence_kcore"] = part_cooccurrence_kcore
+ORACLE["part_cooccurrence_kcore"] = _KCORE_SQL

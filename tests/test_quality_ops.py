@@ -670,3 +670,19 @@ def test_curate_corpus_leakage_safe_splits(spark, tmp_path):
     assert audit["written"] == 3
     assert got[4] == got[5] == "train"  # min-id rep 4 hashes to train
     assert got[3] == "test"             # singleton keeps its own bucket
+
+
+def test_k_core_clique_survives_chain_peels(spark):
+    """k_core: a 4-clique (every degree 3) survives 3-core peeling;
+    a pendant chain hanging off it peels away round by round; the
+    surviving degrees are the within-core degrees."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import k_core
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, ["a", "b"])
+    got = {r.node: r.core_degree for r in k_core(edges, k=3, rounds=6).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the chain still peels (endpoints have degree 1), clique stays
+    got2 = {r.node: r.core_degree for r in k_core(edges, k=2, rounds=6).collect()}
+    assert set(got2) == {1, 2, 3, 4}
