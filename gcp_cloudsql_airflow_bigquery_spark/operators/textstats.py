@@ -658,26 +658,34 @@ def source_token_drift(
     oracle replays it exactly), plus the source's vocabulary coverage
     (in-vocab token share).
 
-    Scale shape: one explode + map-side-combined term-count shuffle;
-    the top-K vocabulary is ``ORDER BY count DESC LIMIT K`` — Spark
-    plans this as TakeOrderedAndProject (per-partition partial top-K,
-    O(K) heap per partition, no global sort of the open vocabulary).
-    The K-row vocab and the bounded source list broadcast; the
-    source×vocab grid is K·|sources| rows, model-sized.  Nothing
-    leaves the JVM."""
+    Scale shape: the corpus is scanned ONCE — explode into one
+    map-side-combined (source, term) count shuffle — and every other
+    frame (global counts, top-K vocab, per-source totals, in-vocab
+    counts) derives from that compact counts frame, which is
+    |sources|·|vocab(source)| rows, far smaller than the token stream
+    (lineage-cut so its 3 consumers do not re-tokenize).  The top-K
+    vocabulary is ``ORDER BY count DESC LIMIT K`` — planned as
+    TakeOrderedAndProject (per-partition partial top-K, O(K) heap per
+    partition, no global sort of the open vocabulary).  The K-row
+    vocab and the bounded source list broadcast; the source×vocab grid
+    is K·|sources| rows, model-sized.  Nothing leaves the JVM."""
     t = F.trim(F.lower(F.col(text_col)))
-    tok = docs.filter(t != "").select(
-        F.col(source_col).alias("source"),
-        F.explode(F.split(t, r"\s+")).alias("term"),
+    st = (
+        docs.filter(t != "")
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(t, r"\s+")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    g = tok.groupBy("term").agg(F.count("*").alias("cg"))
+    g = st.groupBy("term").agg(F.sum("c").alias("cg"))
     vocab = g.orderBy(F.desc("cg"), "term").limit(vocab_size)
     tg = vocab.agg(F.sum("cg").alias("tg"))
-    src_all = tok.groupBy("source").agg(F.count("*").alias("n_tokens"))
-    sc = (
-        tok.join(F.broadcast(vocab.select("term")), "term")
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("cs"))
+    src_all = st.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    sc = st.join(F.broadcast(vocab.select("term")), "term").select(
+        "source", "term", F.col("c").alias("cs")
     )
     ts = sc.groupBy("source").agg(F.sum("cs").alias("ts"))
     grid = (
