@@ -287,7 +287,16 @@ def ivf_build(
     literal) centroids and re-averages via ``posexplode`` + one
     aggregation — all distributed; only the k×d codebook itself ever
     reaches the driver (it IS the model, and is what gets broadcast
-    back out, exactly like any trained-model artifact)."""
+    back out, exactly like any trained-model artifact).
+
+    Measured non-optimization (r7): eagerly localCheckpoint-ing the
+    normalized frame before the loop — the Spark-ML-KMeans "cache the
+    training input" shape — was tried and REVERTED: two full bench
+    runs showed the whole IVF family 20-55% SLOWER at sf0.1 (the
+    64-dim parquet re-scan + normalize is cheaper than the checkpoint
+    materialization + small-partition reread).  On a real cluster
+    with an expensive corpus scan, persist the INPUT upstream (or use
+    ``materialize_ivf_index``) rather than checkpointing here."""
     v = embeddings.select(F.col(id_col).alias("id"), _normalize(_as_double(vec_col)).alias("vec"))
     init = v.orderBy("id").limit(n_centroids).collect()
     centroids = [list(r.vec) for r in init]
