@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -436,3 +436,77 @@ FROM m WHERE rn = 1 OR rn IS NULL
 
 QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
 ORACLE["events_attribution_last_touch"] = _ATTRIBUTION_SQL
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (new r7) — the fractional-credit
+    complement of ``events_attribution_last_touch``: every click in
+    the 24-hour lookback before a purchase shares the purchase revenue
+    equally.  Per purchase: the touch count, the per-touch credit, and
+    the lookback's first/last click timestamps.
+
+    Scale shape: ZERO joins.  The touch count and first/last click
+    timestamps are RANGE-frame window aggregates over the microsecond
+    timestamp (frame = [ts-24h, ts-1µs]) on the per-user event
+    sequence — one sort shuffle on ``user_id`` for the whole query,
+    versus the purchases×clicks time-band join the naive formulation
+    pays (per-user frames are bounded by per-user event counts, the
+    same skew envelope as every sessionization query here)."""
+    ev = _events_us(spark, sf_dir)
+    is_click = (F.col("event_type") == "click").cast("long")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    n_touches = F.coalesce(F.sum(is_click).over(w), F.lit(0))
+    return (
+        ev.withColumn("n_touches", n_touches)
+        .withColumn("first_click_us", F.min(click_ts).over(w))
+        .withColumn("last_click_us", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.round("value", 6).alias("revenue"),
+            "n_touches",
+            F.when(
+                F.col("n_touches") > 0,
+                F.round(F.col("value") / F.col("n_touches"), 6),
+            ).alias("credit_each"),
+            "first_click_us",
+            "last_click_us",
+        )
+    )
+
+
+_ATTRIBUTION_LINEAR_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+framed AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    OVER w, 0) AS n_touches,
+         MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER w
+           AS first_click_us,
+         MAX(CASE WHEN event_type = 'click' THEN ts_us END) OVER w
+           AS last_click_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us,
+       ROUND(value, 6) AS revenue,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CASE WHEN n_touches > 0 THEN ROUND(value / n_touches, 6) END
+         AS credit_each,
+       first_click_us, last_click_us
+FROM framed WHERE event_type = 'purchase'
+"""
+
+QUERIES["events_attribution_linear"] = events_attribution_linear
+ORACLE["events_attribution_linear"] = _ATTRIBUTION_LINEAR_SQL
