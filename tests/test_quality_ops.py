@@ -686,3 +686,97 @@ def test_k_core_clique_survives_chain_peels(spark):
     # k=2: the chain still peels (endpoints have degree 1), clique stays
     got2 = {r.node: r.core_degree for r in k_core(edges, k=2, rounds=6).collect()}
     assert set(got2) == {1, 2, 3, 4}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _edge_list(draw):
+    n = draw(st.integers(4, 10))
+    edges = draw(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    return [(a, b) for a, b in edges if a != b][: n * 2] or [(0, 1)]
+
+
+def _py_kcore(edges, k, rounds):
+    cur = set()
+    for a, b in edges:
+        cur.add((a, b))
+        cur.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for u, _v in cur:
+            deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= k}
+        cur = {(u, v) for u, v in cur if u in alive and v in alive}
+    out = {}
+    for u, _v in cur:
+        out[u] = out.get(u, 0) + 1
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_edge_list(), st.integers(1, 3))
+def test_k_core_matches_python_reference(spark, edges, k):
+    """Property: fixed-round k_core ≡ the pure-Python peeling
+    reference on arbitrary small multigraphs (dedup + symmetrize +
+    peel are engine-independent set arithmetic)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.core_degree for r in k_core(df, k=k, rounds=4).collect()}
+    assert got == _py_kcore(edges, k, 4)
+
+
+def _py_lpa(edges_w, rounds):
+    w = {}
+    for a, b, n in edges_w:
+        if a == b:
+            continue
+        w[(a, b)] = w.get((a, b), 0) + n
+        w[(b, a)] = w.get((b, a), 0) + n
+    nodes = {u for u, _v in w}
+    lab = {u: u for u in nodes}
+    for _ in range(rounds):
+        votes = {}
+        for (u, v), ww in w.items():
+            key = (v, lab[u])
+            votes[key] = votes.get(key, 0) + ww
+        new = {}
+        for v in nodes:
+            cand = [(s, l) for (vv, l), s in votes.items() if vv == v]
+            new[v] = sorted(cand, key=lambda x: (-x[0], x[1]))[0][1]
+        lab = new
+    return lab
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 5)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_label_propagation_matches_python_reference(spark, edges_w):
+    """Property: synchronous LPA with smallest-label tie-breaks ≡ the
+    pure-Python reference on arbitrary small weighted multigraphs."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges_w = [(a, b, n) for a, b, n in edges_w if a != b]
+    if not edges_w:
+        edges_w = [(0, 1, 1)]
+    df = spark.createDataFrame(edges_w, ["a", "b", "n"])
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, weight="n", rounds=3).collect()
+    }
+    assert got == _py_lpa(edges_w, 3)
