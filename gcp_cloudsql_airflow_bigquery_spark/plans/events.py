@@ -961,3 +961,92 @@ SELECT node AS state, label AS community FROM l5 ORDER BY state
 
 QUERIES["event_state_communities"] = event_state_communities
 ORACLE["event_state_communities"] = _STATE_COMMUNITIES_SQL
+
+
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection (new r7): lag-1 and lag-24 autocorrelation
+    of each event type's hourly arrival counts — the periodicity
+    screen that decides whether a daily seasonal baseline is worth
+    fitting before anomaly detection (`events_anomaly_zscore` assumes
+    none).  The hour axis is densified over the observed [min, max]
+    span (a missing hour IS a zero observation — skipping gaps would
+    misalign the row-based lag), so the LAG(24) window is exactly 24
+    hours.
+
+    Scale shape: one map-side-combined (type, hour) count shuffle over
+    the raw events; everything after runs on the dense grid, whose
+    size is CALENDAR-bounded (hours-in-span × |types|), not
+    data-bounded — at 100 TB the grid is the same few-thousand rows
+    per type.  corr is the single-pass co-moment aggregate, ROUND(6)
+    cross-engine stable (the agg_corr convention)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    cnt = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = grid.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 24).over(w).alias("n24"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.corr("n", "n1"), 6).alias("autocorr_1h"),
+        F.round(F.corr("n", "n24"), 6).alias("autocorr_24h"),
+    )
+
+
+_HOURLY_AUTOCORR_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, hrs.h, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hrs.h
+),
+lagged AS (
+  SELECT event_type, n,
+         LAG(n, 1) OVER w AS n1,
+         LAG(n, 24) OVER w AS n24
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       ROUND(CORR(n, n1), 6) AS autocorr_1h,
+       ROUND(CORR(n, n24), 6) AS autocorr_24h
+FROM lagged GROUP BY 1
+"""
+
+QUERIES["events_hourly_autocorr"] = events_hourly_autocorr
+ORACLE["events_hourly_autocorr"] = _HOURLY_AUTOCORR_SQL
