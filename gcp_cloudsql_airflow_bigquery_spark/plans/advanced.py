@@ -1804,3 +1804,79 @@ FROM e6 GROUP BY u ORDER BY part
 
 QUERIES["part_cooccurrence_kcore"] = part_cooccurrence_kcore
 ORACLE["part_cooccurrence_kcore"] = _KCORE_SQL
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (new r7): for part pairs
+    co-occurring in at least 2 orders, support / directional
+    confidence / lift — the classic a-priori first level, and the
+    probabilistic refinement of ``part_affinity_pmi`` (PMI ≈ log
+    lift).  Top-50 by lift (deterministic pair tie-break).
+
+    Scale shape: the pair frame is the per-order self-join (order
+    size is bounded — TPC-H ≤ 7 items — so the explode is linear in
+    lineitem), item/order totals are map-side-combined aggregates, and
+    the totals attach via broadcast (item counts are |parts|-sized,
+    the 1-row order count rides along).  Top-50 is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n_p")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs.join(F.broadcast(item.withColumnRenamed("p", "a")), "a")
+        .withColumnRenamed("n_p", "n_a")
+        .join(F.broadcast(item.withColumnRenamed("p", "b")), "b")
+        .withColumnRenamed("n_p", "n_b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                (F.col("n_ab") * F.lit(n_orders))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "a", "b").limit(50)
+
+
+_ASSOC_RULES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+item AS (SELECT l_partkey AS p, COUNT(*) AS n_p FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT a, b, n_ab,
+       ROUND(n_ab * 1.0 / (SELECT n FROM n_orders), 6) AS support,
+       ROUND(n_ab * 1.0 / ia.n_p, 6) AS conf_a_to_b,
+       ROUND(n_ab * 1.0 / ib.n_p, 6) AS conf_b_to_a,
+       ROUND(n_ab * 1.0 * (SELECT n FROM n_orders) / (ia.n_p * ib.n_p), 6)
+         AS lift
+FROM pairs
+JOIN item ia ON ia.p = a
+JOIN item ib ON ib.p = b
+ORDER BY lift DESC, a, b LIMIT 50
+"""
+
+QUERIES["part_association_rules"] = part_association_rules
+ORACLE["part_association_rules"] = _ASSOC_RULES_SQL

@@ -1050,3 +1050,91 @@ FROM lagged GROUP BY 1
 
 QUERIES["events_hourly_autocorr"] = events_hourly_autocorr
 ORACLE["events_hourly_autocorr"] = _HOURLY_AUTOCORR_SQL
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection (new r7) — the follow-through on
+    ``events_hourly_autocorr``'s lag-24 finding: each event type's
+    hourly arrival count is scored against its HOUR-OF-DAY baseline
+    (mean/stddev over the densified span, zeros included), and hours
+    beyond 3σ are flagged.  Complements ``events_anomaly_zscore``
+    (rolling window, no seasonal model) with the fixed diurnal model.
+
+    Scale shape: identical to the autocorr query — one (type, hour)
+    count shuffle over raw events, then the calendar-bounded dense
+    grid; the 24-row-per-type baseline is a broadcast join."""
+    e = _events(spark, sf_dir)
+    cnt = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(hours)
+        .join(cnt, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("hod", F.hour("h"))
+    )
+    base = grid.groupBy("event_type", "hod").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    # threshold on the ROUNDED z-score: |n - mu| vs 3*sigma can tie
+    # EXACTLY at the boundary on this discrete data, where a last-ulp
+    # difference between the engines' stddev accumulations flips the
+    # comparison — rounding to 4 decimals first absorbs that
+    return (
+        grid.join(F.broadcast(base), ["event_type", "hod"])
+        .withColumn("zscore", z)
+        .filter((F.col("sigma") > 0) & (F.abs(F.col("zscore")) > 3))
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.round("mu", 6).alias("baseline_mean"),
+            "zscore",
+        )
+    )
+
+
+_SEASONAL_ANOMALY_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, hrs.h, COALESCE(c.n, 0) AS n,
+         EXTRACT(hour FROM hrs.h) AS hod
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hrs.h
+),
+base AS (
+  SELECT event_type, hod, AVG(n) AS mu, STDDEV_POP(n) AS sigma
+  FROM grid GROUP BY 1, 2
+)
+SELECT event_type, h, n, baseline_mean, zscore FROM (
+  SELECT g.event_type, g.h, g.n,
+         ROUND(b.mu, 6) AS baseline_mean,
+         ROUND((g.n - b.mu) / b.sigma, 4) AS zscore,
+         b.sigma
+  FROM grid g JOIN base b ON g.event_type = b.event_type AND g.hod = b.hod
+) WHERE sigma > 0 AND ABS(zscore) > 3
+"""
+
+QUERIES["events_seasonal_anomaly"] = events_seasonal_anomaly
+ORACLE["events_seasonal_anomaly"] = _SEASONAL_ANOMALY_SQL
