@@ -123,6 +123,15 @@ HEADLINE = [
     ("map_struct_funcs", advanced.QUERIES),
     ("doc_source_token_drift", llmdata.QUERIES),
     ("embedding_ann_recall_eval", llmdata.QUERIES),
+    # r7 wave 4: k-core peeling, cluster-keyed leakage-safe splits,
+    # the zero-join RANGE-frame attribution, the two seasonal-grid
+    # queries, and association rules
+    ("part_cooccurrence_kcore", advanced.QUERIES),
+    ("doc_leakage_safe_splits", llmdata.QUERIES),
+    ("events_attribution_linear", temporal.QUERIES),
+    ("events_hourly_autocorr", events.QUERIES),
+    ("events_seasonal_anomaly", events.QUERIES),
+    ("part_association_rules", advanced.QUERIES),
 ]
 
 
