@@ -1880,3 +1880,74 @@ ORDER BY lift DESC, a, b LIMIT 50
 
 QUERIES["part_association_rules"] = part_association_rules
 ORACLE["part_association_rules"] = _ASSOC_RULES_SQL
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (new r7): per-nation weekly
+    revenue trend via ``regr_slope`` / ``regr_intercept`` /
+    ``regr_r2`` / ``regr_count`` over (week index, weekly revenue) —
+    the built-in OLS family the window/statistics surface had not yet
+    exercised.  Weekly revenue is decimal-summed before the double
+    cast (the float-parity convention), the week index is an exact
+    integer day-diff, and the coefficient outputs are rounded per the
+    agg_corr covariance convention.
+
+    Scale shape: fact⋈dims with broadcast dims, one (nation, week)
+    partial aggregation, then the regression runs over the tiny
+    nation×week frame — model-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w0 = wk.agg(F.min("wk").alias("w0"))
+    trend = wk.crossJoin(F.broadcast(w0)).withColumn(
+        "x", (F.datediff("wk", "w0") / 7).cast("long")
+    )
+    return trend.groupBy("n_name").agg(
+        F.regr_count("rev", "x").alias("n_weeks"),
+        F.round(F.regr_slope("rev", "x"), 4).alias("slope"),
+        F.round(F.regr_intercept("rev", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("rev", "x"), 6).alias("r2"),
+    )
+
+
+_REVENUE_TREND_SQL = """
+WITH wk AS (
+  SELECT n_name, CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+w0 AS (SELECT MIN(wk) AS w0 FROM wk),
+trend AS (
+  SELECT n_name, rev,
+         CAST(datediff('day', (SELECT w0 FROM w0), wk) / 7 AS BIGINT) AS x
+  FROM wk
+)
+SELECT n_name,
+       REGR_COUNT(rev, x) AS n_weeks,
+       ROUND(REGR_SLOPE(rev, x), 4) AS slope,
+       ROUND(REGR_INTERCEPT(rev, x), 4) AS intercept,
+       ROUND(REGR_R2(rev, x), 6) AS r2
+FROM trend GROUP BY 1
+"""
+
+QUERIES["nation_revenue_trend"] = nation_revenue_trend
+ORACLE["nation_revenue_trend"] = _REVENUE_TREND_SQL

@@ -1138,3 +1138,119 @@ SELECT event_type, h, n, baseline_mean, zscore FROM (
 
 QUERIES["events_seasonal_anomaly"] = events_seasonal_anomaly
 ORACLE["events_seasonal_anomaly"] = _SEASONAL_ANOMALY_SQL
+
+
+def events_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM value segmentation (new r7): per purchasing user, Recency
+    (days since last purchase, vs the corpus max timestamp), Frequency
+    (purchase count) and Monetary (summed purchase value, rounded
+    before any ranking so cross-engine FP sum-order drift cannot move
+    a user across a tier boundary), each cut into terciles at exact
+    33rd/66th percentiles, composed into the familiar ``R{r}F{f}M{m}``
+    segment label.
+
+    Scale shape: one (user) aggregation over purchases; the six
+    tercile cut points are ONE 1-row percentile aggregate broadcast
+    back as a cross join — never a global ntile sort (the same
+    percentile-cuts-not-ntile rule as ``unigram_logprob``'s buckets).
+    Tier comparisons use >= on the interpolated cuts — both engines
+    compute identical doubles from identical rounded inputs."""
+    e = _events(spark, sf_dir)
+    anchor = e.agg(F.max("ts").alias("t_max"))
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("t_last"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            (
+                (
+                    F.unix_micros(F.col("t_max").cast("timestamp"))
+                    - F.unix_micros(F.col("t_last").cast("timestamp"))
+                )
+                / F.lit(86_400_000_000.0)
+            ),
+        )
+        .withColumn("recency_days", F.round("recency_days", 6))
+        .drop("t_last", "t_max")
+    )
+    cuts = per_user.agg(
+        F.percentile("recency_days", 1.0 / 3).alias("r1"),
+        F.percentile("recency_days", 2.0 / 3).alias("r2"),
+        F.percentile("frequency", 1.0 / 3).alias("f1"),
+        F.percentile("frequency", 2.0 / 3).alias("f2"),
+        F.percentile("monetary", 1.0 / 3).alias("m1"),
+        F.percentile("monetary", 2.0 / 3).alias("m2"),
+    )
+
+    def tier(col: str, lo: str, hi: str) -> F.Column:
+        return (
+            F.when(F.col(col) >= F.col(hi), F.lit(2))
+            .when(F.col(col) >= F.col(lo), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    out = per_user.crossJoin(F.broadcast(cuts))
+    # low recency = GOOD: invert so tier 2 is the most recent third
+    r_tier = F.lit(2) - tier("recency_days", "r1", "r2")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_tier.alias("r_tier"),
+        tier("frequency", "f1", "f2").alias("f_tier"),
+        tier("monetary", "m1", "m2").alias("m_tier"),
+        F.concat(
+            F.lit("R"),
+            r_tier.cast("string"),
+            F.lit("F"),
+            tier("frequency", "f1", "f2").cast("string"),
+            F.lit("M"),
+            tier("monetary", "m1", "m2").cast("string"),
+        ).alias("segment"),
+    )
+
+
+_RFM_SQL = """
+WITH anchor AS (SELECT MAX(ts) AS t_max FROM events),
+per_user AS (
+  SELECT user_id,
+         ROUND((epoch_us((SELECT t_max FROM anchor)) - epoch_us(MAX(ts)))
+               / 86400000000.0, 6) AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(value), 6) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+cuts AS (
+  SELECT QUANTILE_CONT(recency_days, 1.0/3) AS r1,
+         QUANTILE_CONT(recency_days, 2.0/3) AS r2,
+         QUANTILE_CONT(frequency, 1.0/3) AS f1,
+         QUANTILE_CONT(frequency, 2.0/3) AS f2,
+         QUANTILE_CONT(monetary, 1.0/3) AS m1,
+         QUANTILE_CONT(monetary, 2.0/3) AS m2
+  FROM per_user
+),
+tiers AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         2 - (CASE WHEN recency_days >= r2 THEN 2
+                   WHEN recency_days >= r1 THEN 1 ELSE 0 END) AS r_tier,
+         CASE WHEN frequency >= f2 THEN 2
+              WHEN frequency >= f1 THEN 1 ELSE 0 END AS f_tier,
+         CASE WHEN monetary >= m2 THEN 2
+              WHEN monetary >= m1 THEN 1 ELSE 0 END AS m_tier
+  FROM per_user CROSS JOIN cuts
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_tier, f_tier, m_tier,
+       'R' || r_tier || 'F' || f_tier || 'M' || m_tier AS segment
+FROM tiers
+"""
+
+QUERIES["events_user_rfm_segments"] = events_user_rfm_segments
+ORACLE["events_user_rfm_segments"] = _RFM_SQL
