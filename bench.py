@@ -132,6 +132,8 @@ HEADLINE = [
     ("events_hourly_autocorr", events.QUERIES),
     ("events_seasonal_anomaly", events.QUERIES),
     ("part_association_rules", advanced.QUERIES),
+    ("events_user_rfm_segments", events.QUERIES),
+    ("nation_revenue_trend", advanced.QUERIES),
 ]
 
 
