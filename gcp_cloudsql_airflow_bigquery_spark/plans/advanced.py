@@ -1820,7 +1820,9 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row order count rides along).  Top-50 is
     TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )  # 1-row frame, rides along broadcast — no driver-side action
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count("*").alias("n_p")
     )
@@ -1838,15 +1840,16 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_p", "n_a")
         .join(F.broadcast(item.withColumnRenamed("p", "b")), "b")
         .withColumnRenamed("n_p", "n_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "a",
             "b",
             "n_ab",
-            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
             F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
             F.round(
-                (F.col("n_ab") * F.lit(n_orders))
+                (F.col("n_ab") * F.col("n_orders"))
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),
