@@ -88,14 +88,15 @@ _MODULES = (
 #
 # ROUND 8 PLAN: after this window, every oracle-paired query has
 # driver hash signal and ~28 of the 49 r1-r3-only slots are
-# re-confirmed.  The r8 window MUST include the thirteen r7-wave-3
+# re-confirmed.  The r8 window MUST include the fifteen r7-wave-3
 # additions that landed after this window was frozen
 # (event_state_communities, map_struct_funcs, doc_source_token_drift,
 # doc_minhash_recall_eval, embedding_ann_recall_eval,
 # doc_leakage_safe_splits, part_cooccurrence_kcore,
 # events_attribution_linear, events_hourly_autocorr,
 # events_seasonal_anomaly, part_association_rules,
-# events_user_rfm_segments, nation_revenue_trend — all
+# events_user_rfm_segments, nation_revenue_trend,
+# events_ab_significance, orders_open_backlog — all
 # replica-green at sf0.001+sf0.01),
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

@@ -1954,3 +1954,76 @@ FROM trend GROUP BY 1
 
 QUERIES["nation_revenue_trend"] = nation_revenue_trend
 ORACLE["nation_revenue_trend"] = _REVENUE_TREND_SQL
+
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time (new r7) via the DIFFERENCE-ARRAY
+    pattern: an order is active from its order week through the week
+    its last lineitem ships (the fixture's lineitem carries
+    ``l_shipdate`` only); instead of joining every week
+    against every active interval (the O(weeks × orders) interval-stab
+    join), each order emits +1 at its open week and −1 after its close
+    week, the deltas aggregate per week, and one cumulative sum yields
+    the backlog — THE scale-correct way to count overlapping
+    intervals.
+
+    Scale shape: one (order) close-date aggregation, a 2-row-per-order
+    delta explode, one per-week delta aggregation, then the cumulative
+    window runs over the calendar-bounded week frame (a single
+    ~400-row sorted partition — bounded by the calendar, not the
+    data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.date_trunc("week", "o_orderdate").cast("date").alias("open_wk"),
+            F.date_add(
+                F.date_trunc("week", "closed").cast("date"), 7
+            ).alias("close_wk"),
+        )
+    )
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("open_wk").alias("wk"), F.lit(1).alias("d")),
+                F.struct(F.col("close_wk").alias("wk"), F.lit(-1).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.wk", "e.d")
+    weekly = deltas.groupBy("wk").agg(F.sum("d").alias("net_delta"))
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    return weekly.select(
+        "wk",
+        F.col("net_delta").cast("long").alias("net_delta"),
+        F.sum("net_delta").over(w).cast("long").alias("open_backlog"),
+    )
+
+
+_OPEN_BACKLOG_SQL = """
+WITH spans AS (
+  SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS open_wk,
+         CAST(date_trunc('week', c.closed) AS DATE) + 7 AS close_wk
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS closed
+        FROM lineitem GROUP BY 1) c
+  JOIN orders o ON o.o_orderkey = c.l_orderkey
+),
+deltas AS (
+  SELECT open_wk AS wk, 1 AS d FROM spans
+  UNION ALL
+  SELECT close_wk AS wk, -1 AS d FROM spans
+),
+weekly AS (
+  SELECT wk, CAST(SUM(d) AS BIGINT) AS net_delta FROM deltas GROUP BY wk
+)
+SELECT wk, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_backlog
+FROM weekly
+"""
+
+QUERIES["orders_open_backlog"] = orders_open_backlog
+ORACLE["orders_open_backlog"] = _OPEN_BACKLOG_SQL

@@ -1254,3 +1254,101 @@ FROM tiers
 
 QUERIES["events_user_rfm_segments"] = events_user_rfm_segments
 ORACLE["events_user_rfm_segments"] = _RFM_SQL
+
+
+def events_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (new r7): users are hash-assigned to an
+    A/B split (md5 first hex digit, the same stable-assignment rule as
+    the corpus splits), conversion = the user's FIRST event (by
+    millisecond+id order, the OHLC tie-break idiom) is a purchase — a
+    deliberately non-saturated per-user proportion ("has any purchase"
+    converges to 1.0 for every heavy user at every SF, degenerating
+    the pooled variance to zero) — and the pooled two-proportion z
+    statistic decides significance.  The significance flag compares
+    the ROUNDED |z| to 1.96 (the boundary-tie rule from
+    ``events_seasonal_anomaly``), and the variance is NULLIF-guarded
+    so a degenerate 0/1-rate split reads as "no test", not an error.
+
+    Scale shape: one per-user aggregation, one 2-row variant rollup,
+    then scalar arithmetic on a 1-row frame."""
+    e = _events(spark, sf_dir)
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    ord_key = F.unix_millis(F.col("ts").cast("timestamp")) * 1_000_000 + F.col(
+        "event_id"
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            (F.min_by("event_type", ord_key) == "purchase")
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("variant", variant)
+    )
+    agg = per_user.groupBy().pivot("variant", ["A", "B"]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    pa = F.col("A_conv") / F.col("A_n")
+    pb = F.col("B_conv") / F.col("B_n")
+    pp = (F.col("A_conv") + F.col("B_conv")) / (F.col("A_n") + F.col("B_n"))
+    z = F.round(
+        (pa - pb)
+        / F.nullif(
+            F.sqrt(pp * (1 - pp) * (1 / F.col("A_n") + 1 / F.col("B_n"))),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    return agg.select(
+        F.col("A_n").alias("n_a"),
+        F.col("B_n").alias("n_b"),
+        F.col("A_conv").alias("conv_a"),
+        F.col("B_conv").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+_AB_SIGNIFICANCE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(arg_min(event_type, epoch_ms(ts) * 1000000 + event_id)
+              = 'purchase' AS INT) AS converted,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+           AS variant
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    COUNT(*) FILTER (WHERE variant = 'A') AS n_a,
+    COUNT(*) FILTER (WHERE variant = 'B') AS n_b,
+    CAST(SUM(converted) FILTER (WHERE variant = 'A') AS BIGINT) AS conv_a,
+    CAST(SUM(converted) FILTER (WHERE variant = 'B') AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+       ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+       ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / NULLIF(SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS zscore,
+       COALESCE(ABS(ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / NULLIF(SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0), 4)) > 1.96, FALSE)
+         AS significant
+FROM agg
+"""
+
+QUERIES["events_ab_significance"] = events_ab_significance
+ORACLE["events_ab_significance"] = _AB_SIGNIFICANCE_SQL
