@@ -134,6 +134,8 @@ HEADLINE = [
     ("part_association_rules", advanced.QUERIES),
     ("events_user_rfm_segments", events.QUERIES),
     ("nation_revenue_trend", advanced.QUERIES),
+    ("events_ab_significance", events.QUERIES),
+    ("orders_open_backlog", advanced.QUERIES),
 ]
 
 
