@@ -97,7 +97,10 @@ _MODULES = (
 # events_seasonal_anomaly, part_association_rules,
 # events_user_rfm_segments, nation_revenue_trend,
 # events_ab_significance, orders_open_backlog — all
-# replica-green at sf0.001+sf0.01),
+# replica-green at sf0.001+sf0.01), plus the five r7-wave-7 additions
+# (events_changepoint_cusum, events_frequent_sequences,
+# events_sliding_distinct_users, customer_survival_km,
+# doc_quality_auc_eval — replica-green at sf0.001+sf0.01),
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,
 # window_lag_lead, set_union_distinct, set_except, set_intersect,

@@ -136,6 +136,13 @@ HEADLINE = [
     ("nation_revenue_trend", advanced.QUERIES),
     ("events_ab_significance", events.QUERIES),
     ("orders_open_backlog", advanced.QUERIES),
+    # r7 wave 7: closed-form CUSUM, sequence mining, sliding HLL
+    # merge, week-bin Kaplan-Meier, score-group Mann-Whitney AUC
+    ("events_changepoint_cusum", events.QUERIES),
+    ("events_frequent_sequences", events.QUERIES),
+    ("events_sliding_distinct_users", scale.QUERIES),
+    ("customer_survival_km", advanced.QUERIES),
+    ("doc_quality_auc_eval", quality.QUERIES),
 ]
 
 

@@ -2027,3 +2027,129 @@ FROM weekly
 
 QUERIES["orders_open_backlog"] = orders_open_backlog
 ORACLE["orders_open_backlog"] = _OPEN_BACKLOG_SQL
+
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer inter-order gaps (new
+    r7) — "how long until a customer orders again", with the last
+    order of every customer right-censored at the corpus's final order
+    date (the standard churn-analysis framing).  Durations are binned
+    to weeks; per bin the at-risk count is total durations minus
+    everything that completed or censored in EARLIER bins, and the
+    survival estimate is the running product ``prod(1 - d_i/n_i)``
+    computed as ``EXP(SUM(LN(.)))`` so both engines evaluate it with
+    one ordered window — the same closed-form-over-recurrence trick as
+    the CUSUM query.  A bin whose factor hits exactly zero (everyone
+    remaining exits) zeroes the curve from there on via a running
+    saw-zero flag instead of feeding LN(0).
+
+    Scale shape: the gap extraction is one window partitioned by
+    customer (LEAD over each customer's order dates), the bin
+    aggregation is a plain groupBy, and the ordered KM pass runs over
+    the BIN-GRAIN frame — bounded by max-duration/7 rows (~350 for
+    this calendar span) regardless of corpus size, so the single
+    unpartitioned window is over a provably tiny frame.  All inputs to
+    the survival product are integer-derived, so the only cross-engine
+    drift is LN/EXP libm ulps, absorbed by the 1e-6 rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    dur = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lead("o_orderdate").over(w).alias("nxt"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("maxd", "o_orderdate"))
+            .alias("dur"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    b = dur.groupBy(
+        F.floor(F.col("dur") / F.lit(7.0)).cast("bigint").alias("t_week")
+    ).agg(
+        F.sum("event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("event")).alias("n_censored"),
+    )
+    wall = Window.orderBy("t_week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprev = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, 0)
+    r = b.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wall)
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "factor", F.lit(1.0) - F.col("n_events") / F.col("n_risk")
+    )
+    out = r.withColumn(
+        "saw_zero",
+        F.max((F.col("factor") <= 0).cast("int")).over(wc),
+    ).withColumn(
+        "sum_ln",
+        F.sum(F.log(F.when(F.col("factor") > 0, F.col("factor")))).over(wc),
+    )
+    return out.select(
+        "t_week",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.when(F.col("saw_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("sum_ln"), 6))
+        .alias("survival"),
+    )
+
+
+_SURVIVAL_KM_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+m AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+dur AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, maxd) END AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM o, m
+),
+b AS (
+  SELECT CAST(FLOOR(dur / 7.0) AS BIGINT) AS t_week,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM dur GROUP BY 1
+),
+r AS (
+  SELECT *,
+         CAST(SUM(n_events + n_censored) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(n_events + n_censored) OVER (
+               ORDER BY t_week ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM b
+),
+k AS (
+  SELECT *, 1.0 - n_events * 1.0 / n_risk AS factor FROM r
+)
+SELECT t_week, n_risk, n_events, n_censored,
+       CASE WHEN MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER wc = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(LN(CASE WHEN factor > 0 THEN factor END))
+                           OVER wc), 6) END AS survival
+FROM k
+WINDOW wc AS (ORDER BY t_week ROWS UNBOUNDED PRECEDING)
+"""
+
+QUERIES["customer_survival_km"] = customer_survival_km
+ORACLE["customer_survival_km"] = _SURVIVAL_KM_SQL

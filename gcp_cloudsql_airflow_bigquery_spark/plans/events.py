@@ -1352,3 +1352,160 @@ FROM agg
 
 QUERIES["events_ab_significance"] = events_ab_significance
 ORACLE["events_ab_significance"] = _AB_SIGNIFICANCE_SQL
+
+
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (new r7) over each event
+    type's daily revenue — the sequential drift detector that catches
+    slow level shifts the per-point z-score queries
+    (``events_anomaly_zscore``, ``events_seasonal_anomaly``) miss.
+    The textbook recurrence ``C+_t = max(0, C+_{t-1} + z_t - k)`` is
+    rewritten in its closed prefix form ``C+_t = S_t - min(0, min_{j<=t}
+    S_j)`` with ``S_t = sum_{i<=t}(z_i - k)`` (and mirrored for the
+    downward side), so both engines compute it with two stacked
+    running-window passes — no recursion, no UDF.
+
+    Scale shape: one (type, day) aggregation over raw events (the daily
+    totals are summed as DECIMAL so both engines see bit-identical
+    inputs), a broadcast join of the per-type mean/stddev (one row per
+    type), then per-type ordered windows over ~365 rows per type —
+    partitioned by event_type, never a global sort.  Alert flags
+    compare the ROUNDED statistic (the seasonal-anomaly boundary-tie
+    lesson)."""
+    from pyspark.sql import Window
+
+    k, h = 0.5, 4.0
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    z = (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .withColumn("z", (F.col("x") - F.col("mu")) / F.col("sigma"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = z.withColumn("s_pos", F.sum(F.col("z") - F.lit(k)).over(w)).withColumn(
+        "s_neg", F.sum(-F.col("z") - F.lit(k)).over(w)
+    )
+    c = s.withColumn(
+        "cusum_pos",
+        F.round(F.col("s_pos") - F.least(F.lit(0.0), F.min("s_pos").over(w)), 4),
+    ).withColumn(
+        "cusum_neg",
+        F.round(F.col("s_neg") - F.least(F.lit(0.0), F.min("s_neg").over(w)), 4),
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("day_value"),
+        F.round("z", 4).alias("zscore"),
+        "cusum_pos",
+        "cusum_neg",
+        (F.col("cusum_pos") > h).alias("shift_up"),
+        (F.col("cusum_neg") > h).alias("shift_down"),
+    )
+
+
+_CHANGEPOINT_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, AVG(x) AS mu, STDDEV_POP(x) AS sigma
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, d.x, (d.x - s.mu) / s.sigma AS z
+  FROM daily d JOIN stats s USING (event_type)
+  WHERE s.sigma > 0
+),
+s AS (
+  SELECT *, SUM(z - 0.5) OVER w AS s_pos, SUM(-z - 0.5) OVER w AS s_neg
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT event_type, day, x, z,
+         ROUND(s_pos - LEAST(0.0, MIN(s_pos) OVER w), 4) AS cusum_pos,
+         ROUND(s_neg - LEAST(0.0, MIN(s_neg) OVER w), 4) AS cusum_neg
+  FROM s
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, ROUND(x, 6) AS day_value, ROUND(z, 4) AS zscore,
+       cusum_pos, cusum_neg,
+       cusum_pos > 4.0 AS shift_up, cusum_neg > 4.0 AS shift_down
+FROM c
+"""
+
+QUERIES["events_changepoint_cusum"] = events_changepoint_cusum
+ORACLE["events_changepoint_cusum"] = _CHANGEPOINT_CUSUM_SQL
+
+
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, PrefixSpan-style support counting for
+    length-3 event-type sequences (new r7): each user's event stream in
+    time order yields its consecutive trigrams via two LEADs, support =
+    the number of DISTINCT users whose stream contains the trigram (the
+    classic sequence-mining support, not raw occurrence count), top 20
+    by support with a full lexicographic tie-break so the LIMIT is
+    deterministic in both engines.
+
+    Scale shape: one shuffle to order events within user (window
+    partitioned by user_id — no global sort), the per-user trigram
+    dedup and the support count are the same single hash aggregation
+    tree, and the top-20 is a TakeOrdered over the tiny
+    (t1,t2,t3)-cardinality aggregate, never the raw stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .distinct()
+    )
+    sup = tri.groupBy("t1", "t2", "t3").agg(
+        F.count("*").alias("support")
+    )
+    return sup.orderBy(F.desc("support"), "t1", "t2", "t3").limit(20)
+
+
+_FREQUENT_SEQUENCES_SQL = """
+WITH o AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT DISTINCT user_id, t1, t2, t3 FROM o WHERE t3 IS NOT NULL
+)
+SELECT t1, t2, t3, COUNT(*) AS support
+FROM tri GROUP BY 1, 2, 3
+ORDER BY support DESC, t1, t2, t3
+LIMIT 20
+"""
+
+QUERIES["events_frequent_sequences"] = events_frequent_sequences
+ORACLE["events_frequent_sequences"] = _FREQUENT_SEQUENCES_SQL

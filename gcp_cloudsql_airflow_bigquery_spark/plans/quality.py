@@ -742,3 +742,102 @@ FROM feats, beta{n_iter} b
 
 QUERIES["doc_quality_classifier"] = doc_quality_classifier
 ORACLE["doc_quality_classifier"] = _classifier_oracle()
+
+
+def doc_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (new r7): the ROC AUC of the surface
+    quality heuristic (``textstats.quality_score``) as a ranker for the
+    English-language label — the standard "does my cheap filter score
+    actually separate the classes" check run before spending a
+    training pass on a learned classifier
+    (``doc_quality_classifier``).  AUC is computed exactly via the
+    tie-averaged Mann-Whitney rank sum: group documents by score,
+    cumulative counts over the ORDERED score groups give each tie
+    group its average rank, and ``AUC = (ranksum_pos - n_pos(n_pos+1)/2)
+    / (n_pos * n_neg)``.
+
+    Scale shape: one hash aggregation by score over the corpus, then
+    the ordered window runs over the SCORE-GROUP frame — the quality
+    score is quantized to 6 decimals in [0, 1], so that frame is
+    bounded at ~1e6 rows regardless of corpus size (the documented
+    justification for the unpartitioned window).  Every product
+    ``pos * avg_rank`` is an exact multiple of 0.5 below 2^52, so the
+    rank sum is FP-exact in both engines and the hash needs no
+    drift allowance."""
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    scored = load_table(spark, sf_dir, "documents").select(
+        textstats.quality_score(t).alias("score"),
+        (textstats.detect_lang(t) == "en").cast("int").alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn(
+        "avg_rank",
+        F.sum("cnt").over(wc) - F.col("cnt") + (F.col("cnt") + 1) / 2.0,
+    )
+    return r.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("avg_rank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * F.sum(F.col("cnt") - F.col("pos"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _auc_oracle() -> str:
+    from .llmdata import _STOPLIST_SQL, _lang_list_sql
+
+    gmax = "GREATEST(s_en, s_de, s_es, s_fr)"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+), sc AS (
+  SELECT ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - (CASE WHEN n_chars > 0
+                   THEN n_punct / n_chars ELSE 0.0 END) * 5) * 0.25 +
+               LEAST((CASE WHEN n_tok > 0
+                   THEN n_stop / n_tok ELSE 0.0 END) * 4, 1.0) * 0.25,
+               6) AS score,
+         CASE WHEN {gmax} > 0 AND s_en = {gmax} THEN 1 ELSE 0 END AS y
+  FROM m
+), g AS (
+  SELECT score, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY 1
+), r AS (
+  SELECT score, cnt, pos,
+         SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+           - cnt + (cnt + 1) / 2.0 AS avg_rank
+  FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+       ROUND((SUM(pos * avg_rank) - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * SUM(cnt - pos)), 6) AS auc
+FROM r
+"""
+
+
+QUERIES["doc_quality_auc_eval"] = doc_quality_auc_eval
+ORACLE["doc_quality_auc_eval"] = _auc_oracle()

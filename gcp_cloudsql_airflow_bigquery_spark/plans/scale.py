@@ -438,3 +438,61 @@ FROM f GROUP BY 1
 
 QUERIES["events_zorder_layout"] = events_zorder_layout
 ORACLE["events_zorder_layout"] = _ZORDER_SQL
+
+
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-day SLIDING-window distinct users per event type from merged
+    per-day HLL sketches (new r7) — the sliding complement of
+    ``events_distinct_users_rollup``: the day-grain sketch is built
+    ONCE from raw events, then each sliding window (identified by its
+    end day; a day's sketch serves the 3 windows ending at day,
+    day+1, day+2) is a pure sketch merge.  The explode-by-offset
+    factor multiplies kilobyte sketch rows, never the raw stream, and
+    adding a new day of data appends one day-sketch and re-merges only
+    the 3 windows it touches — the incremental property that keeps a
+    100-TB sliding distinct-users dashboard cheap.
+
+    Hash-checkable for the same reason as the rollup twin: at the
+    correctness fixture's per-(type, 3-day-window) cardinality the HLL
+    sketch is still in its exact sparse mode, so the merged estimate
+    equals COUNT(DISTINCT).  (At bench scale the dense-mode ~1%-error
+    regime is exercised; merge-consistency stays unit-tested.)"""
+    from ..operators.frequency import (
+        distinct_sketch_build,
+        distinct_sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = distinct_sketch_build(ev, ["event_type", "day"], "user_id")
+    exploded = daily.select(
+        "event_type",
+        "sketch",
+        F.explode(
+            F.array(*[F.date_add("day", i) for i in range(3)])
+        ).alias("w_end"),
+    )
+    return distinct_sketch_rollup(exploded, ["event_type", "w_end"]).select(
+        "event_type",
+        "w_end",
+        F.col("approx_distinct").cast("bigint").alias("distinct_users_3d"),
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+),
+s AS (
+  SELECT event_type, day AS w_end, user_id FROM d
+  UNION ALL SELECT event_type, day + 1, user_id FROM d
+  UNION ALL SELECT event_type, day + 2, user_id FROM d
+)
+SELECT event_type, w_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_3d
+FROM s GROUP BY 1, 2
+"""
+
+QUERIES["events_sliding_distinct_users"] = events_sliding_distinct_users
+ORACLE["events_sliding_distinct_users"] = _SLIDING_DISTINCT_SQL

@@ -1,0 +1,131 @@
+"""Differential tests for the round-7 wave-7 analytics operators:
+each query's closed-form / windowed Spark plan is replayed by a small
+pure-Python reference implementation of the textbook algorithm
+(recursive CUSUM, sequential Kaplan-Meier product, pairwise
+Mann-Whitney AUC, brute-force sequence support) on the collected
+fixture rows.  The DuckDB oracles prove cross-engine agreement; these
+prove both engines implement the intended ALGORITHM, not just the same
+SQL."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from gcp_cloudsql_airflow_bigquery_spark.plans import advanced, events, quality
+
+
+def test_cusum_matches_recursive_reference(spark, sf_dir):
+    out = events.events_changepoint_cusum(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in out:
+        by_type[r["event_type"]].append(r)
+    assert by_type, "no CUSUM rows"
+    k, h = 0.5, 4.0
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r["day"])
+        c_pos = c_neg = 0.0
+        for r in rows:
+            z = r["zscore"]  # rounded(4); recurrence drift stays < 5e-4
+            c_pos = max(0.0, c_pos + z - k)
+            c_neg = max(0.0, c_neg - z - k)
+            assert r["cusum_pos"] == pytest.approx(c_pos, abs=5e-3)
+            assert r["cusum_neg"] == pytest.approx(c_neg, abs=5e-3)
+            assert r["shift_up"] == (r["cusum_pos"] > h)
+            assert r["shift_down"] == (r["cusum_neg"] > h)
+
+
+def test_survival_km_matches_sequential_reference(spark, sf_dir):
+    out = sorted(
+        advanced.customer_survival_km(spark, sf_dir).collect(),
+        key=lambda r: r["t_week"],
+    )
+    assert out
+    total = sum(r["n_events"] + r["n_censored"] for r in out)
+    at_risk = total
+    surv = 1.0
+    for r in out:
+        assert r["n_risk"] == at_risk
+        if surv > 0.0:
+            surv *= 1.0 - r["n_events"] / r["n_risk"]
+        assert r["survival"] == pytest.approx(surv, abs=1e-5)
+        at_risk -= r["n_events"] + r["n_censored"]
+    # monotone non-increasing, anchored in [0, 1]
+    vals = [r["survival"] for r in out]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert 0.0 <= vals[-1] <= vals[0] <= 1.0
+
+
+def test_auc_matches_pairwise_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.operators import textstats
+
+    row = quality.doc_quality_auc_eval(spark, sf_dir).collect()[0]
+    t = F.col("text")
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            textstats.quality_score(t).alias("s"),
+            (textstats.detect_lang(t) == "en").cast("int").alias("y"),
+        )
+        .collect()
+    )
+    pos = [r["s"] for r in scored if r["y"] == 1]
+    neg = [r["s"] for r in scored if r["y"] == 0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    # O(n_pos * n_neg) literal Mann-Whitney on the small fixture
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert row["auc"] == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6)
+    assert 0.5 < row["auc"] <= 1.0, "quality score should beat a coin flip"
+
+
+def test_frequent_sequences_matches_bruteforce(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+
+    out = events.events_frequent_sequences(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    support = defaultdict(set)
+    for uid, s in streams.items():
+        s.sort()
+        types = [x[2] for x in s]
+        for i in range(len(types) - 2):
+            support[tuple(types[i : i + 3])].add(uid)
+    ranked = sorted(
+        ((len(u), t) for t, u in support.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r["support"], (r["t1"], r["t2"], r["t3"])) for r in out]
+    assert sorted(got, key=lambda x: (-x[0], x[1])) == ranked
+
+
+def test_sliding_distinct_sketch_consistency(spark, sf_dir):
+    """Every 3-day sliding estimate must be >= its own day's rollup
+    estimate (a window contains its end day) and the window count must
+    cover every (type, day) plus the two trailing phantom windows."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import scale
+
+    out = scale.events_sliding_distinct_users(spark, sf_dir)
+    daily_exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("w_end"))
+        .agg(F.count_distinct("user_id").alias("exact_day"))
+    )
+    j = out.join(daily_exact, ["event_type", "w_end"], "inner").collect()
+    assert j
+    for r in j:
+        assert r["distinct_users_3d"] >= r["exact_day"]
