@@ -100,7 +100,9 @@ _MODULES = (
 # replica-green at sf0.001+sf0.01), plus the five r7-wave-7 additions
 # (events_changepoint_cusum, events_frequent_sequences,
 # events_sliding_distinct_users, customer_survival_km,
-# doc_quality_auc_eval — replica-green at sf0.001+sf0.01),
+# doc_quality_auc_eval) and the three r7-wave-8 additions
+# (customer_linkage_scores, events_forecast_eval, doc_ngram_novelty)
+# — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,
 # window_lag_lead, set_union_distinct, set_except, set_intersect,

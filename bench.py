@@ -143,6 +143,10 @@ HEADLINE = [
     ("events_sliding_distinct_users", scale.QUERIES),
     ("customer_survival_km", advanced.QUERIES),
     ("doc_quality_auc_eval", quality.QUERIES),
+    # r7 wave 8: F-S linkage scoring, seasonal-naive backtest, KL novelty
+    ("customer_linkage_scores", advanced.QUERIES),
+    ("events_forecast_eval", events.QUERIES),
+    ("doc_ngram_novelty", llmdata.QUERIES),
 ]
 
 

@@ -2153,3 +2153,124 @@ WINDOW wc AS (ORDER BY t_week ROWS UNBOUNDED PRECEDING)
 
 QUERIES["customer_survival_km"] = customer_survival_km
 ORACLE["customer_survival_km"] = _SURVIVAL_KM_SQL
+
+
+def customer_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (new r7) on top of the
+    existing merge/purge blocker: every sorted-neighborhood candidate
+    pair (``operators/fuzzy.sorted_neighborhood_pairs`` — the same
+    candidates as ``customer_sorted_neighborhood``) gets a
+    log-likelihood match weight from three field comparisons: name
+    within 1 edit, equal nation, equal market segment.  The
+    u-probabilities (chance agreement between two RANDOM records) for
+    the exact fields are estimated from the data itself —
+    ``sum(n_v*(n_v-1)) / (N*(N-1))`` over the value frequencies, the
+    standard frequency-based bootstrap — while the fuzzy name field
+    uses fixed clerical priors (m=0.95, u=0.005), which is how
+    production F-S setups start before an EM pass.  Weight =
+    ``ln(m/u)`` on agreement, ``ln((1-m)/(1-u))`` on disagreement,
+    summed over fields.
+
+    Scale shape: candidate generation is the blocked (range-partitioned
+    rank, window=3) pair set — never a cross join; each u-probability
+    is ONE value-frequency aggregation reduced to a scalar and
+    broadcast back as a 1-row frame; scoring is a pure row expression
+    over the candidate pairs."""
+    from ..operators.fuzzy import sorted_neighborhood_pairs
+
+    m_name, u_name, m_nat, m_seg = 0.95, 0.005, 0.9, 0.8
+    c = load_table(spark, sf_dir, "customer")
+    n_total = c.agg(F.count("*").alias("n"))
+
+    def _u_exact(col: str):
+        freq = c.groupBy(col).agg(F.count("*").alias("nv"))
+        return freq.crossJoin(F.broadcast(n_total)).agg(
+            (
+                F.sum(F.col("nv") * (F.col("nv") - 1))
+                / F.first(F.col("n") * (F.col("n") - 1))
+            ).alias(f"u_{col}")
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        c, "c_custkey", "c_name", window=3, max_distance=2
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    j = (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .crossJoin(F.broadcast(_u_exact("c_nationkey")))
+        .crossJoin(F.broadcast(_u_exact("c_mktsegment")))
+    )
+    agree_name = F.col("distance") <= 1
+    agree_nat = F.col("nat_a") == F.col("nat_b")
+    agree_seg = F.col("seg_a") == F.col("seg_b")
+
+    def _w(agree, m, u):
+        return F.when(agree, F.log(F.lit(m) / u)).otherwise(
+            F.log((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - u))
+        )
+
+    weight = (
+        _w(agree_name, m_name, F.lit(u_name))
+        + _w(agree_nat, m_nat, F.col("u_c_nationkey"))
+        + _w(agree_seg, m_seg, F.col("u_c_mktsegment"))
+    )
+    return j.select(
+        "key_a",
+        "key_b",
+        agree_name.alias("agree_name"),
+        agree_nat.alias("agree_nation"),
+        agree_seg.alias("agree_segment"),
+        F.round(weight, 6).alias("match_weight"),
+    )
+
+
+_LINKAGE_SCORES_SQL = """
+WITH ranked AS (
+  SELECT c_custkey AS k, c_name AS n,
+         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS r
+  FROM customer
+),
+pairs AS (
+  SELECT a.k AS key_a, b.k AS key_b, levenshtein(a.n, b.n) AS distance
+  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+  WHERE levenshtein(a.n, b.n) <= 2
+),
+tot AS (SELECT COUNT(*) AS n FROM customer),
+u_nat AS (
+  SELECT SUM(nv * (nv - 1)) * 1.0 / (ANY_VALUE(n) * (ANY_VALUE(n) - 1)) AS u
+  FROM (SELECT COUNT(*) AS nv FROM customer GROUP BY c_nationkey), tot
+),
+u_seg AS (
+  SELECT SUM(nv * (nv - 1)) * 1.0 / (ANY_VALUE(n) * (ANY_VALUE(n) - 1)) AS u
+  FROM (SELECT COUNT(*) AS nv FROM customer GROUP BY c_mktsegment), tot
+)
+SELECT p.key_a, p.key_b,
+       p.distance <= 1 AS agree_name,
+       ca.c_nationkey = cb.c_nationkey AS agree_nation,
+       ca.c_mktsegment = cb.c_mktsegment AS agree_segment,
+       ROUND(
+         (CASE WHEN p.distance <= 1 THEN LN(0.95 / 0.005)
+               ELSE LN(0.05 / 0.995) END)
+         + (CASE WHEN ca.c_nationkey = cb.c_nationkey
+                 THEN LN(0.9 / u_nat.u) ELSE LN(0.1 / (1 - u_nat.u)) END)
+         + (CASE WHEN ca.c_mktsegment = cb.c_mktsegment
+                 THEN LN(0.8 / u_seg.u) ELSE LN(0.2 / (1 - u_seg.u)) END),
+         6) AS match_weight
+FROM pairs p
+JOIN customer ca ON ca.c_custkey = p.key_a
+JOIN customer cb ON cb.c_custkey = p.key_b,
+u_nat, u_seg
+"""
+
+QUERIES["customer_linkage_scores"] = customer_linkage_scores
+ORACLE["customer_linkage_scores"] = _LINKAGE_SCORES_SQL

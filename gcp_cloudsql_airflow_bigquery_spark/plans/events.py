@@ -1509,3 +1509,95 @@ LIMIT 20
 
 QUERIES["events_frequent_sequences"] = events_frequent_sequences
 ORACLE["events_frequent_sequences"] = _FREQUENT_SEQUENCES_SQL
+
+
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest (new r7): the seasonal-naive baseline
+    (forecast = the count 24 hours earlier) scored per event type over
+    the densified hour grid — the standard "is your fancy model better
+    than yesterday's value" benchmark every forecasting pipeline needs
+    before it ships anything learned.  Reported: MAE, RMSE, and sMAPE
+    (symmetric MAPE, zero-safe — hours where both actual and forecast
+    are zero are excluded from the sMAPE mean only).
+
+    Scale shape: identical to the other seasonal-grid queries — one
+    (type, hour) count shuffle over raw events, then everything runs
+    on the calendar-bounded dense grid (hours-in-span x |types|); the
+    lag-24 forecast is a per-type ordered window over that grid, and
+    the final metrics are one aggregation per type."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    cnt = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(hours)
+        .join(cnt, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    f = grid.withColumn("fc", F.lag("n", 24).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    err = F.abs(F.col("n") - F.col("fc"))
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n_hours_eval"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n") + F.col("fc")) > 0,
+                    2.0 * err / (F.col("n") + F.col("fc")),
+                )
+            ),
+            6,
+        ).alias("smape"),
+    )
+
+
+_FORECAST_EVAL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, hrs.h, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN hours hrs
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hrs.h
+),
+f AS (
+  SELECT event_type, h, n,
+         LAG(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS fc
+  FROM grid
+)
+SELECT event_type,
+       COUNT(*) AS n_hours_eval,
+       ROUND(AVG(ABS(n - fc)), 6) AS mae,
+       ROUND(SQRT(AVG(ABS(n - fc) * ABS(n - fc))), 6) AS rmse,
+       ROUND(AVG(CASE WHEN n + fc > 0
+                      THEN 2.0 * ABS(n - fc) / (n + fc) END), 6) AS smape
+FROM f WHERE fc IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["events_forecast_eval"] = events_forecast_eval
+ORACLE["events_forecast_eval"] = _FORECAST_EVAL_SQL

@@ -2517,3 +2517,65 @@ FROM sized
 
 QUERIES["doc_leakage_safe_splits"] = doc_leakage_safe_splits
 ORACLE["doc_leakage_safe_splits"] = _LEAKAGE_SPLITS_SQL
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty as the KL divergence between the document's
+    unigram distribution and the corpus unigram distribution (new r7)
+    — the information-theoretic complement of ``doc_lm_score``: the LM
+    score is the cross-entropy term alone (how SURPRISING the doc is
+    to the corpus model), while KL subtracts the doc's own entropy, so
+    boilerplate that merely repeats rare-but-internally-uniform tokens
+    stops scoring as novel.  High-KL docs are the out-of-distribution
+    tail a curation pass reviews before mixing.
+
+    Scale shape: same skeleton as the unigram LM — one explode, one
+    (doc, term) map-side-combined count, the corpus term frequencies
+    RE-AGGREGATED from those per-doc counts (the raw token stream is
+    touched once), a term-keyed shuffle join (open vocabulary — not
+    broadcast), corpus totals as a 1-row broadcast, one per-doc
+    aggregation.  All probabilities are exact integer ratios, so the
+    only cross-engine drift is LN ulps under the 1e-6 rounding."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.lower(F.col("text")))
+    tok = d.filter(t != "").select(
+        "doc_id", F.explode(F.split(t, r"\s+")).alias("term")
+    )
+    dc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cd"))
+    nd = dc.groupBy("doc_id").agg(F.sum("cd").alias("nd"))
+    cf = dc.groupBy("term").agg(F.sum("cd").alias("cc"))
+    tot = cf.agg(F.sum("cc").alias("nc"))
+    p = F.col("cd") / F.col("nd")
+    q = F.col("cc") / F.col("nc")
+    return (
+        dc.join(nd, "doc_id")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.min("nd").cast("bigint").alias("n_tok"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_novelty"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+dc AS (SELECT doc_id, term, COUNT(*) AS cd FROM tok GROUP BY 1, 2),
+nd AS (SELECT doc_id, CAST(SUM(cd) AS BIGINT) AS nd FROM dc GROUP BY 1),
+cf AS (SELECT term, CAST(SUM(cd) AS BIGINT) AS cc FROM dc GROUP BY 1),
+tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM cf)
+SELECT dc.doc_id,
+       CAST(MIN(nd.nd) AS BIGINT) AS n_tok,
+       ROUND(SUM((cd * 1.0 / nd.nd)
+                 * LN((cd * 1.0 / nd.nd) / (cc * 1.0 / nc))), 6)
+         AS kl_novelty
+FROM dc JOIN nd USING (doc_id) JOIN cf USING (term), tot
+GROUP BY dc.doc_id
+"""
+
+QUERIES["doc_ngram_novelty"] = doc_ngram_novelty
+ORACLE["doc_ngram_novelty"] = _NGRAM_NOVELTY_SQL

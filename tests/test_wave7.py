@@ -9,7 +9,6 @@ SQL."""
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
 
 import pytest
@@ -129,3 +128,56 @@ def test_sliding_distinct_sketch_consistency(spark, sf_dir):
     assert j
     for r in j:
         assert r["distinct_users_3d"] >= r["exact_day"]
+
+
+def test_linkage_weights_monotone_per_field(spark, sf_dir):
+    """Flipping any single field from disagree to agree (others held
+    fixed) must strictly raise the match weight — i.e. every field's
+    agree-weight exceeds its disagree-weight (m > u holds for all
+    three fields on this data).  Weights are constant per agreement
+    pattern, so each observed pattern maps to exactly one weight."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    rows = advanced.customer_linkage_scores(spark, sf_dir).collect()
+    assert rows
+    fields = ("agree_name", "agree_nation", "agree_segment")
+    by_pattern = {}
+    for r in rows:
+        pat = tuple(bool(r[c]) for c in fields)
+        w = by_pattern.setdefault(pat, r["match_weight"])
+        assert w == pytest.approx(r["match_weight"], abs=1e-9), pat
+    for pat, w in by_pattern.items():
+        for i in range(len(fields)):
+            if not pat[i]:
+                flipped = pat[:i] + (True,) + pat[i + 1 :]
+                if flipped in by_pattern:
+                    assert by_pattern[flipped] > w, (pat, flipped)
+
+
+def test_forecast_eval_metric_inequalities(spark, sf_dir):
+    rows = events.events_forecast_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rmse"] >= r["mae"] - 1e-9  # Cauchy-Schwarz
+        assert 0.0 <= r["smape"] <= 2.0
+        assert r["n_hours_eval"] > 0
+
+
+def test_ngram_novelty_is_nonnegative(spark, sf_dir):
+    """KL(doc || corpus) >= 0 (Gibbs' inequality) for every doc, and
+    every non-empty doc is scored."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata
+
+    out = llmdata.doc_ngram_novelty(spark, sf_dir)
+    rows = out.collect()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .count()
+    )
+    assert len(rows) == n_docs
+    assert all(r["kl_novelty"] >= -1e-6 for r in rows)
+    assert max(r["kl_novelty"] for r in rows) > 0
