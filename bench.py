@@ -147,6 +147,10 @@ HEADLINE = [
     ("customer_linkage_scores", advanced.QUERIES),
     ("events_forecast_eval", events.QUERIES),
     ("doc_ngram_novelty", llmdata.QUERIES),
+    # r7 wave 9: Benford screen, global-rank Gini, Flesch readability
+    ("orders_benford_screen", advanced.QUERIES),
+    ("customer_revenue_gini", advanced.QUERIES),
+    ("doc_readability", quality.QUERIES),
 ]
 
 

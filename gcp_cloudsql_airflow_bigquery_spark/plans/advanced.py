@@ -2274,3 +2274,151 @@ u_nat, u_seg
 
 QUERIES["customer_linkage_scores"] = customer_linkage_scores
 ORACLE["customer_linkage_scores"] = _LINKAGE_SCORES_SQL
+
+
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud screen (new r7): the first-significant-digit
+    distribution of order totals per order priority, chi-square-tested
+    against the Benford expectation ``log10(1 + 1/d)`` — the classic
+    forensic-accounting anomaly gate for financial amount columns.
+    The digit is taken from the DECIMAL(18,2) string form (never from
+    ``log10`` of a double, whose last-ulp behavior at exact powers of
+    ten differs between engines), the chi-square sums over the DENSE
+    1..9 digit grid (unobserved digits contribute their full ``n*p``
+    term), and the pass flag compares the ROUNDED statistic against
+    the 0.01 critical value for 8 degrees of freedom (20.09).
+
+    Scale shape: one (priority, digit) count shuffle over orders, then
+    everything runs on the 5x9 dense grid with per-priority totals
+    broadcast back — broadcast-sized at any corpus scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    cnt = (
+        o.select("o_orderpriority", digit.alias("d"))
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count("*").alias("nd"))
+    )
+    tot = cnt.groupBy("o_orderpriority").agg(F.sum("nd").alias("n"))
+    grid = (
+        tot.select("o_orderpriority")
+        .crossJoin(spark.range(1, 10).select(F.col("id").cast("int").alias("d")))
+        .join(cnt, ["o_orderpriority", "d"], "left")
+        .join(F.broadcast(tot), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.log10(F.lit(1.0) + 1.0 / F.col("d")).alias("exp_frac"),
+        )
+    )
+    chi2 = F.round(
+        F.sum(
+            F.pow(F.col("nd") / F.col("n") - F.col("exp_frac"), F.lit(2.0))
+            / F.col("exp_frac")
+        )
+        * F.first("n"),
+        4,
+    )
+    return (
+        grid.groupBy("o_orderpriority")
+        .agg(F.first("n").cast("bigint").alias("n_orders"), chi2.alias("chi2"))
+        .withColumn("benford_ok", F.col("chi2") <= 20.09)
+    )
+
+
+_BENFORD_SQL = """
+WITH src AS (
+  SELECT o_orderpriority,
+         CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                        1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+cnt AS (
+  SELECT o_orderpriority, d, COUNT(*) AS nd FROM src GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, CAST(SUM(nd) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+digits AS (SELECT unnest(generate_series(1, 9)) AS d),
+grid AS (
+  SELECT t.o_orderpriority, t.n, COALESCE(c.nd, 0) AS nd,
+         LOG10(1.0 + 1.0 / g.d) AS exp_frac
+  FROM tot t CROSS JOIN digits g
+  LEFT JOIN cnt c ON c.o_orderpriority = t.o_orderpriority AND c.d = g.d
+),
+chi AS (
+  SELECT o_orderpriority,
+         CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+         ROUND(SUM(POW(nd * 1.0 / n - exp_frac, 2) / exp_frac)
+               * ANY_VALUE(n), 4) AS chi2
+  FROM grid GROUP BY 1
+)
+SELECT o_orderpriority, n_orders, chi2, chi2 <= 20.09 AS benford_ok
+FROM chi
+"""
+
+QUERIES["orders_benford_screen"] = orders_benford_screen
+ORACLE["orders_benford_screen"] = _BENFORD_SQL
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (new r7): the exact Gini coefficient of
+    total order revenue across purchasing customers, via the sorted
+    rank formula ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` — the
+    one-number inequality KPI behind "what share of revenue do the top
+    customers carry".  Per-customer revenue is DECIMAL-summed (exact,
+    engine-independent), and the global rank comes from
+    ``operators/curation.global_rank`` — the range-partitioned
+    prefix-sum machinery, NOT a single-partition ROW_NUMBER window
+    (the oracle replays the identical order with a plain window,
+    which DuckDB can afford).
+
+    Scale shape: one customer-grain aggregation over orders, then the
+    rank and the two weighted sums run on the customer-grain frame
+    with no unpartitioned window anywhere — the same economics as
+    ``exact_ntile``."""
+    from ..operators.curation import global_rank
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    ranked, n = global_rank(rev, ["rev", "o_custkey"], rank_col="rk")
+    return ranked.agg(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("rev")) / (F.lit(n) * F.sum("rev"))
+            - (F.lit(n) + 1.0) / F.lit(n),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(rev), 2) AS total_revenue,
+       ROUND(2.0 * SUM(rk * rev) / (COUNT(*) * SUM(rev))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+"""
+
+QUERIES["customer_revenue_gini"] = customer_revenue_gini
+ORACLE["customer_revenue_gini"] = _GINI_SQL

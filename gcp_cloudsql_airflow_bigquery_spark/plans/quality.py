@@ -841,3 +841,57 @@ FROM r
 
 QUERIES["doc_quality_auc_eval"] = doc_quality_auc_eval
 ORACLE["doc_quality_auc_eval"] = _auc_oracle()
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (new r7): the classic readability
+    gate ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/word)``
+    with the standard cheap proxies — sentences = runs of ``[.!?]``
+    (floored at 1), syllables = vowel-group count per the usual
+    heuristic — one more surface-quality signal for the curation
+    stack alongside the stopword/punctuation/length gates.
+
+    Scale shape: three regexp counters per row, all whole-stage
+    codegen, zero shuffles, zero UDFs.  Every input to the score is an
+    integer count, so the arithmetic is deterministic cross-engine
+    under the 1e-4 rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = textstats.token_count(t)
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)
+    )
+    return d.filter(words > 0).select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (words / sents)
+            - 84.6 * (syll / words),
+            4,
+        ).alias("flesch"),
+    )
+
+
+_READABILITY_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+             - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+FROM m WHERE n_words > 0
+"""
+
+QUERIES["doc_readability"] = doc_readability
+ORACLE["doc_readability"] = _READABILITY_SQL

@@ -181,3 +181,79 @@ def test_ngram_novelty_is_nonnegative(spark, sf_dir):
     assert len(rows) == n_docs
     assert all(r["kl_novelty"] >= -1e-6 for r in rows)
     assert max(r["kl_novelty"] for r in rows) > 0
+
+
+def test_benford_chi2_matches_reference(spark, sf_dir):
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    rows = advanced.orders_benford_screen(spark, sf_dir).collect()
+    assert rows
+    orders = load_table(spark, sf_dir, "orders").collect()
+    by_p = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        if r["o_totalprice"] >= 1:
+            d = int(f"{r['o_totalprice']:.2f}"[0])
+            by_p[r["o_orderpriority"]][d] += 1
+    for r in rows:
+        cnt = by_p[r["o_orderpriority"]]
+        n = sum(cnt.values())
+        assert r["n_orders"] == n
+        chi2 = sum(
+            (cnt.get(d, 0) / n - math.log10(1 + 1 / d)) ** 2
+            / math.log10(1 + 1 / d)
+            for d in range(1, 10)
+        ) * n
+        assert r["chi2"] == pytest.approx(chi2, abs=1e-3)
+        assert r["benford_ok"] == (r["chi2"] <= 20.09)
+
+
+def test_gini_matches_sorted_reference(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    row = advanced.customer_revenue_gini(spark, sf_dir).collect()[0]
+    rev = defaultdict(float)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        rev[r["o_custkey"]] += round(r["o_totalprice"], 2)
+    xs = sorted(rev.values())
+    n = len(xs)
+    assert row["n_customers"] == n
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (
+        n + 1
+    ) / n
+    assert row["gini"] == pytest.approx(gini, abs=1e-5)
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_readability_matches_reference(spark, sf_dir):
+    import re
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in quality.doc_readability(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    checked = 0
+    for d in docs:
+        t = d["text"]
+        words = len(t.split())
+        if words == 0:
+            assert d["doc_id"] not in rows
+            continue
+        sents = max(len(re.findall(r"[.!?]+", t)), 1)
+        syll = len(re.findall(r"[aeiouy]+", t.lower()))
+        r = rows[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            words,
+            sents,
+            syll,
+        )
+        expect = 206.835 - 1.015 * words / sents - 84.6 * syll / words
+        assert r["flesch"] == pytest.approx(expect, abs=1e-3)
+        checked += 1
+    assert checked == len(rows)
