@@ -102,8 +102,9 @@ _MODULES = (
 # events_sliding_distinct_users, customer_survival_km,
 # doc_quality_auc_eval), the three r7-wave-8 additions
 # (customer_linkage_scores, events_forecast_eval, doc_ngram_novelty)
-# and the three r7-wave-9 additions (orders_benford_screen,
-# customer_revenue_gini, doc_readability)
+# the three r7-wave-9 additions (orders_benford_screen,
+# customer_revenue_gini, doc_readability) and the two r7-wave-10
+# additions (embedding_outlier_score, doc_zipf_fit)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

@@ -151,6 +151,9 @@ HEADLINE = [
     ("orders_benford_screen", advanced.QUERIES),
     ("customer_revenue_gini", advanced.QUERIES),
     ("doc_readability", quality.QUERIES),
+    # r7 wave 10: diagonal-Mahalanobis outlier screen, Zipf corpus fit
+    ("embedding_outlier_score", llmdata.QUERIES),
+    ("doc_zipf_fit", llmdata.QUERIES),
 ]
 
 

@@ -2579,3 +2579,121 @@ GROUP BY dc.doc_id
 
 QUERIES["doc_ngram_novelty"] = doc_ngram_novelty
 ORACLE["doc_ngram_novelty"] = _NGRAM_NOVELTY_SQL
+
+
+def embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector outlier score (new r7): the squared z-score sum
+    across dimensions — diagonal Mahalanobis distance — flagged
+    against the chi-square tail for d=64 (0.999 critical value
+    104.72).  Completes the outlier family (rolling z, MAD, seasonal
+    3-sigma) for the embedding column: the cheap global screen run
+    before a semantic dedup or ANN build to quarantine corrupt or
+    out-of-distribution vectors.  Full-covariance Mahalanobis needs a
+    driver-side d x d inverse (the ``embedding_covariance_matrix`` +
+    numpy path); the diagonal form stays entirely in SQL and catches
+    the same axis-aligned corruption.
+
+    Scale shape: the ``embedding_standardized`` skeleton — one
+    posexplode pass, a width-sized (dim, mu, sigma) model broadcast
+    back, one per-vector aggregation; no corpus shuffle beyond the
+    64-row model build.  The flag compares the ROUNDED statistic (the
+    boundary-tie rule)."""
+    ex = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    model = ex.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    return (
+        ex.join(F.broadcast(model), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow((F.col("v") - F.col("mu")) / F.col("sigma"), F.lit(2.0))
+                ),
+                4,
+            ).alias("m2")
+        )
+        .withColumn("is_outlier", F.col("m2") > 104.72)
+    )
+
+
+_EMB_OUTLIER_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+model AS (
+  SELECT dim, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma FROM ex GROUP BY 1
+),
+s AS (
+  SELECT ex.vec_id, ROUND(SUM(POW((ex.v - m.mu) / m.sigma, 2)), 4) AS m2
+  FROM ex JOIN model m ON ex.dim = m.dim
+  GROUP BY 1
+)
+SELECT vec_id, m2, m2 > 104.72 AS is_outlier FROM s
+"""
+
+QUERIES["embedding_outlier_score"] = embedding_outlier_score
+ORACLE["embedding_outlier_score"] = _EMB_OUTLIER_SQL
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution (new
+    r7): OLS slope of ``ln(freq)`` on ``ln(rank)`` over the vocabulary
+    (a healthy natural-language corpus fits s close to -1; a synthetic
+    or template-heavy corpus flattens or cliffs) — the one-number
+    corpus-health diagnostic next to the per-source JS-drift monitor.
+    Rank ties are broken lexicographically so both engines agree on
+    the exact rank assignment.
+
+    Scale shape: one term-count aggregation over the corpus, then the
+    vocabulary-sized frame is ranked by ``curation.global_rank``
+    (range-partitioned prefix sums — the open vocabulary never lands
+    on one task) and reduced with Spark's built-in ``regr_*``
+    aggregates; the oracle replays the identical order with a plain
+    window."""
+    from ..operators.curation import global_rank
+
+    t = F.trim(F.lower(F.col("text")))
+    freq = (
+        _docs(spark, sf_dir)
+        .filter(t != "")
+        .select(F.explode(F.split(t, r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked, n = global_rank(
+        freq.select(
+            "term", "c", (-F.col("c")).alias("neg_c")
+        ),
+        ["neg_c", "term"],
+        rank_col="rank",
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.lit(n).cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_exponent"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       ROUND(REGR_SLOPE(LN(c * 1.0), LN(rank * 1.0)), 6) AS zipf_exponent,
+       ROUND(REGR_R2(LN(c * 1.0), LN(rank * 1.0)), 6) AS r2
+FROM r
+"""
+
+QUERIES["doc_zipf_fit"] = doc_zipf_fit
+ORACLE["doc_zipf_fit"] = _ZIPF_SQL

@@ -257,3 +257,60 @@ def test_readability_matches_reference(spark, sf_dir):
         assert r["flesch"] == pytest.approx(expect, abs=1e-3)
         checked += 1
     assert checked == len(rows)
+
+
+def test_embedding_outlier_score_matches_reference(spark, sf_dir):
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata
+
+    rows = {
+        r["vec_id"]: r
+        for r in llmdata.embedding_outlier_score(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    d = len(next(iter(vecs.values())))
+    n = len(vecs)
+    mu = [sum(v[i] for v in vecs.values()) / n for i in range(d)]
+    sigma = [
+        math.sqrt(
+            sum((v[i] - mu[i]) ** 2 for v in vecs.values()) / (n - 1)
+        )
+        for i in range(d)
+    ]
+    assert set(rows) == set(vecs)
+    for vid, v in vecs.items():
+        m2 = sum(((v[i] - mu[i]) / sigma[i]) ** 2 for i in range(d))
+        assert rows[vid]["m2"] == pytest.approx(m2, abs=1e-3)
+        assert rows[vid]["is_outlier"] == (rows[vid]["m2"] > 104.72)
+
+
+def test_zipf_fit_matches_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+    from gcp_cloudsql_airflow_bigquery_spark.plans import llmdata
+
+    row = llmdata.doc_zipf_fit(spark, sf_dir).collect()[0]
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        t = r["text"].strip().lower()
+        if t:
+            cnt.update(t.split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert row["vocab_size"] == len(ranked)
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx
+    r2 = sxy * sxy / (sxx * syy)
+    assert row["zipf_exponent"] == pytest.approx(slope, abs=1e-4)
+    assert row["r2"] == pytest.approx(r2, abs=1e-4)
+    assert row["zipf_exponent"] < 0, "frequency must fall with rank"
