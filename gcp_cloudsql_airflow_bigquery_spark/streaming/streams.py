@@ -473,3 +473,75 @@ def quarantined_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), True),
+        StructField("day_us", LongType(), True),
+        StructField("z", DoubleType(), True),
+        StructField("cusum_pos", DoubleType(), True),
+        StructField("cusum_neg", DoubleType(), True),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("c_pos", DoubleType(), True),
+        StructField("c_neg", DoubleType(), True),
+    ]
+)
+
+
+def _make_cusum_fn(k: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        c_pos, c_neg = state.get if state.exists else (0.0, 0.0)
+        recs: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            recs.extend(
+                (int(d), float(z)) for d, z in zip(pdf["day_us"], pdf["z"])
+            )
+        recs.sort()
+        rows: list[tuple[str, int, float, float, float]] = []
+        for day_us, z in recs:
+            c_pos = max(0.0, c_pos + z - k)
+            c_neg = max(0.0, c_neg - z - k)
+            rows.append((event_type, day_us, z, c_pos, c_neg))
+        state.update((c_pos, c_neg))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "day_us", "z", "cusum_pos", "cusum_neg"]
+        )
+
+    return fn
+
+
+def cusum_stream(daily_z: DataFrame, k: float = 0.5) -> DataFrame:
+    """Streaming twin of ``plans/events.events_changepoint_cusum``: the
+    LITERAL two-sided CUSUM recurrence ``C+ = max(0, C+ + z - k)`` /
+    ``C- = max(0, C- - z - k)`` as an ``applyInPandasWithState``
+    operator — the detector state (one (c_pos, c_neg) pair per event
+    type) lives in GroupState across micro-batches, which is exactly
+    what a live drift monitor needs: each new day's standardized value
+    advances the statistic without revisiting history.  The batch plan
+    computes the same statistic in its closed prefix form
+    (running-sum-minus-running-min); stream-vs-batch equality on the
+    same ordered feed is asserted in tests/test_streaming.py, which
+    also pins the closed form ≡ recurrence identity end-to-end.
+
+    Input: a streaming frame of (event_type, day_us int64, z double) —
+    in production the per-type mean/stddev baseline is trained offline
+    (the batch query's stats aggregation) and joined onto the live feed
+    upstream of this operator; per-key event-time order across batches
+    is the same contract as :func:`capped_sessions_stream`."""
+    return daily_z.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_fn(k),
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -357,3 +357,63 @@ def test_quarantined_ingest_routes_streams(spark, tmp_path):
     bad = dlq.filter(F.col("event_id") % 13 == 0).select("failed_checks").first()
     assert "event_type_not_null" in bad.failed_checks
     assert dlq.filter(F.col("event_id") % 7 == 0).count() > 0
+
+
+def test_stream_cusum_matches_batch_closed_form(spark, sf_dir, tmp_path):
+    """Streaming CUSUM (literal GroupState recurrence) equals the batch
+    plan's closed prefix form (running sum minus running min) on the
+    same ordered daily-z feed — the stream-vs-batch equivalence that
+    lets one detector definition serve the backfill and the live
+    monitor."""
+    import os
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        events_changepoint_cusum,
+    )
+
+    batch = events_changepoint_cusum(spark, sf_dir).collect()
+    assert batch
+    # reconstruct the daily-z feed the batch plan standardizes (zscore
+    # is rounded(4); the recurrence drift stays far below the 5e-3
+    # comparison tolerance)
+    daily_z = spark.createDataFrame(
+        [
+            (r["event_type"], int(r["day"].toordinal()) * 86_400_000_000, r["zscore"])
+            for r in batch
+        ],
+        "event_type string, day_us long, z double",
+    )
+    chunked = daily_z.withColumn("chunk", F.ntile(3).over(Window.orderBy("day_us")))
+    src = str(tmp_path / "cusum_src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(1, 4):
+        part = str(tmp_path / f"zpart{i}")
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).json(part)
+        for f in os.listdir(part):
+            if f.endswith(".json"):
+                os.replace(os.path.join(part, f), os.path.join(src, f"{i:02d}.json"))
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, day_us long, z double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    streams.run_to_memory(
+        streams.cusum_stream(stream, k=0.5), "t_cusum", output_mode="append"
+    )
+    got = {
+        (r.event_type, r.day_us): (r.cusum_pos, r.cusum_neg)
+        for r in spark.table("t_cusum").collect()
+    }
+    assert len(got) == len(batch)
+    for r in batch:
+        key = (r["event_type"], int(r["day"].toordinal()) * 86_400_000_000)
+        cp, cn = got[key]
+        assert cp == pytest.approx(r["cusum_pos"], abs=5e-3), key
+        assert cn == pytest.approx(r["cusum_neg"], abs=5e-3), key
