@@ -25,6 +25,8 @@ double-counts an IP.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,3 +60,65 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", _count(cur, pattern))
         cur = F.regexp_replace(cur, pattern, token)
     return out.withColumn("redacted", cur)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi: Sequence[str | Column],
+    sensitive: str | Column,
+    thresholds: Sequence[int] = (2, 5, 10, 25),
+) -> DataFrame:
+    """Re-identification risk report: for each k threshold, how many
+    quasi-identifier equivalence classes (and rows) fall below k
+    members, and the worst l-diversity (distinct sensitive values)
+    among those at-risk classes.  The release-gate question a training
+    corpus with user-derived rows has to answer before it ships.
+
+    Scale shape: ONE hash aggregation over the quasi-identifier tuple
+    builds the class frame (partial aggregation map-side, a single
+    shuffle on the QI key); the per-threshold rollup is a second
+    aggregate over the class frame that computes every threshold's
+    conditional sums in one pass into an array of structs and explodes
+    the single result row — no per-threshold rescan, no join against a
+    thresholds literal (which would plan as a nested-loop join).  The
+    class frame is at worst corpus-sized but typically crushes by the
+    QI cardinality, and nothing downstream of it touches raw rows."""
+    classes = df.groupBy(*quasi).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct(sensitive).alias("l_div"),
+    )
+    per_k = [
+        F.struct(
+            F.lit(int(k)).alias("k_threshold"),
+            F.sum(F.when(F.col("cnt") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_at_risk"),
+            F.coalesce(F.sum(F.when(F.col("cnt") < k, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min(F.when(F.col("cnt") < k, F.col("l_div"))).alias(
+                "worst_l_diversity"
+            ),
+        )
+        for k in thresholds
+    ]
+    agg = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.min("cnt").cast("long").alias("min_class_size"),
+        F.array(*per_k).alias("per_k"),
+    )
+    return agg.select(
+        F.explode("per_k").alias("t"), "n_classes", "n_rows", "min_class_size"
+    ).select(
+        F.col("t.k_threshold").alias("k_threshold"),
+        F.col("t.classes_at_risk").alias("classes_at_risk"),
+        F.col("t.rows_at_risk").alias("rows_at_risk"),
+        F.round(F.col("t.rows_at_risk") / F.col("n_rows"), 6).alias(
+            "pct_rows_at_risk"
+        ),
+        F.col("t.worst_l_diversity").alias("worst_l_diversity"),
+        "n_classes",
+        "n_rows",
+        "min_class_size",
+    )

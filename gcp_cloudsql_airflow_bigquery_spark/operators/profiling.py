@@ -70,3 +70,70 @@ def profile_table(
         ]
     )
     return row.select(F.explode(records).alias("p")).select("p.*")
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    bin_col: Column,
+    n_bins: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index of a pre-binned feature, per group
+    vs the whole frame: ``PSI = Σ_b (p_g,b − p_ref,b) · ln(p_g,b /
+    p_ref,b)`` with +0.5 Laplace smoothing on every bin count so empty
+    bins contribute finite mass on both sides.  The standard
+    model-monitoring drift score (>0.2 = action) applied to corpus
+    curation: a source whose feature distribution drifts from the
+    corpus reference gets flagged before it skews a training mix.
+
+    ``bin_col`` must already be a deterministic integer in
+    ``[0, n_bins)`` — binning by comparison against computed quantile
+    boundaries is NOT cross-engine stable (FP boundary ties flip
+    rows), fixed integer binning is.
+
+    Scale shape: one hash aggregation per group computes every bin's
+    count in a single pass (``n_bins`` conditional sums folded into an
+    array-of-structs, exploded after — no bins×groups nested-loop
+    scaffold join, no second scan); the reference distribution is the
+    same aggregation with no key, a ≤``n_bins``-row frame broadcast
+    into the final join.  Raw rows are touched exactly once."""
+    binned = df.select(F.col(group_col).alias("g"), bin_col.alias("b"))
+    per_bin = [
+        F.struct(
+            F.lit(b).alias("bin"),
+            F.sum(F.when(F.col("b") == b, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt"),
+        )
+        for b in range(n_bins)
+    ]
+    src = (
+        binned.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.array(*per_bin).alias("bins"))
+        .select("g", "n", F.explode("bins").alias("t"))
+        .select("g", "n", F.col("t.bin").alias("bin"), F.col("t.cnt").alias("cnt"))
+    )
+    ref = (
+        binned.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_ref"), F.array(*per_bin).alias("bins"))
+        .select("n_ref", F.explode("bins").alias("t"))
+        .select("n_ref", F.col("t.bin").alias("bin"), F.col("t.cnt").alias("cnt_ref"))
+    )
+    smooth = float(n_bins) * 0.5
+    p = (F.col("cnt") + 0.5) / (F.col("n") + smooth)
+    q = (F.col("cnt_ref") + 0.5) / (F.col("n_ref") + smooth)
+    per_group = (
+        src.join(F.broadcast(ref), "bin")
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+    )
+    return per_group.select(
+        F.col("g").alias(group_col),
+        F.col("n_rows").alias("n_rows"),
+        "psi",
+        (F.col("psi") > threshold).alias("drift_flag"),
+    )

@@ -313,11 +313,68 @@ SELECT 'event_id_unique',
 """
 
 
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk gate (new r7) over the customer extract:
+    k-anonymity of the (nation, account-balance band) quasi-identifier
+    with ``c_mktsegment`` as the sensitive attribute — for each k in
+    {2, 5, 10, 25}, how many equivalence classes (and what row
+    fraction) are smaller than k, plus the worst l-diversity among the
+    at-risk classes.  The privacy counterpart of the landing contracts
+    above: a corpus built from user-derived rows should not ship
+    singleton QI classes.  The balance band is ``FLOOR(bal / 1000)`` —
+    IEEE floor on a double is bit-identical across engines (a plain
+    double→int cast is NOT: DuckDB rounds, Spark truncates); scale
+    shape is two stacked hash aggregations (QI classes, then one
+    single-row rollup) — see
+    :func:`operators.privacy.k_anonymity_report`."""
+    from ..operators import privacy
+
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    )
+    return privacy.k_anonymity_report(
+        banded, ["c_nationkey", "bal_band"], "c_mktsegment"
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS cnt, COUNT(DISTINCT c_mktsegment) AS l_div
+  FROM customer GROUP BY 1, 2
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MIN(cnt) AS BIGINT) AS min_class_size
+  FROM classes
+),
+per_k AS (
+  SELECT k.k_threshold,
+         CAST(COUNT(CASE WHEN cnt < k.k_threshold THEN 1 END) AS BIGINT)
+           AS classes_at_risk,
+         CAST(COALESCE(SUM(CASE WHEN cnt < k.k_threshold THEN cnt END), 0)
+              AS BIGINT) AS rows_at_risk,
+         MIN(CASE WHEN cnt < k.k_threshold THEN l_div END)
+           AS worst_l_diversity
+  FROM classes
+  CROSS JOIN (VALUES (2), (5), (10), (25)) AS k(k_threshold)
+  GROUP BY 1
+)
+SELECT k_threshold, classes_at_risk, rows_at_risk,
+       ROUND(rows_at_risk * 1.0 / n_rows, 6) AS pct_rows_at_risk,
+       worst_l_diversity, n_classes, n_rows, min_class_size
+FROM per_k CROSS JOIN totals
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_orders_report": dq_orders_report,
     "dq_lineitem_report": dq_lineitem_report,
     "dq_documents_report": dq_documents_report,
     "dq_events_report": dq_events_report,
+    "customer_k_anonymity": customer_k_anonymity,
 }
 
 ORACLE: dict[str, str] = {
@@ -325,4 +382,5 @@ ORACLE: dict[str, str] = {
     "dq_lineitem_report": _DQ_LINEITEM_SQL,
     "dq_documents_report": _DQ_DOCUMENTS_SQL,
     "dq_events_report": _DQ_EVENTS_SQL,
+    "customer_k_anonymity": _K_ANONYMITY_SQL,
 }

@@ -1601,3 +1601,83 @@ GROUP BY event_type
 
 QUERIES["events_forecast_eval"] = events_forecast_eval
 ORACLE["events_forecast_eval"] = _FORECAST_EVAL_SQL
+
+
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation / bot screen (new r7) over per-user inter-arrival
+    times: a scripted client fires on a timer, so its gap distribution
+    has a far lower coefficient of variation than a human's bursty
+    clickstream (CV ≈ 1 for a Poisson user, → 0 for a cron job).  Per
+    user: event count, events/day over the active span, mean gap, and
+    ``cv = stddev_pop(gap) / mean(gap)``; the flag trips on the ROUNDED
+    cv (the seasonal-anomaly boundary-tie lesson) below 0.3 with at
+    least 50 events.  The training-data angle: bot traffic poisons
+    behavioral corpora and should be screened before events feed any
+    model.
+
+    Scale shape: one shuffle on ``user_id`` serves both the LAG window
+    and the groupBy (co-partitioned, AQE reuses the exchange); no
+    global window, no join.  Gaps are exact integer microsecond
+    differences (``unix_micros`` / ``epoch_us``) so both engines
+    aggregate identical doubles; ties within a user's timeline order by
+    (ts, event_id), deterministic because event_id is unique."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    gaps = e.withColumn(
+        "gap_s", (F.col("us") - F.lag("us").over(w)) / F.lit(1e6)
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("gap_s").alias("mean_gap"),
+        F.stddev_pop("gap_s").alias("sd_gap"),
+        ((F.max("us") - F.min("us")) / F.lit(86_400e6)).alias("span_days"),
+    )
+    cv = F.round(F.col("sd_gap") / F.nullif(F.col("mean_gap"), F.lit(0.0)), 4)
+    return (
+        per_user.filter(F.col("n_events") >= 20)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.nullif(F.col("span_days"), F.lit(0.0)), 4
+            ).alias("events_per_day"),
+            F.round("mean_gap", 4).alias("mean_gap_s"),
+            cv.alias("gap_cv"),
+            F.coalesce(
+                (cv < 0.3) & (F.col("n_events") >= 50), F.lit(False)
+            ).alias("bot_flag"),
+        )
+    )
+
+
+_BOT_REGULARITY_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         AVG(gap_s) AS mean_gap, STDDEV_POP(gap_s) AS sd_gap,
+         (MAX(us) - MIN(us)) / 86400e6 AS span_days
+  FROM g GROUP BY 1
+)
+SELECT user_id, n_events,
+       ROUND(n_events / NULLIF(span_days, 0.0), 4) AS events_per_day,
+       ROUND(mean_gap, 4) AS mean_gap_s,
+       ROUND(sd_gap / NULLIF(mean_gap, 0.0), 4) AS gap_cv,
+       COALESCE(ROUND(sd_gap / NULLIF(mean_gap, 0.0), 4) < 0.3
+                AND n_events >= 50, FALSE) AS bot_flag
+FROM per_user WHERE n_events >= 20
+"""
+
+QUERIES["events_bot_regularity"] = events_bot_regularity
+ORACLE["events_bot_regularity"] = _BOT_REGULARITY_SQL

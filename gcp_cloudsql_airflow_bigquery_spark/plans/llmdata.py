@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, similarity, textstats
+from ..operators import dedup, profiling, similarity, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2697,3 +2697,59 @@ FROM r
 
 QUERIES["doc_zipf_fit"] = doc_zipf_fit
 ORACLE["doc_zipf_fit"] = _ZIPF_SQL
+
+
+def doc_source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Population Stability Index (new r7) of the document
+    length distribution vs the corpus reference — the numeric-feature
+    companion to ``doc_source_token_drift``'s unigram JS divergence:
+    token drift catches topical shift, PSI on a length feature catches
+    format shift (boilerplate, truncation, chunking changes) in a
+    crawl snapshot before it skews a training mix.  Bins are fixed
+    64-char integer buckets capped at 10 (NOT computed quantile
+    boundaries — FP boundary ties are not cross-engine stable); +0.5
+    Laplace smoothing keeps empty bins finite; the standard >0.2
+    action threshold sets ``drift_flag``.  Scale shape in
+    :func:`..operators.profiling.psi_drift`: one pass over raw rows,
+    bin counts folded into a single aggregation per side, ≤10-row
+    reference broadcast."""
+    docs = _docs(spark, sf_dir)
+    return profiling.psi_drift(
+        docs,
+        "source",
+        F.least(F.lit(9), F.expr("n_chars div 64")).cast("int"),
+        n_bins=10,
+    )
+
+
+_SOURCE_PSI_SQL = """
+WITH binned AS (
+  SELECT source AS g, LEAST(9, n_chars // 64) AS b FROM documents
+),
+bins AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+ref AS (
+  SELECT b.bin,
+         (SELECT COUNT(*) FROM binned) AS n_ref,
+         CAST(COUNT(d.b) AS BIGINT) AS cnt_ref
+  FROM bins b LEFT JOIN binned d ON d.b = b.bin GROUP BY 1
+),
+src AS (
+  SELECT s.g, b.bin, s.n, CAST(COUNT(d.b) AS BIGINT) AS cnt
+  FROM (SELECT g, COUNT(*) AS n FROM binned GROUP BY 1) s
+  CROSS JOIN bins b
+  LEFT JOIN binned d ON d.g = s.g AND d.b = b.bin
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT s.g, MAX(s.n) AS n_rows,
+         ROUND(SUM(((s.cnt + 0.5) / (s.n + 5.0)
+                    - (r.cnt_ref + 0.5) / (r.n_ref + 5.0))
+                   * ln(((s.cnt + 0.5) / (s.n + 5.0))
+                        / ((r.cnt_ref + 0.5) / (r.n_ref + 5.0)))), 6) AS psi
+  FROM src s JOIN ref r USING (bin) GROUP BY 1
+)
+SELECT g AS source, n_rows, psi, psi > 0.2 AS drift_flag FROM scored
+"""
+
+QUERIES["doc_source_psi_drift"] = doc_source_psi_drift
+ORACLE["doc_source_psi_drift"] = _SOURCE_PSI_SQL

@@ -1,0 +1,95 @@
+"""Differential tests for the round-7 wave-11 governance/monitoring
+operators: each Spark plan is replayed by a small pure-Python
+reference (dict-of-counts k-anonymity, sequential gap statistics,
+textbook PSI sum) on the collected fixture rows — proving the intended
+ALGORITHM on top of the DuckDB oracles' cross-engine agreement."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+from gcp_cloudsql_airflow_bigquery_spark.plans import dq, events, llmdata
+
+
+def test_k_anonymity_matches_counting_reference(spark, sf_dir):
+    out = {r["k_threshold"]: r for r in dq.customer_k_anonymity(spark, sf_dir).collect()}
+    assert sorted(out) == [2, 5, 10, 25]
+    classes: Counter = Counter()
+    sens: defaultdict = defaultdict(set)
+    n_rows = 0
+    for r in load_table(spark, sf_dir, "customer").collect():
+        qi = (r["c_nationkey"], math.floor(r["c_acctbal"] / 1000.0))
+        classes[qi] += 1
+        sens[qi].add(r["c_mktsegment"])
+        n_rows += 1
+    for k, r in out.items():
+        at_risk = {qi: c for qi, c in classes.items() if c < k}
+        assert r["classes_at_risk"] == len(at_risk)
+        assert r["rows_at_risk"] == sum(at_risk.values())
+        assert r["pct_rows_at_risk"] == pytest.approx(
+            round(sum(at_risk.values()) / n_rows, 6), abs=1e-9
+        )
+        expect_l = min((len(sens[qi]) for qi in at_risk), default=None)
+        assert r["worst_l_diversity"] == expect_l
+        assert r["n_classes"] == len(classes)
+        assert r["n_rows"] == n_rows
+        assert r["min_class_size"] == min(classes.values())
+
+
+def test_bot_regularity_matches_sequential_reference(spark, sf_dir):
+    out = {r["user_id"]: r for r in events.events_bot_regularity(spark, sf_dir).collect()}
+    assert out
+    by_user: defaultdict = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    for uid, evs in by_user.items():
+        if len(evs) < 20:
+            assert uid not in out
+            continue
+        evs.sort()
+        gaps = [
+            (b[0] - a[0]).total_seconds() for a, b in zip(evs, evs[1:])
+        ]
+        mean = sum(gaps) / len(gaps)
+        sd = math.sqrt(sum((g - mean) ** 2 for g in gaps) / len(gaps))
+        r = out[uid]
+        assert r["n_events"] == len(evs)
+        assert r["mean_gap_s"] == pytest.approx(round(mean, 4), abs=1e-3)
+        cv = round(sd / mean, 4) if mean else None
+        assert r["gap_cv"] == pytest.approx(cv, abs=1e-3)
+        span_days = (evs[-1][0] - evs[0][0]).total_seconds() / 86_400
+        assert r["events_per_day"] == pytest.approx(
+            round(len(evs) / span_days, 4), abs=1e-3
+        )
+        assert r["bot_flag"] == bool(cv is not None and cv < 0.3 and len(evs) >= 50)
+
+
+def test_psi_drift_matches_textbook_sum(spark, sf_dir):
+    out = {r["source"]: r for r in llmdata.doc_source_psi_drift(spark, sf_dir).collect()}
+    assert out
+    ref: Counter = Counter()
+    per_src: defaultdict = defaultdict(Counter)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        b = min(9, r["n_chars"] // 64)
+        ref[b] += 1
+        per_src[r["source"]][b] += 1
+    n_ref = sum(ref.values())
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        psi = sum(
+            ((cnt.get(b, 0) + 0.5) / (n + 5.0) - (ref.get(b, 0) + 0.5) / (n_ref + 5.0))
+            * math.log(
+                ((cnt.get(b, 0) + 0.5) / (n + 5.0))
+                / ((ref.get(b, 0) + 0.5) / (n_ref + 5.0))
+            )
+            for b in range(10)
+        )
+        r = out[src]
+        assert r["n_rows"] == n
+        assert r["psi"] == pytest.approx(round(psi, 6), abs=1e-5)
+        assert r["drift_flag"] == (r["psi"] > 0.2)
+        assert r["psi"] >= -1e-9  # PSI is a sum of nonneg KL-style terms
