@@ -104,9 +104,10 @@ _MODULES = (
 # (customer_linkage_scores, events_forecast_eval, doc_ngram_novelty)
 # the three r7-wave-9 additions (orders_benford_screen,
 # customer_revenue_gini, doc_readability) and the two r7-wave-10
-# additions (embedding_outlier_score, doc_zipf_fit) and the three
+# additions (embedding_outlier_score, doc_zipf_fit), the three
 # r7-wave-11 additions (customer_k_anonymity, events_bot_regularity,
-# doc_source_psi_drift)
+# doc_source_psi_drift) and the r7-wave-12 addition
+# (embedding_pq_codes)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

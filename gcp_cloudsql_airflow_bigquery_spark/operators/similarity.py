@@ -670,3 +670,156 @@ def semantic_dedup_from_index(
         "cluster",
         F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two equal-length arrays,
+    folded positionally left-to-right (the same order DuckDB's
+    ``list_sum(list_transform(...))`` replay uses, so argmin
+    comparisons see identically-ordered sums)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook_lit(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+
+
+def pq_subvectors(
+    embeddings: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, sv) rows: each vector split into ``m`` contiguous
+    subvectors — a narrow explode (rows × m), no shuffle."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    return v.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, {m} - 1),"
+                " s -> slice(vec, s * (size(vec) div {m}) + 1,"
+                " size(vec) div {m}))".format(m=m)
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def pq_build(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: the vector is cut
+    into ``m`` contiguous subvectors and each subspace gets its own
+    ``ks``-centroid L2 k-means (init = the ``ks`` smallest ids'
+    subvectors, ``iters`` Lloyd rounds, plain Euclidean — PQ quantizes
+    raw subvectors, so unlike :func:`ivf_build` there is NO
+    normalization).  All ``m`` subspaces train in the SAME distributed
+    pass per round: one exploded (id, sub, sv) frame, one argmin
+    against the broadcast codebook literal, one (sub, cluster, pos)
+    re-average — only the m×ks×(d/m) codebook (= d·ks doubles total,
+    the model artifact) ever reaches the driver."""
+    init = (
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+        )
+        .orderBy("id")
+        .limit(ks)
+        .collect()
+    )
+    dim = len(init[0].vec)
+    sub_dim = dim // m
+    codebooks = [
+        [list(r.vec[s * sub_dim : (s + 1) * sub_dim]) for r in init]
+        for s in range(m)
+    ]
+    subs = pq_subvectors(embeddings, m, id_col, vec_col)
+    for _ in range(iters):
+        assigned = subs.withColumn(
+            "cluster", pq_assign(F.col("sv"), F.col("sub"), codebooks)
+        )
+        sums = (
+            assigned.select("sub", "cluster", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.avg("x").alias("mean_x"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            by.setdefault((r.sub, r.cluster), {})[r.pos] = r.mean_x
+        codebooks = [
+            [
+                [by[(s, c)][p] for p in sorted(by[(s, c)])]
+                if (s, c) in by
+                else codebooks[s][c]  # empty cell keeps its old centroid
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
+
+
+def pq_assign(
+    sv: Column, sub: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Index of the min-L2 centroid of subspace ``sub`` (first-min
+    tie-break, matching the oracle's ``ORDER BY d2, cluster``)."""
+    cb = F.element_at(_pq_codebook_lit(codebooks), sub + 1)
+    dists = F.transform(cb, lambda c: _l2sq(sv, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ code + reconstruction error: ``pq_code`` packs
+    each subspace's centroid index into 4-bit fields (ks <= 16 ⇒ a
+    64-dim/8-sub code is one BIGINT — a 64x storage cut vs the raw
+    float32 vector, the asymmetric-distance-search memory layout),
+    ``recon_err`` is the L2 distance between the vector and its
+    decoded approximation.  One narrow explode + one groupBy(id): a
+    single shuffle sized by rows×m tiny rows, codebooks ride along as
+    a broadcast literal."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    if ks > 16:
+        raise ValueError("pq_encode packs 4-bit fields; ks must be <= 16")
+    subs = pq_subvectors(embeddings, m, id_col, vec_col)
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
+    dists = F.transform(cb, lambda c: _l2sq(F.col("sv"), c))
+    assigned = subs.select(
+        "id",
+        "sub",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(dists).alias("d2"),
+    )
+    return (
+        assigned.groupBy("id")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(cast(cluster AS BIGINT), 4 * sub)")
+            ).alias("pq_code"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("recon_err"),
+        )
+        .select(F.col("id").alias(id_col), "pq_code", "recon_err")
+    )

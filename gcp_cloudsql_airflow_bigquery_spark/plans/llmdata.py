@@ -2753,3 +2753,90 @@ SELECT g AS source, n_rows, psi, psi > 0.2 AS drift_flag FROM scored
 
 QUERIES["doc_source_psi_drift"] = doc_source_psi_drift
 ORACLE["doc_source_psi_drift"] = _SOURCE_PSI_SQL
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus (new r7): 8
+    subspaces x 16 centroids, 2 Lloyd rounds, 4-bit codes packed into
+    one BIGINT per vector plus the L2 reconstruction error — the
+    memory layout ANN-at-scale actually ships (a 64-dim float32
+    vector becomes 8 bytes; asymmetric-distance search reads codes,
+    not vectors).  Complements ``embedding_quantized``'s int8 scalar
+    quantization (4x) with the 32x vector-quantized tier.
+
+    Hash-checkable like ``knn_ivf``: training is deterministic (init =
+    the 16 smallest ids' subvectors, plain L2 Lloyd — PQ does NOT
+    normalize), so the oracle replays every round as unrolled CTEs per
+    subspace; argmin margins dwarf cross-engine float drift and exact
+    distance ties break first-min = cluster-ascending in both engines.
+    Scale shape in :func:`..operators.similarity.pq_build`: the m
+    subspaces train in one distributed pass per round (a rows x m
+    explode), the codebook is d·ks doubles on the driver (the model
+    artifact), encoding is one explode + one groupBy(id)."""
+    emb = _emb(spark, sf_dir)
+    codebooks = similarity.pq_build(emb, m=8, ks=16, iters=2)
+    return similarity.pq_encode(emb, codebooks)
+
+
+def _pq_round_ctes(i: int, m: int, ks: int) -> str:
+    """One unrolled PQ Lloyd round: argmin-assign per (id, sub) with
+    ``ORDER BY d2, cluster`` (first-min tie-break =
+    ``array_position(d, array_min(d))``), per-(sub, cluster, pos)
+    re-average, empty cells keep their previous centroid."""
+    return f"""a{i} AS MATERIALIZED (
+  SELECT id, sub, sv, cluster FROM (
+    SELECT v.id, v.sub, v.sv, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.id, v.sub
+             ORDER BY list_sum(list_transform(v.sv,
+                        (x, j) -> (x - c.c[j]) * (x - c.c[j]))), c.cluster)
+             AS rn
+    FROM subs v JOIN c{i - 1} c USING (sub)) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT sub, cluster, list(mx ORDER BY pos) AS mc FROM (
+    SELECT sub, cluster, pos, AVG(x) AS mx FROM (
+      SELECT a.sub, a.cluster, generate_subscripts(a.sv, 1) AS pos,
+             unnest(a.sv) AS x FROM a{i} a)
+    GROUP BY 1, 2, 3) GROUP BY 1, 2
+),
+c{i} AS MATERIALIZED (
+  SELECT p.sub, p.cluster, COALESCE(m.mc, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (sub, cluster)
+)"""
+
+
+_PQ_CODES_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+sdims AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+subs AS MATERIALIZED (
+  SELECT id, s.sub, list_slice(vec, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+  FROM e CROSS JOIN sdims s
+),
+init AS (SELECT id, vec FROM e ORDER BY id LIMIT 16),
+c0 AS MATERIALIZED (
+  SELECT s.sub,
+         ROW_NUMBER() OVER (PARTITION BY s.sub ORDER BY i.id) - 1 AS cluster,
+         list_slice(i.vec, s.sub * 8 + 1, s.sub * 8 + 8) AS c
+  FROM init i CROSS JOIN sdims s
+),
+{_pq_round_ctes(1, 8, 16)},
+{_pq_round_ctes(2, 8, 16)},
+final AS (
+  SELECT id, sub, cluster, d2 FROM (
+    SELECT v.id, v.sub, c.cluster,
+           list_sum(list_transform(v.sv,
+             (x, j) -> (x - c.c[j]) * (x - c.c[j]))) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.id, v.sub
+             ORDER BY list_sum(list_transform(v.sv,
+                        (x, j) -> (x - c.c[j]) * (x - c.c[j]))), c.cluster)
+             AS rn
+    FROM subs v JOIN c2 c USING (sub)) WHERE rn = 1
+)
+SELECT id AS vec_id,
+       CAST(SUM(CAST(cluster AS BIGINT) << (4 * sub)) AS BIGINT) AS pq_code,
+       ROUND(SQRT(SUM(d2)), 6) AS recon_err
+FROM final GROUP BY 1
+"""
+
+QUERIES["embedding_pq_codes"] = embedding_pq_codes
+ORACLE["embedding_pq_codes"] = _PQ_CODES_SQL

@@ -93,3 +93,75 @@ def test_psi_drift_matches_textbook_sum(spark, sf_dir):
         assert r["psi"] == pytest.approx(round(psi, 6), abs=1e-5)
         assert r["drift_flag"] == (r["psi"] > 0.2)
         assert r["psi"] >= -1e-9  # PSI is a sum of nonneg KL-style terms
+
+
+def test_pq_matches_pure_python_lloyd(spark, sf_dir):
+    """Replay pq_build's deterministic training (init = 16 smallest
+    ids' subvectors, 2 plain-L2 Lloyd rounds, first-min tie-break,
+    empty cells keep centroids) in pure Python and check codes and
+    reconstruction errors row-for-row."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        ((r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect())
+    )
+    m, ks, sub_dim = 8, 16, len(rows[0][1]) // 8
+    subs = {
+        (vid, s): vec[s * sub_dim : (s + 1) * sub_dim] for vid, vec in rows for s in range(m)
+    }
+    books = [
+        [rows[c][1][s * sub_dim : (s + 1) * sub_dim] for c in range(ks)]
+        for s in range(m)
+    ]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def argmin(sv, cb):
+        ds = [d2(sv, c) for c in cb]
+        return ds.index(min(ds))
+
+    for _ in range(2):
+        members: defaultdict = defaultdict(list)
+        for (vid, s), sv in subs.items():
+            members[(s, argmin(sv, books[s]))].append(sv)
+        books = [
+            [
+                [sum(v[p] for v in mem) / len(mem) for p in range(sub_dim)]
+                if (mem := members.get((s, c)))
+                else books[s][c]
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ]
+    expect = {}
+    for vid, vec in rows:
+        code, err2 = 0, 0.0
+        for s in range(m):
+            cl = argmin(subs[(vid, s)], books[s])
+            code |= cl << (4 * s)
+            err2 += d2(subs[(vid, s)], books[s][cl])
+        expect[vid] = (code, round(math.sqrt(err2), 6))
+
+    got = {
+        r["vec_id"]: (r["pq_code"], r["recon_err"])
+        for r in llmdata.embedding_pq_codes(spark, sf_dir).collect()
+    }
+    assert got.keys() == expect.keys()
+    n_code_match = sum(got[v][0] == expect[v][0] for v in got)
+    # argmin near-ties may flip a rare subspace code between float
+    # summation orders; demand near-total agreement, exact err where
+    # codes agree
+    assert n_code_match >= len(got) - 1, f"{len(got) - n_code_match} code mismatches"
+    for v in got:
+        if got[v][0] == expect[v][0]:
+            assert got[v][1] == pytest.approx(expect[v][1], abs=2e-6)
+
+    # 4-bit packing invariant: every unpacked field is a valid cluster
+    for code, _ in got.values():
+        for s in range(m):
+            assert 0 <= (code >> (4 * s)) & 0xF < ks
+
+    with pytest.raises(ValueError):
+        similarity.pq_encode(emb, [[[0.0]] * 17])
