@@ -154,6 +154,14 @@ HEADLINE = [
     # r7 wave 10: diagonal-Mahalanobis outlier screen, Zipf corpus fit
     ("embedding_outlier_score", llmdata.QUERIES),
     ("doc_zipf_fit", llmdata.QUERIES),
+    # r7 wave 11: k-anonymity gate, bot-regularity screen, PSI drift
+    ("customer_k_anonymity", dq.QUERIES),
+    ("events_bot_regularity", events.QUERIES),
+    ("doc_source_psi_drift", llmdata.QUERIES),
+    # r7 wave 12: product-quantization codes (train + encode) and the
+    # unrolled greedy MMR diversity re-rank
+    ("embedding_pq_codes", llmdata.QUERIES),
+    ("embedding_mmr_diverse", search.QUERIES),
 ]
 
 

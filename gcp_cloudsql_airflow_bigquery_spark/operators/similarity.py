@@ -823,3 +823,81 @@ def pq_encode(
         )
         .select(F.col("id").alias(id_col), "pq_code", "recon_err")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame, k: int = 10, lam: float = 0.7
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedily pick the
+    candidate maximizing ``lam·rel − (1−lam)·max_sim_to_selected`` —
+    the standard retrieval re-ranker that trades raw relevance for
+    coverage, and the per-query counterpart of corpus-level diversity
+    selection in a training-data pipeline (don't fill a context window
+    / batch with ten near-copies of the best hit).
+
+    ``candidates`` = (query_id, cand_id, rel, vec) — a BOUNDED
+    per-query pool (ANN/BM25 top-N), which is what makes the shape
+    scale-safe: each of the ``k`` unrolled greedy steps is a join of
+    the pool against the ≤step-sized selected set per query, grouped
+    back per candidate, so cost is queries × pool × k tiny rows and
+    NEVER touches the corpus.  Each pick is lineage-cut with a lazy
+    ``localCheckpoint`` so the iterated plan stays constant-size (the
+    graph.py convention).  Queries with fewer than ``k`` candidates
+    simply stop early (argmax of an empty remainder yields no row).
+    Scores are rounded(6) before the argmax and ties break on
+    cand_id, so a SQL replay picks identically."""
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    selected = (
+        candidates.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "vec",
+            F.round("rel", 6).alias("mmr_score"),
+            F.lit(1).alias("pick"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        s = selected.select(
+            "query_id",
+            F.col("cand_id").alias("sel_id"),
+            F.col("vec").alias("sel_vec"),
+        )
+        scored = (
+            candidates.join(s, "query_id")
+            .groupBy("query_id", "cand_id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.first("vec").alias("vec"),
+                F.max(cosine(F.col("vec"), F.col("sel_vec"))).alias("max_sim"),
+                F.max((F.col("cand_id") == F.col("sel_id")).cast("int")).alias(
+                    "is_sel"
+                ),
+            )
+            .filter(F.col("is_sel") == 0)
+            .withColumn(
+                "mmr",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.col("max_sim"),
+                    6,
+                ),
+            )
+        )
+        wk = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "cand_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "vec",
+                F.col("mmr").alias("mmr_score"),
+                F.lit(step).alias("pick"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("query_id", "pick", "cand_id", "mmr_score")

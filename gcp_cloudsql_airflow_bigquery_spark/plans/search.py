@@ -350,3 +350,95 @@ QUALIFY rank <= 10
 
 QUERIES["doc_tfidf_knn"] = doc_tfidf_knn
 ORACLE["doc_tfidf_knn"] = _TFIDF_KNN_SQL
+
+
+def embedding_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (new r7): brute-force cosine top-25
+    per pinned probe query, greedily re-ranked to 10 picks by
+    ``0.7·rel − 0.3·max_sim_to_selected`` — the diversity re-ranker
+    that keeps a context window / training batch from filling with
+    near-copies of the best hit.  Hash-checkable because the greedy
+    loop is deterministic: scores round(6) before each argmax, ties
+    break on cand_id, and the oracle replays all ten picks as unrolled
+    CTEs.  Scale shape in :func:`..operators.similarity.mmr_rerank`:
+    every step works on the BOUNDED candidate pool (queries × 25
+    rows), never the corpus; picks are lineage-cut."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    topk = similarity.brute_force_topk(emb, probes, k=25)
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        similarity._as_double("embedding").alias("vec"),
+    )
+    cands = topk.select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("cosine").alias("rel"),
+    ).join(vecs, "cand_id")
+    return similarity.mmr_rerank(cands, k=10, lam=0.7)
+
+
+def _mmr_ctes(k: int, lam: float) -> str:
+    """Unrolled greedy MMR replay over a prior CTE ``cand(query_id,
+    cand_id, rel, vec)``: pick 1 = max rel; pick i = max of
+    ``lam·rel − (1−lam)·max cosine to the selected set``, rounded(6)
+    before the argmax, cand_id tie-break, selected candidates excluded
+    explicitly.  Produces ``all{k}``."""
+    parts = [
+        """sel1 AS (
+  SELECT query_id, cand_id, vec, ROUND(rel, 6) AS mmr_score, 1 AS pick FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM cand) WHERE rn = 1
+)""",
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""sc{i} AS (
+  SELECT c.query_id, c.cand_id, ANY_VALUE(c.vec) AS vec,
+         ROUND({lam} * MAX(c.rel) - {1 - lam} *
+               MAX(list_dot_product(c.vec, s.vec) /
+                   (SQRT(list_dot_product(c.vec, c.vec)) *
+                    SQRT(list_dot_product(s.vec, s.vec)))), 6) AS mmr,
+         MAX(CASE WHEN c.cand_id = s.cand_id THEN 1 ELSE 0 END) AS is_sel
+  FROM cand c JOIN all{i - 1} s USING (query_id)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""sel{i} AS (
+  SELECT query_id, cand_id, vec, mmr AS mmr_score, {i} AS pick FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM sc{i} WHERE is_sel = 0) WHERE rn = 1
+)""")
+        parts.append(
+            f"all{i} AS (SELECT * FROM all{i - 1} UNION ALL SELECT * FROM sel{i})"
+        )
+    return ",\n".join(parts)
+
+
+_MMR_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+cand AS MATERIALIZED (
+  SELECT query_id, cand_id, rel, vec FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
+           ROUND(list_dot_product(q.e, v.e) /
+                 (SQRT(list_dot_product(q.e, q.e)) *
+                  SQRT(list_dot_product(v.e, v.e))), 6) AS rel,
+           v.e AS vec,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e, v.e) /
+                 (SQRT(list_dot_product(q.e, q.e)) *
+                  SQRT(list_dot_product(v.e, v.e))), 6) DESC,
+                      v.vec_id) AS rank
+    FROM q JOIN v ON q.vec_id != v.vec_id)
+  WHERE rank <= 25
+),
+{_mmr_ctes(10, 0.7)}
+SELECT query_id, pick, cand_id, mmr_score FROM all10
+"""
+
+QUERIES["embedding_mmr_diverse"] = embedding_mmr_diverse
+ORACLE["embedding_mmr_diverse"] = _MMR_SQL

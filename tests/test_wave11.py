@@ -165,3 +165,51 @@ def test_pq_matches_pure_python_lloyd(spark, sf_dir):
 
     with pytest.raises(ValueError):
         similarity.pq_encode(emb, [[[0.0]] * 17])
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    """Replay the unrolled greedy MMR (lam=0.7, round-6 scores,
+    cand_id tie-break) in pure Python from the same brute-force
+    top-25 pool and check every pick and score."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import search
+
+    got = defaultdict(dict)
+    for r in search.embedding_mmr_diverse(spark, sf_dir).collect():
+        got[r["query_id"]][r["pick"]] = (r["cand_id"], r["mmr_score"])
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    lam = 0.7
+    for qid in range(5):
+        rels = sorted(
+            ((round(cos(emb[qid], v), 6), cid) for cid, v in emb.items() if cid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:25]
+        pool = {cid: rel for rel, cid in rels}
+        # pick 1 = max rel, cand_id tie-break
+        sel = [sorted(pool.items(), key=lambda t: (-t[1], t[0]))[0]]
+        for pick in range(2, 11):
+            scored = []
+            for cid, rel in pool.items():
+                if cid in {c for c, _ in sel}:
+                    continue
+                ms = max(cos(emb[cid], emb[sc]) for sc, _ in sel)
+                scored.append((cid, round(lam * rel - (1 - lam) * ms, 6)))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            sel.append(scored[0])
+        assert sorted(got[qid]) == list(range(1, 11))
+        for pick, (cid, score) in enumerate(sel, start=1):
+            gcid, gscore = got[qid][pick]
+            assert gcid == cid, (qid, pick)
+            expect = round(pool[cid], 6) if pick == 1 else score
+            assert gscore == pytest.approx(expect, abs=2e-6), (qid, pick)
+        # diversification sanity: no candidate picked twice
+        assert len({c for c, _ in sel}) == 10
