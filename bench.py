@@ -162,6 +162,9 @@ HEADLINE = [
     # unrolled greedy MMR diversity re-rank
     ("embedding_pq_codes", llmdata.QUERIES),
     ("embedding_mmr_diverse", search.QUERIES),
+    # r7 wave 13: prequential expanding-window z-score (batch twin of
+    # the Welford GroupState stream)
+    ("events_prequential_zscore", events.QUERIES),
 ]
 
 

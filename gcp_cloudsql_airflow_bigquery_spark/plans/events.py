@@ -1681,3 +1681,93 @@ FROM per_user WHERE n_events >= 20
 
 QUERIES["events_bot_regularity"] = events_bot_regularity
 ORACLE["events_bot_regularity"] = _BOT_REGULARITY_SQL
+
+
+def events_prequential_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (expanding-window) anomaly score (new r7): each
+    (type, day)'s revenue is standardized against the mean/stddev of
+    STRICTLY PRIOR days only — the honest online monitor, unlike
+    ``events_anomaly_zscore``'s full-sample baseline which peeks at
+    the future.  This is the batch twin of the Welford GroupState
+    stream (``streaming.streams.welford_zscore_stream``): the stream
+    maintains (n, mean, M2) incrementally; this plan computes the same
+    prior-only moments in closed form with a ``ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING`` frame, and stream≡batch is asserted in
+    tests/test_streaming.py.
+
+    Scale shape: one (type, day) aggregation (DECIMAL-summed so both
+    engines standardize identical inputs), then per-type ordered
+    windows over ~365 rows/type — partitioned, never global.  Flags
+    compare the ROUNDED z (boundary-tie lesson); days with fewer than
+    2 prior points or zero prior variance emit NULL z and FALSE
+    flag."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = (
+        daily.withColumn("prior_n", F.count("x").over(w))
+        .withColumn("prior_mean", F.avg("x").over(w))
+        .withColumn("prior_std", F.stddev_pop("x").over(w))
+    )
+    z = F.round(
+        (F.col("x") - F.col("prior_mean"))
+        / F.when(F.col("prior_std") > 0, F.col("prior_std")),
+        4,
+    )
+    return prior.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("day_value"),
+        "prior_n",
+        F.round("prior_mean", 6).alias("prior_mean"),
+        F.round("prior_std", 6).alias("prior_std"),
+        F.when(F.col("prior_n") >= 2, z).alias("zscore"),
+        F.coalesce(
+            F.abs(F.when(F.col("prior_n") >= 2, z)) > 3.0, F.lit(False)
+        ).alias("anomaly"),
+    )
+
+
+_PREQUENTIAL_Z_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+prior AS (
+  SELECT event_type, day, x,
+         COUNT(x) OVER w AS prior_n,
+         AVG(x) OVER w AS prior_mean,
+         STDDEV_POP(x) OVER w AS prior_std
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, ROUND(x, 6) AS day_value, prior_n,
+       ROUND(prior_mean, 6) AS prior_mean,
+       ROUND(prior_std, 6) AS prior_std,
+       CASE WHEN prior_n >= 2 THEN
+         ROUND((x - prior_mean) /
+               (CASE WHEN prior_std > 0 THEN prior_std END), 4) END AS zscore,
+       COALESCE(ABS(CASE WHEN prior_n >= 2 THEN
+         ROUND((x - prior_mean) /
+               (CASE WHEN prior_std > 0 THEN prior_std END), 4) END) > 3.0,
+         FALSE) AS anomaly
+FROM prior
+"""
+
+QUERIES["events_prequential_zscore"] = events_prequential_zscore
+ORACLE["events_prequential_zscore"] = _PREQUENTIAL_Z_SQL

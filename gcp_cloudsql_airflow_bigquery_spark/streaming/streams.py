@@ -545,3 +545,67 @@ def cusum_stream(daily_z: DataFrame, k: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+WELFORD_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), True),
+        StructField("day_us", LongType(), True),
+        StructField("x", DoubleType(), True),
+        StructField("prior_n", LongType(), True),
+        StructField("z", DoubleType(), True),
+    ]
+)
+
+_WELFORD_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("mean", DoubleType(), True),
+        StructField("m2", DoubleType(), True),
+    ]
+)
+
+
+def _welford_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    recs: list[tuple[int, float]] = []
+    for pdf in pdfs:
+        recs.extend((int(d), float(x)) for d, x in zip(pdf["day_us"], pdf["x"]))
+    recs.sort()
+    rows: list[tuple[str, int, float, int, float | None]] = []
+    for day_us, x in recs:
+        var = m2 / n if n else 0.0
+        z = (x - mean) / var**0.5 if n >= 2 and var > 0 else None
+        rows.append((event_type, day_us, x, n, z))
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(rows, columns=["event_type", "day_us", "x", "prior_n", "z"])
+
+
+def welford_zscore_stream(daily: DataFrame) -> DataFrame:
+    """Streaming twin of ``plans/events.events_prequential_zscore``:
+    the prior-days-only standardization as a Welford (n, mean, M2)
+    recurrence in GroupState — each arriving day is scored against the
+    moments of everything that came before it, then folded in, so the
+    live monitor never rescans history and never peeks forward.  The
+    batch plan computes the same prior-only moments in closed form
+    with a PRECEDING-only window frame; stream≡batch on the same
+    ordered feed is asserted in tests/test_streaming.py (Welford vs
+    two-pass moments agree to ~1e-10 relative, far inside the test
+    tolerance).  Per-key event-time order across micro-batches is the
+    same contract as :func:`cusum_stream`."""
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _welford_fn,
+        outputStructType=WELFORD_SCHEMA,
+        stateStructType=_WELFORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -417,3 +417,67 @@ def test_stream_cusum_matches_batch_closed_form(spark, sf_dir, tmp_path):
         cp, cn = got[key]
         assert cp == pytest.approx(r["cusum_pos"], abs=5e-3), key
         assert cn == pytest.approx(r["cusum_neg"], abs=5e-3), key
+
+
+def test_stream_welford_zscore_matches_batch_prior_window(spark, sf_dir, tmp_path):
+    """Streaming prequential z-score (Welford GroupState) equals the
+    batch plan's PRECEDING-only window moments on the same ordered
+    daily feed."""
+    import os
+    import time as _t
+
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        events_prequential_zscore,
+    )
+
+    batch = events_prequential_zscore(spark, sf_dir).collect()
+    assert batch
+    daily = spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["day"].toordinal()) * 86_400_000_000,
+                r["day_value"],
+            )
+            for r in batch
+        ],
+        "event_type string, day_us long, x double",
+    )
+    chunked = daily.withColumn("chunk", F.ntile(3).over(Window.orderBy("day_us")))
+    src = str(tmp_path / "welford_src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(1, 4):
+        part = str(tmp_path / f"wpart{i}")
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).json(part)
+        for f in os.listdir(part):
+            if f.endswith(".json"):
+                os.replace(os.path.join(part, f), os.path.join(src, f"{i:02d}.json"))
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, day_us long, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    streams.run_to_memory(
+        streams.welford_zscore_stream(stream), "t_welford", output_mode="append"
+    )
+    got = {
+        (r.event_type, r.day_us): (r.prior_n, r.z)
+        for r in spark.table("t_welford").collect()
+    }
+    assert len(got) == len(batch)
+    for r in batch:
+        key = (r["event_type"], int(r["day"].toordinal()) * 86_400_000_000)
+        n, z = got[key]
+        assert n == r["prior_n"], key
+        if r["zscore"] is None:
+            assert z is None or abs(z) == float("inf"), key
+        else:
+            # batch z standardizes the ROUNDED(6) day_value replayed
+            # here, so drift stays well under the rounding tolerance
+            assert z == pytest.approx(r["zscore"], abs=5e-3), key
