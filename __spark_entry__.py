@@ -107,9 +107,10 @@ _MODULES = (
 # additions (embedding_outlier_score, doc_zipf_fit), the three
 # r7-wave-11 additions (customer_k_anonymity, events_bot_regularity,
 # doc_source_psi_drift) and the r7-wave-12 additions
-# (embedding_pq_codes, embedding_mmr_diverse) and the r7-wave-13
+# (embedding_pq_codes, embedding_mmr_diverse), the r7-wave-13
 # addition (events_prequential_zscore, whose Welford GroupState
-# streaming twin is stream≡batch-tested)
+# streaming twin is stream≡batch-tested) and the r7-wave-14 addition
+# (knn_pq_adc)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

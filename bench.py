@@ -165,6 +165,8 @@ HEADLINE = [
     # r7 wave 13: prequential expanding-window z-score (batch twin of
     # the Welford GroupState stream)
     ("events_prequential_zscore", events.QUERIES),
+    # r7 wave 14: PQ asymmetric-distance top-k (train + encode + ADC)
+    ("knn_pq_adc", llmdata.QUERIES),
 ]
 
 

@@ -901,3 +901,62 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick)
     return selected.select("query_id", "pick", "cand_id", "mmr_score")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search — the query path PQ exists for:
+    candidates are scored from their 4-bit codes and a per-query
+    distance TABLE (query subvector → each centroid, m×ks doubles per
+    query), so the corpus scan reads an 8-byte code per row instead of
+    the d-dim float vector, and every distance is m table lookups + a
+    sum.  Approximate by construction (distance to the RECONSTRUCTED
+    vector); recall vs :func:`brute_force_topk` is property-tested.
+
+    Scale shape: the encoded corpus (id, code) is the only corpus-wide
+    input — the distance tables (queries × m × ks tiny rows) broadcast
+    into the decode join, one groupBy(query, cand) sums the m terms.
+    Cost is corpus × m × Q code-sized rows; at real scale the IVF cell
+    routing (``ivf_topk_from_index``) prunes the corpus side first —
+    this operator is the in-cell scorer of that IVF-PQ composition."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "pq_code"
+    )
+    decoded = codes.select(
+        "cand_id",
+        "pq_code",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).withColumn(
+        "cluster",
+        F.expr("CAST(shiftright(pq_code, 4 * sub) & 15 AS INT)"),
+    )
+    qsubs = pq_subvectors(queries, m, id_col, vec_col)
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
+    tables = qsubs.select(
+        F.col("id").alias("query_id"),
+        "sub",
+        F.posexplode(F.transform(cb, lambda c: _l2sq(F.col("sv"), c))).alias(
+            "cluster", "d2"
+        ),
+    )
+    assert ks <= 16  # pq_encode packs 4-bit fields
+    scored = (
+        decoded.join(F.broadcast(tables), ["sub", "cluster"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "adc_dist", "rank")
+    )

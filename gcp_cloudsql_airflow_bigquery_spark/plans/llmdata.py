@@ -2805,7 +2805,11 @@ c{i} AS MATERIALIZED (
 )"""
 
 
-_PQ_CODES_SQL = f"""
+# shared PQ training prefix: trains the per-subspace codebooks
+# (unrolled Lloyd) and produces `final(id, sub, cluster, d2)` — the
+# per-subvector assignment both the code query and the ADC search
+# replay from
+_PQ_TRAIN_CTES = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 sdims AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
 subs AS MATERIALIZED (
@@ -2831,7 +2835,9 @@ final AS (
                         (x, j) -> (x - c.c[j]) * (x - c.c[j]))), c.cluster)
              AS rn
     FROM subs v JOIN c2 c USING (sub)) WHERE rn = 1
-)
+)"""
+
+_PQ_CODES_SQL = f"""{_PQ_TRAIN_CTES}
 SELECT id AS vec_id,
        CAST(SUM(CAST(cluster AS BIGINT) << (4 * sub)) AS BIGINT) AS pq_code,
        ROUND(SQRT(SUM(d2)), 6) AS recon_err
@@ -2840,3 +2846,44 @@ FROM final GROUP BY 1
 
 QUERIES["embedding_pq_codes"] = embedding_pq_codes
 ORACLE["embedding_pq_codes"] = _PQ_CODES_SQL
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (new r7): the pinned probe set
+    (vec_id < 5, same as ``knn_bruteforce``/``knn_ivf``) searched
+    against 8-byte PQ codes via per-query distance tables — the third
+    rung of the ANN ladder (brute float32 → int8 → IVF → PQ-ADC) and
+    the in-cell scorer of an IVF-PQ composition at real scale.
+    Hash-checkable end-to-end: the oracle replays the unrolled
+    per-subspace Lloyd training, the code assignment, the query
+    distance tables, and the ADC rank arithmetic; distances round(6)
+    with neighbor-id tie-breaks.  See
+    :func:`..operators.similarity.pq_adc_topk`."""
+    emb = _emb(spark, sf_dir)
+    codebooks = similarity.pq_build(emb, m=8, ks=16, iters=2)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_adc_topk(emb, probes, codebooks, k=10)
+
+
+_PQ_ADC_SQL = f"""{_PQ_TRAIN_CTES},
+tables AS MATERIALIZED (
+  SELECT q.id AS query_id, c.sub, c.cluster,
+         list_sum(list_transform(q.sv,
+           (x, j) -> (x - c.c[j]) * (x - c.c[j]))) AS d2
+  FROM (SELECT * FROM subs WHERE id < 5) q JOIN c2 c USING (sub)
+),
+scored AS (
+  SELECT t.query_id, f.id AS neighbor_id,
+         ROUND(SQRT(SUM(t.d2)), 6) AS adc_dist
+  FROM final f JOIN tables t
+    ON f.sub = t.sub AND f.cluster = t.cluster AND f.id != t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+QUERIES["knn_pq_adc"] = knn_pq_adc
+ORACLE["knn_pq_adc"] = _PQ_ADC_SQL
