@@ -109,8 +109,8 @@ _MODULES = (
 # doc_source_psi_drift) and the r7-wave-12 additions
 # (embedding_pq_codes, embedding_mmr_diverse), the r7-wave-13
 # addition (events_prequential_zscore, whose Welford GroupState
-# streaming twin is stream≡batch-tested) and the r7-wave-14 addition
-# (knn_pq_adc)
+# streaming twin is stream≡batch-tested) and the r7-wave-14 additions
+# (knn_pq_adc, doc_backoff_lm_eval)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

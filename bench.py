@@ -166,7 +166,9 @@ HEADLINE = [
     # the Welford GroupState stream)
     ("events_prequential_zscore", events.QUERIES),
     # r7 wave 14: PQ asymmetric-distance top-k (train + encode + ADC)
+    # and the held-out Stupid Backoff trigram LM eval
     ("knn_pq_adc", llmdata.QUERIES),
+    ("doc_backoff_lm_eval", llmdata.QUERIES),
 ]
 
 

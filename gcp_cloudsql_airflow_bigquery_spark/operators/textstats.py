@@ -711,3 +711,127 @@ def source_token_drift(
     ).select(
         "source", "js_divergence", "n_vocab_present", "vocab_coverage", "n_tokens"
     )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out Stupid Backoff trigram scoring (Brants et al. 2007 —
+    the web-scale LM that skips normalization entirely): the corpus is
+    md5-hash-split 75/25, n-gram count tables train on the 75%, and
+    each held-out document is scored ``mean -ln S(w3|w1,w2)`` with
+
+        S = c3/c(w1,w2)            if the trigram was seen in train
+          | 0.4 · c(w2,w3)/c(w2)   else if the bigram was seen
+          | 0.16 · (c(w3)+1)/(N+V) otherwise (add-one unigram floor,
+                                   so unseen words score finitely)
+
+    Unlike the self-trained :func:`bigram_logprob` (where every scored
+    n-gram is by construction in its own training set), the held-out
+    split makes the backoff ladder REAL — per-doc hit counts at each
+    level come back as diagnostics.  Output: ``(id, n_trigrams,
+    n_tri_hits, n_bi_hits, avg_neg_logscore, sb_ppl)``.
+
+    Scale shape: three count shuffles over the train split (map-side
+    combined), each lineage-cut like :func:`bigram_logprob`'s table
+    (multiple differently-pruned consumers defeat ReuseExchange);
+    scoring is model-keyed shuffle joins — the n-gram vocabulary is
+    open and grows with the corpus, so NOT broadcast — plus a 1-row
+    (N, V) broadcast.  Nothing leaves the JVM."""
+    t = F.trim(F.lower(F.col(text_col)))
+    is_train = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(
+        *list("0123456789ab")
+    )
+    toks = docs.filter(t != "").select(
+        id_col, F.split(t, r"\s+").alias("w"), is_train.alias("train")
+    )
+
+    def tri(df: DataFrame) -> DataFrame:
+        return df.filter(F.size("w") >= 3).select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2, w[i + 1] AS w3))"
+                )
+            ).alias("g"),
+        ).select(id_col, "g.w1", "g.w2", "g.w3")
+
+    train = toks.filter("train")
+    c3 = (
+        tri(train)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = (
+        train.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS a, w[i] AS b))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g.a", "g.b")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = (
+        train.select(F.explode("w").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=False)
+    )
+    stats = c1.agg(
+        F.sum("cu").alias("n_total"), F.count("*").alias("v1")
+    )
+    held = tri(toks.filter(~F.col("train")))
+    j = (
+        held.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                F.col("cb").alias("c12"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a").alias("w2"), F.col("b").alias("w3"),
+                F.col("cb").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("u").alias("w2"), F.col("cu").alias("cw2")), "w2", "left")
+        .join(c1.select(F.col("u").alias("w3"), F.col("cu").alias("cw3")), "w3", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c12"))
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(alpha) * F.col("c23") / F.col("cw2"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("cw3"), F.lit(0)) + 1)
+            / (F.col("n_total") + F.col("v1"))
+        )
+    )
+    nll = -F.log(score)
+    return j.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum(F.col("c3").isNotNull().cast("long")).alias("n_tri_hits"),
+        F.sum((F.col("c3").isNull() & F.col("c23").isNotNull()).cast("long")).alias(
+            "n_bi_hits"
+        ),
+        F.round(F.avg(nll), 6).alias("avg_neg_logscore"),
+        F.round(F.exp(F.avg(nll)), 6).alias("sb_ppl"),
+    )

@@ -2887,3 +2887,67 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 
 QUERIES["knn_pq_adc"] = knn_pq_adc
 ORACLE["knn_pq_adc"] = _PQ_ADC_SQL
+
+
+def doc_backoff_lm_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid Backoff trigram LM eval (new r7): train the
+    n-gram count tables on the md5 75% split, score the held-out 25%
+    with the ``c3/c12 → 0.4·c23/c2 → 0.16·add-one-unigram`` ladder —
+    unlike the self-trained ``doc_perplexity_bigram`` the backoff
+    branches genuinely fire, and the per-doc hit counts at each level
+    are part of the output.  The Brants-style web-scale LM quality
+    filter.  Scale notes in
+    :func:`..operators.textstats.stupid_backoff_score`."""
+    return textstats.stupid_backoff_score(_docs(spark, sf_dir))
+
+
+_BACKOFF_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+           ('0','1','2','3','4','5','6','7','8','9','a','b') AS train
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+tg AS (
+  SELECT doc_id, train, w[i.i] AS w1, w[i.i + 1] AS w2, w[i.i + 2] AS w3
+  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+  WHERE len(w) >= 3
+),
+bg AS (
+  SELECT train, w[i.i] AS a, w[i.i + 1] AS b
+  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+  WHERE len(w) >= 2
+),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg WHERE train GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, COUNT(*) AS cb FROM bg WHERE train GROUP BY 1, 2),
+c1 AS (SELECT u, COUNT(*) AS cu
+       FROM (SELECT unnest(w) AS u FROM t WHERE train) GROUP BY 1),
+stats AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS v1 FROM c1),
+scored AS (
+  SELECT h.doc_id,
+         c3.c3 IS NOT NULL AS tri_hit,
+         c3.c3 IS NULL AND b23.cb IS NOT NULL AS bi_hit,
+         -ln(CASE
+           WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / b12.cb
+           WHEN b23.cb IS NOT NULL THEN 0.4 * b23.cb / u2.cu
+           ELSE 0.16 * (COALESCE(u3.cu, 0) + 1.0) / (s.n_total + s.v1)
+         END) AS nll
+  FROM (SELECT * FROM tg WHERE NOT train) h
+  LEFT JOIN c3 ON c3.w1 = h.w1 AND c3.w2 = h.w2 AND c3.w3 = h.w3
+  LEFT JOIN c2 b12 ON b12.a = h.w1 AND b12.b = h.w2
+  LEFT JOIN c2 b23 ON b23.a = h.w2 AND b23.b = h.w3
+  LEFT JOIN c1 u2 ON u2.u = h.w2
+  LEFT JOIN c1 u3 ON u3.u = h.w3
+  CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_trigrams,
+       CAST(SUM(CASE WHEN tri_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+       CAST(SUM(CASE WHEN bi_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hits,
+       ROUND(AVG(nll), 6) AS avg_neg_logscore,
+       ROUND(exp(AVG(nll)), 6) AS sb_ppl
+FROM scored GROUP BY 1
+"""
+
+QUERIES["doc_backoff_lm_eval"] = doc_backoff_lm_eval
+ORACLE["doc_backoff_lm_eval"] = _BACKOFF_LM_SQL

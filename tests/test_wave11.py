@@ -250,3 +250,58 @@ def test_pq_adc_recall_and_shortlist(spark, sf_dir):
         per_q[r.query_id].append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, 11)), q
+
+
+def test_backoff_lm_matches_pure_python_ladder(spark, sf_dir):
+    """Replay the 75/25 md5 split, the train count tables, and the
+    stupid-backoff scoring ladder in pure Python; check each held-out
+    doc's hit counts and mean score."""
+    import hashlib
+
+    out = {r["doc_id"]: r for r in llmdata.doc_backoff_lm_eval(spark, sf_dir).collect()}
+    docs = [
+        (r["doc_id"], r["text"].strip().lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"] and r["text"].strip()
+    ]
+    train_set = {
+        d
+        for d, _ in docs
+        if hashlib.md5(str(d).encode()).hexdigest()[0] in "0123456789ab"
+    }
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for d, w in docs:
+        if d not in train_set:
+            continue
+        c1.update(w)
+        c2.update(zip(w, w[1:]))
+        c3.update(zip(w, w[1:], w[2:]))
+    n_total, v1 = sum(c1.values()), len(c1)
+    n_held_docs = 0
+    for d, w in docs:
+        if d in train_set or len(w) < 3:
+            if d not in train_set:
+                assert d not in out or len(w) >= 3
+            continue
+        n_held_docs += 1
+        nlls, tri_hits, bi_hits = [], 0, 0
+        for g in zip(w, w[1:], w[2:]):
+            if g in c3:
+                tri_hits += 1
+                s = c3[g] / c2[(g[0], g[1])]
+            elif (g[1], g[2]) in c2:
+                bi_hits += 1
+                s = 0.4 * c2[(g[1], g[2])] / c1[g[1]]
+            else:
+                s = 0.16 * (c1.get(g[2], 0) + 1) / (n_total + v1)
+            nlls.append(-math.log(s))
+        r = out[d]
+        assert r["n_trigrams"] == len(nlls)
+        assert r["n_tri_hits"] == tri_hits
+        assert r["n_bi_hits"] == bi_hits
+        mean = sum(nlls) / len(nlls)
+        assert r["avg_neg_logscore"] == pytest.approx(round(mean, 6), abs=1e-5)
+        assert r["sb_ppl"] == pytest.approx(round(math.exp(mean), 6), rel=1e-4)
+    assert n_held_docs == len(out) and n_held_docs > 0
