@@ -169,6 +169,8 @@ HEADLINE = [
     # and the held-out Stupid Backoff trigram LM eval
     ("knn_pq_adc", llmdata.QUERIES),
     ("doc_backoff_lm_eval", llmdata.QUERIES),
+    # r7 wave 15: duplicate-purchase (double-charge) screen
+    ("events_duplicate_purchases", events.QUERIES),
 ]
 
 

@@ -1771,3 +1771,79 @@ FROM prior
 
 QUERIES["events_prequential_zscore"] = events_prequential_zscore
 ORACLE["events_prequential_zscore"] = _PREQUENTIAL_Z_SQL
+
+
+def events_duplicate_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge / double-fire screen (new r7): consecutive
+    purchases by the same user in the same whole-currency-unit value
+    band within 48 hours — the classic duplicate-submission defect a
+    payments pipeline must catch before events feed revenue metrics or
+    a behavioral training corpus.  LAG within (user, band) ordered by
+    (ts, event_id); the gap is an exact integer microsecond difference
+    compared against an integer bound, so no cross-engine
+    date-arithmetic (DuckDB's date_diff counts boundary crossings, not
+    elapsed time).  Scale shape: one narrow filter (pushed to the
+    scan) + one window shuffle on the (user, band) key — hash-uniform,
+    no global sort, no join."""
+    from pyspark.sql import Window
+
+    p = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor("value").cast("long").alias("band"),
+            "value",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id", "band").orderBy("us", "event_id")
+    lagged = (
+        p.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn("prev_event_id", F.lag("event_id").over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+    )
+    return (
+        lagged.filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") <= 48 * 3_600_000_000)
+        )
+        .select(
+            "user_id",
+            "band",
+            F.col("prev_event_id").alias("first_event_id"),
+            F.col("event_id").alias("second_event_id"),
+            F.round("prev_value", 2).alias("first_value"),
+            F.round("value", 2).alias("second_value"),
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+_DUPLICATE_PURCHASES_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(FLOOR(value) AS BIGINT) AS band, value,
+         event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+l AS (
+  SELECT *,
+         LAG(us) OVER w AS prev_us,
+         LAG(event_id) OVER w AS prev_event_id,
+         LAG(value) OVER w AS prev_value
+  FROM p
+  WINDOW w AS (PARTITION BY user_id, band ORDER BY us, event_id)
+)
+SELECT user_id, band,
+       prev_event_id AS first_event_id,
+       event_id AS second_event_id,
+       ROUND(prev_value, 2) AS first_value,
+       ROUND(value, 2) AS second_value,
+       us - prev_us AS gap_us
+FROM l
+WHERE prev_us IS NOT NULL AND us - prev_us <= 48 * 3600000000
+"""
+
+QUERIES["events_duplicate_purchases"] = events_duplicate_purchases
+ORACLE["events_duplicate_purchases"] = _DUPLICATE_PURCHASES_SQL

@@ -305,3 +305,32 @@ def test_backoff_lm_matches_pure_python_ladder(spark, sf_dir):
         assert r["avg_neg_logscore"] == pytest.approx(round(mean, 6), abs=1e-5)
         assert r["sb_ppl"] == pytest.approx(round(math.exp(mean), 6), rel=1e-4)
     assert n_held_docs == len(out) and n_held_docs > 0
+
+
+def test_duplicate_purchases_matches_sequential_reference(spark, sf_dir):
+    """Replay the (user, whole-unit band) LAG screen sequentially in
+    Python: every flagged pair is a true consecutive same-band pair
+    within 48h, and none is missed."""
+    rows = [
+        r
+        for r in load_table(spark, sf_dir, "events").collect()
+        if r["event_type"] == "purchase"
+    ]
+    by_key: defaultdict = defaultdict(list)
+    for r in rows:
+        by_key[(r["user_id"], math.floor(r["value"]))].append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    expect = set()
+    for (uid, band), evs in by_key.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            gap_us = int((b[0] - a[0]).total_seconds() * 1_000_000)
+            if gap_us <= 48 * 3_600_000_000:
+                expect.add((uid, band, a[1], b[1], gap_us))
+    got = {
+        (r["user_id"], r["band"], r["first_event_id"], r["second_event_id"], r["gap_us"])
+        for r in events.events_duplicate_purchases(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # the fixture produces at least one flagged pair
