@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -607,5 +608,81 @@ def welford_zscore_stream(daily: DataFrame) -> DataFrame:
         outputStructType=WELFORD_SCHEMA,
         stateStructType=_WELFORD_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), True),
+        StructField("item", LongType(), True),
+        StructField("est_count", LongType(), True),
+        StructField("n_processed", LongType(), True),
+    ]
+)
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def _make_mg_fn(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            items, counts, n = state.get
+            ctr = dict(zip(items, counts))
+        else:
+            ctr, n = {}, 0
+        recs: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            recs.extend(
+                (int(o), int(x)) for o, x in zip(pdf["order_us"], pdf["item"])
+            )
+        recs.sort()
+        for _, x in recs:
+            n += 1
+            if x in ctr:
+                ctr[x] += 1
+            elif len(ctr) < k:
+                ctr[x] = 1
+            else:  # decrement-all step: every counter absorbs this item
+                ctr = {i: c - 1 for i, c in ctr.items() if c > 1}
+        state.update((list(ctr), [ctr[i] for i in ctr], n))
+        yield pd.DataFrame(
+            [(event_type, i, c, n) for i, c in sorted(ctr.items())],
+            columns=["event_type", "item", "est_count", "n_processed"],
+        )
+
+    return fn
+
+
+def misra_gries_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters: the Misra-Gries k-counter summary in
+    GroupState — the mergeable, bounded-memory (k entries per key)
+    complement of the exact two-pass ``operators/frequency.
+    heavy_hitters`` batch plan, for feeds where a second pass never
+    comes.  Input: (event_type, order_us, item); after each
+    micro-batch the operator emits the full counter snapshot for every
+    updated key, tagged with the monotone ``n_processed`` so a
+    downstream sink can keep the latest.  The MG guarantee — every
+    item with true frequency > n/(k+1) is present, and estimates
+    undercount by at most n/(k+1) — is asserted against exact batch
+    counts on the same feed in tests/test_streaming.py.  Per-key in-batch
+    order is the (order_us, item) sort, the same determinism contract
+    as :func:`cusum_stream`."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _make_mg_fn(k),
+        outputStructType=MG_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -481,3 +481,72 @@ def test_stream_welford_zscore_matches_batch_prior_window(spark, sf_dir, tmp_pat
             # batch z standardizes the ROUNDED(6) day_value replayed
             # here, so drift stays well under the rounding tolerance
             assert z == pytest.approx(r["zscore"], abs=5e-3), key
+
+
+def test_stream_misra_gries_guarantee_vs_exact_counts(spark, sf_dir, tmp_path):
+    """Misra-Gries GroupState summary over a 3-chunk feed: the final
+    snapshot per key satisfies both MG guarantees against exact counts
+    of the same feed — every estimate undercounts by at most
+    n/(k+1), and every item with true frequency > n/(k+1) is
+    tracked."""
+    import os
+    import time as _t
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from gcp_cloudsql_airflow_bigquery_spark.catalog import load_table
+
+    k = 8
+    rows = [
+        (r["event_type"], int(e), int(r["user_id"]))
+        for e, r in enumerate(load_table(spark, sf_dir, "events").collect())
+        if r["event_type"] is not None
+    ]
+    feed = spark.createDataFrame(
+        rows, "event_type string, order_us long, item long"
+    )
+    chunked = feed.withColumn("chunk", F.ntile(3).over(Window.orderBy("order_us")))
+    src = str(tmp_path / "mg_src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(1, 4):
+        part = str(tmp_path / f"mgpart{i}")
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).json(part)
+        for f in os.listdir(part):
+            if f.endswith(".json"):
+                os.replace(os.path.join(part, f), os.path.join(src, f"{i:02d}.json"))
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, order_us long, item long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    streams.run_to_memory(
+        streams.misra_gries_stream(stream, k=k), "t_mg", output_mode="update"
+    )
+    snap = spark.table("t_mg").collect()
+    latest_n = {}
+    for r in snap:
+        latest_n[r.event_type] = max(latest_n.get(r.event_type, 0), r.n_processed)
+    est = {
+        (r.event_type, r.item): r.est_count
+        for r in snap
+        if r.n_processed == latest_n[r.event_type]
+    }
+    exact: Counter = Counter((et, it) for et, _, it in rows)
+    n_per_key: Counter = Counter(et for et, _, it in rows)
+    assert latest_n == dict(n_per_key)
+    for et, n in n_per_key.items():
+        bound = n / (k + 1)
+        tracked = {it for (e, it) in est if e == et}
+        assert len(tracked) <= k
+        for (e, it), c in exact.items():
+            if e != et:
+                continue
+            if c > bound:
+                assert it in tracked, (et, it, c, bound)
+            if it in tracked:
+                assert c - bound <= est[(et, it)] <= c, (et, it)
