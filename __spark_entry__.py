@@ -110,8 +110,9 @@ _MODULES = (
 # (embedding_pq_codes, embedding_mmr_diverse), the r7-wave-13
 # addition (events_prequential_zscore, whose Welford GroupState
 # streaming twin is stream≡batch-tested) and the r7-wave-14 additions
-# (knn_pq_adc, doc_backoff_lm_eval) and the r7-wave-15 addition
-# (events_duplicate_purchases)
+# (knn_pq_adc, doc_backoff_lm_eval), the r7-wave-15 addition
+# (events_duplicate_purchases) and the r7-wave-16 addition
+# (search_ndcg_eval)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

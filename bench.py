@@ -171,6 +171,8 @@ HEADLINE = [
     ("doc_backoff_lm_eval", llmdata.QUERIES),
     # r7 wave 15: duplicate-purchase (double-charge) screen
     ("events_duplicate_purchases", events.QUERIES),
+    # r7 wave 16: BM25-vs-semantic-gold nDCG@10 ranking eval
+    ("search_ndcg_eval", search.QUERIES),
 ]
 
 

@@ -442,3 +442,162 @@ SELECT query_id, pick, cand_id, mmr_score FROM all10
 
 QUERIES["embedding_mmr_diverse"] = embedding_mmr_diverse
 ORACLE["embedding_mmr_diverse"] = _MMR_SQL
+
+
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 ranking eval (new r7): the lexical BM25 top-10 for each
+    pinned anchor is graded against semantic gold derived from the
+    exact cosine ranking (grade 3 = vector top-5, 2 = top-10, 1 =
+    top-25, else 0) — the ranking-quality member of the eval family
+    (`doc_minhash_recall_eval`, `embedding_ann_recall_eval` measure
+    candidate recall; this measures ORDER quality with graded gains).
+    ``nDCG = Σ (2^g − 1)/log2(pos+1) / ideal``; both sides rank on
+    rounded scores with id tie-breaks, so grades and positions — and
+    therefore the DCG arithmetic — are deterministic cross-engine.
+    Scale shape: both retrieval sides are their scale-audited
+    operators; the eval itself is k-sized joins and a per-query
+    10-term sum."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id").isin(*_HYBRID_QIDS)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    text = bm25_topk(docs, qd, k=_FUSE_K + 1, k1=_K1, b=_B)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    t10 = (
+        text.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("pos", F.row_number().over(wt))
+        .filter(F.col("pos") <= _FUSE_K)
+        .select("query_id", "doc_id", "pos")
+    )
+    gold = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(*_HYBRID_QIDS)), k=_SIDE_K
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.when(F.col("rank") <= 5, 3)
+        .when(F.col("rank") <= 10, 2)
+        .otherwise(1)
+        .alias("grade"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("grade")) - 1) / F.log2(F.col("pos") + 1)
+    dcg = (
+        t10.join(gold, ["query_id", "doc_id"], "left")
+        .withColumn("grade", F.coalesce("grade", F.lit(0)))
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(gain), 6).alias("dcg_at_10"),
+            F.sum((F.col("grade") > 0).cast("long")).alias("n_graded_hits"),
+        )
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), "doc_id"
+    )
+    ideal = (
+        gold.withColumn("pos", F.row_number().over(wi))
+        .filter(F.col("pos") <= _FUSE_K)
+        .groupBy("query_id")
+        .agg(F.round(F.sum(gain), 6).alias("idcg_at_10"))
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        "dcg_at_10",
+        "idcg_at_10",
+        F.round(F.col("dcg_at_10") / F.col("idcg_at_10"), 6).alias("ndcg_at_10"),
+        "n_graded_hits",
+    )
+
+
+_NDCG_SQL = rf"""
+WITH qd AS (
+  SELECT doc_id AS query_id, text AS query_text
+  FROM documents WHERE doc_id IN ({_QID_LIST})
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(
+    trim(regexp_replace(lower(query_text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM qd
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+postings AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+doc_lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM doc_lens) AS avgdl
+),
+matched AS (
+  SELECT q.query_id, p.term, p.doc_id, p.tf
+  FROM postings p JOIN qterms q ON p.term = q.term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY 1),
+bscored AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(ROUND(SUM(CAST(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * ({_K1} + 1)) / (m.tf + {_K1} * (1 - {_B} + {_B} * l.dl / c.avgdl))
+         AS DECIMAL(28,10))), 4) AS DOUBLE) AS score
+  FROM matched m
+  JOIN dfreq d ON m.term = d.term
+  JOIN doc_lens l ON m.doc_id = l.doc_id
+  CROSS JOIN consts c
+  GROUP BY 1, 2
+),
+t10 AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS pos
+  FROM bscored WHERE doc_id != query_id
+  QUALIFY pos <= {_FUSE_K}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id IN ({_QID_LIST})),
+vscored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         ROUND(list_dot_product(q.e, v.e) /
+               (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))),
+               6) AS cosine
+  FROM q JOIN v ON q.vec_id != v.vec_id
+),
+gold AS (
+  SELECT query_id, doc_id,
+         CASE WHEN rank <= 5 THEN 3 WHEN rank <= 10 THEN 2 ELSE 1 END AS grade
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, doc_id) AS rank
+        FROM vscored)
+  WHERE rank <= {_SIDE_K}
+),
+dcg AS (
+  SELECT t.query_id,
+         ROUND(SUM((POW(2.0, COALESCE(g.grade, 0)) - 1)
+                   / log2(t.pos + 1)), 6) AS dcg_at_10,
+         CAST(SUM(CASE WHEN g.grade IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_graded_hits
+  FROM t10 t LEFT JOIN gold g USING (query_id, doc_id)
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         ROUND(SUM((POW(2.0, grade) - 1) / log2(pos + 1)), 6) AS idcg_at_10
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY grade DESC, doc_id) AS pos
+        FROM gold)
+  WHERE pos <= {_FUSE_K}
+  GROUP BY 1
+)
+SELECT query_id, dcg_at_10, idcg_at_10,
+       ROUND(dcg_at_10 / idcg_at_10, 6) AS ndcg_at_10, n_graded_hits
+FROM dcg JOIN ideal USING (query_id)
+"""
+
+QUERIES["search_ndcg_eval"] = search_ndcg_eval
+ORACLE["search_ndcg_eval"] = _NDCG_SQL

@@ -334,3 +334,54 @@ def test_duplicate_purchases_matches_sequential_reference(spark, sf_dir):
     }
     assert got == expect
     assert expect  # the fixture produces at least one flagged pair
+
+
+def test_ndcg_eval_matches_pure_python_formula(spark, sf_dir):
+    """Replay nDCG@10 in pure Python from the two retrieval outputs
+    (which carry their own oracles) and pin range invariants."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textsearch import bm25_topk
+    from gcp_cloudsql_airflow_bigquery_spark.plans import search
+
+    out = {r["query_id"]: r for r in search.search_ndcg_eval(spark, sf_dir).collect()}
+    assert set(out) == {0, 7, 13}
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id").isin(0, 7, 13)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    text = sorted(
+        (
+            (r["query_id"], -r["score"], r["doc_id"])
+            for r in bm25_topk(docs, qd, k=11).collect()
+            if r["doc_id"] != r["query_id"]
+        )
+    )
+    gold = {}
+    for r in brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(0, 7, 13)), k=25
+    ).collect():
+        g = 3 if r["rank"] <= 5 else 2 if r["rank"] <= 10 else 1
+        gold[(r["query_id"], r["neighbor_id"])] = g
+    for qid in (0, 7, 13):
+        ranked = [d for q, _, d in text if q == qid][:10]
+        dcg = sum(
+            (2 ** gold.get((qid, d), 0) - 1) / math.log2(pos + 2)
+            for pos, d in enumerate(ranked)
+        )
+        grades = sorted(
+            (g for (q, _), g in gold.items() if q == qid), reverse=True
+        )[:10]
+        idcg = sum(
+            (2**g - 1) / math.log2(pos + 2) for pos, g in enumerate(grades)
+        )
+        r = out[qid]
+        assert r["dcg_at_10"] == pytest.approx(round(dcg, 6), abs=1e-5)
+        assert r["idcg_at_10"] == pytest.approx(round(idcg, 6), abs=1e-5)
+        assert r["ndcg_at_10"] == pytest.approx(round(dcg / idcg, 6), abs=1e-5)
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0
+        assert r["n_graded_hits"] == sum(1 for d in ranked if (qid, d) in gold)
