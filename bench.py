@@ -171,8 +171,10 @@ HEADLINE = [
     ("doc_backoff_lm_eval", llmdata.QUERIES),
     # r7 wave 15: duplicate-purchase (double-charge) screen
     ("events_duplicate_purchases", events.QUERIES),
-    # r7 wave 16: BM25-vs-semantic-gold nDCG@10 ranking eval
+    # r7 wave 16: BM25-vs-semantic-gold nDCG@10 ranking eval and the
+    # greedy k-center diversity coreset
     ("search_ndcg_eval", search.QUERIES),
+    ("embedding_kcenter_coreset", llmdata.QUERIES),
 ]
 
 

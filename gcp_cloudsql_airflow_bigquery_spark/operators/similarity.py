@@ -960,3 +960,62 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    classic 2-approximation to the k-center cover and the
+    corpus-level diversity-sampling counterpart of the per-query
+    :func:`mmr_rerank`: pick the smallest id, then repeatedly the
+    point farthest (max min-squared-L2) from everything selected.
+    The use case is picking a maximally-spread seed/eval subset from
+    an embedding corpus.
+
+    Scale shape: each of the k steps is ONE narrow corpus pass — the
+    selected set is a ≤k-vector literal broadcast into a
+    ``least(dist…)`` expression — ending in a global top-1
+    (TakeOrderedAndProject: per-partition O(1) heads, no global
+    sort); only the picked vector (the model artifact, like
+    :func:`ivf_build`'s centroids) reaches the driver each round.
+    Total cost k corpus scans, memory O(k·d).  Distances round(6)
+    before the argmax with id tie-breaks so a SQL replay picks
+    identically.  Returns the k (pick, id, min_dist_sq) rows as a
+    local frame — the coreset IS driver-sized by construction."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    first = v.orderBy("id").limit(1).collect()[0]
+    picked: list[tuple[int, int, float | None]] = [(1, first.id, None)]
+    sel_vecs: list[list[float]] = [list(first.vec)]
+    for step in range(2, k + 1):
+        mind = F.round(
+            F.least(
+                *[
+                    _l2sq(F.col("vec"), F.array(*[F.lit(x) for x in s]))
+                    for s in sel_vecs
+                ]
+            )
+            if len(sel_vecs) > 1
+            else _l2sq(
+                F.col("vec"), F.array(*[F.lit(x) for x in sel_vecs[0]])
+            ),
+            6,
+        )
+        far = (
+            v.filter(~F.col("id").isin(*[i for _, i, _ in picked]))
+            .select("id", "vec", mind.alias("md"))
+            .orderBy(F.col("md").desc(), "id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((step, far.id, far.md))
+        sel_vecs.append(list(far.vec))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picked, "pick int, vec_id long, min_dist_sq double"
+    )

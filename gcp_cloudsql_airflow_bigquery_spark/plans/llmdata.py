@@ -2951,3 +2951,53 @@ FROM scored GROUP BY 1
 
 QUERIES["doc_backoff_lm_eval"] = doc_backoff_lm_eval
 ORACLE["doc_backoff_lm_eval"] = _BACKOFF_LM_SQL
+
+
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (new r7): the 10 maximally-spread
+    vectors by farthest-point selection — the corpus-level diversity
+    sampler (seed/eval-subset picking) next to the per-query
+    ``embedding_mmr_diverse``.  Deterministic (start = smallest id,
+    distances round(6), id tie-breaks), so the oracle replays all ten
+    picks as unrolled argmax CTEs.  Scale notes in
+    :func:`..operators.similarity.kcenter_select`: k narrow corpus
+    passes, each ending in a TakeOrdered top-1; only picked vectors
+    reach the driver."""
+    return similarity.kcenter_select(_emb(spark, sf_dir), k=10)
+
+
+def _kcenter_ctes(k: int) -> str:
+    parts = [
+        """all1 AS MATERIALIZED (
+  SELECT 1 AS pick, id, CAST(NULL AS DOUBLE) AS md, vec
+  FROM v WHERE id = (SELECT MIN(id) FROM v)
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT v.id, ANY_VALUE(v.vec) AS vec,
+         ROUND(MIN(list_sum(list_transform(v.vec,
+           (x, j) -> (x - s.vec[j]) * (x - s.vec[j])))), 6) AS md
+  FROM v CROSS JOIN all{i - 1} s
+  WHERE v.id NOT IN (SELECT id FROM all{i - 1})
+  GROUP BY v.id
+)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT {i} AS pick, id, md, vec FROM c{i} ORDER BY md DESC, id LIMIT 1
+)""")
+        parts.append(
+            f"all{i} AS MATERIALIZED"
+            f" (SELECT * FROM all{i - 1} UNION ALL SELECT * FROM s{i})"
+        )
+    return ",\n".join(parts)
+
+
+_KCENTER_SQL = f"""
+WITH v AS MATERIALIZED
+  (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kcenter_ctes(10)}
+SELECT pick, id AS vec_id, md AS min_dist_sq FROM all10
+"""
+
+QUERIES["embedding_kcenter_coreset"] = embedding_kcenter_coreset
+ORACLE["embedding_kcenter_coreset"] = _KCENTER_SQL

@@ -385,3 +385,40 @@ def test_ndcg_eval_matches_pure_python_formula(spark, sf_dir):
         assert r["ndcg_at_10"] == pytest.approx(round(dcg / idcg, 6), abs=1e-5)
         assert 0.0 <= r["ndcg_at_10"] <= 1.0
         assert r["n_graded_hits"] == sum(1 for d in ranked if (qid, d) in gold)
+
+
+def test_kcenter_matches_pure_python_greedy(spark, sf_dir):
+    """Replay greedy farthest-point selection (round-6 min-dists, id
+    tie-breaks) in pure Python; also pin the defining invariant: each
+    pick's min-distance-to-prior is non-increasing."""
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    sel = [min(emb)]
+    dists = [None]
+    for _ in range(9):
+        # farthest point: max rounded min-dist, tie -> smallest id
+        cands = []
+        for vid, v in emb.items():
+            if vid in sel:
+                continue
+            md = round(
+                min(sum((x - y) ** 2 for x, y in zip(v, emb[s])) for s in sel), 6
+            )
+            cands.append((-md, vid))
+        cands.sort()
+        sel.append(cands[0][1])
+        dists.append(-cands[0][0])
+    got = sorted(
+        (r["pick"], r["vec_id"], r["min_dist_sq"])
+        for r in llmdata.embedding_kcenter_coreset(spark, sf_dir).collect()
+    )
+    assert [g[1] for g in got] == sel
+    for (pick, vid, md), expect in zip(got, dists):
+        if expect is None:
+            assert md is None
+        else:
+            assert md == pytest.approx(expect, abs=2e-6)
+    picked_d = [g[2] for g in got if g[2] is not None]
+    assert all(a >= b - 1e-9 for a, b in zip(picked_d, picked_d[1:]))
