@@ -175,6 +175,7 @@ HEADLINE = [
     # greedy k-center diversity coreset
     ("search_ndcg_eval", search.QUERIES),
     ("embedding_kcenter_coreset", llmdata.QUERIES),
+    ("knn_ivfpq", llmdata.QUERIES),
 ]
 
 

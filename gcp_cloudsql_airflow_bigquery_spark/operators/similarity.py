@@ -1019,3 +1019,98 @@ def kcenter_select(
     return spark.createDataFrame(
         picked, "pick int, vec_id long, min_dist_sq double"
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition: IVF cell routing
+    prunes the corpus to ``nprobe/n_centroids`` of its rows, then
+    :func:`pq_adc_topk`'s asymmetric-distance scoring ranks the
+    surviving candidates from their 8-byte codes.  This is the shape
+    every large-scale vector store ships (FAISS IVFPQ): at 100 TB the
+    inverted file is ``partitionBy(cell)`` parquet, a probe is a
+    partition-pruned scan of code-sized rows, and no vector is read at
+    query time.
+
+    The candidate restriction happens BEFORE the per-subspace decode
+    explode: (cand, cell) rows join the broadcast probe list first, so
+    the m-fold explode and the distance-table join only pay for
+    candidates in probed cells.  Both trainings are the deterministic
+    operators (:func:`ivf_build` spherical, :func:`pq_build` plain
+    L2), so the full pipeline replays as SQL."""
+    centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    codebooks = pq_build(embeddings, m, ks, iters, id_col, vec_col)
+    cells = embeddings.select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("vec_n")
+    ).select(
+        "cand_id",
+        ivf_assign(_normalize(F.col("vec_n")), centroids).alias("cell"),
+    )
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "pq_code"
+    )
+    cand = cells.join(codes, "cand_id")
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
+    )
+    cdots = F.array(
+        *[
+            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cell")
+    )
+    probes = (
+        qs.select("query_id", F.posexplode(cdots).alias("cell", "cdot"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsubs = pq_subvectors(queries, m, id_col, vec_col)
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
+    tables = qsubs.select(
+        F.col("id").alias("query_id"),
+        "sub",
+        F.posexplode(F.transform(cb, lambda c: _l2sq(F.col("sv"), c))).alias(
+            "cluster", "d2"
+        ),
+    )
+    routed = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "pq_code",
+        )
+        .withColumn(
+            "cluster",
+            F.expr("CAST(shiftright(pq_code, 4 * sub) & 15 AS INT)"),
+        )
+    )
+    scored = (
+        routed.join(F.broadcast(tables), ["query_id", "sub", "cluster"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("cand_id").alias("neighbor_id"), "adc_dist", "rank"
+        )
+    )

@@ -2778,30 +2778,32 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb, codebooks)
 
 
-def _pq_round_ctes(i: int, m: int, ks: int) -> str:
+def _pq_round_ctes(i: int, m: int, ks: int, pre: str = "") -> str:
     """One unrolled PQ Lloyd round: argmin-assign per (id, sub) with
     ``ORDER BY d2, cluster`` (first-min tie-break =
     ``array_position(d, array_min(d))``), per-(sub, cluster, pos)
-    re-average, empty cells keep their previous centroid."""
-    return f"""a{i} AS MATERIALIZED (
+    re-average, empty cells keep their previous centroid.  ``pre``
+    prefixes every CTE name so the replay can coexist with the IVF
+    k-means CTEs in one statement (``knn_ivfpq``)."""
+    return f"""{pre}a{i} AS MATERIALIZED (
   SELECT id, sub, sv, cluster FROM (
     SELECT v.id, v.sub, v.sv, c.cluster,
            ROW_NUMBER() OVER (PARTITION BY v.id, v.sub
              ORDER BY list_sum(list_transform(v.sv,
                         (x, j) -> (x - c.c[j]) * (x - c.c[j]))), c.cluster)
              AS rn
-    FROM subs v JOIN c{i - 1} c USING (sub)) WHERE rn = 1
+    FROM {pre}subs v JOIN {pre}c{i - 1} c USING (sub)) WHERE rn = 1
 ),
-m{i} AS MATERIALIZED (
+{pre}m{i} AS MATERIALIZED (
   SELECT sub, cluster, list(mx ORDER BY pos) AS mc FROM (
     SELECT sub, cluster, pos, AVG(x) AS mx FROM (
       SELECT a.sub, a.cluster, generate_subscripts(a.sv, 1) AS pos,
-             unnest(a.sv) AS x FROM a{i} a)
+             unnest(a.sv) AS x FROM {pre}a{i} a)
     GROUP BY 1, 2, 3) GROUP BY 1, 2
 ),
-c{i} AS MATERIALIZED (
+{pre}c{i} AS MATERIALIZED (
   SELECT p.sub, p.cluster, COALESCE(m.mc, p.c) AS c
-  FROM c{i - 1} p LEFT JOIN m{i} m USING (sub, cluster)
+  FROM {pre}c{i - 1} p LEFT JOIN {pre}m{i} m USING (sub, cluster)
 )"""
 
 
@@ -3001,3 +3003,94 @@ SELECT pick, id AS vec_id, md AS min_dist_sq FROM all10
 
 QUERIES["embedding_kcenter_coreset"] = embedding_kcenter_coreset
 ORACLE["embedding_kcenter_coreset"] = _KCENTER_SQL
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (new r7): the production composition — IVF cell
+    routing (16 spherical cells, nprobe 4) prunes the corpus, PQ
+    asymmetric-distance scoring (8 subspaces x 16 centroids, 8-byte
+    codes) ranks the survivors — completing the ANN ladder
+    (brute → int8 → IVF → PQ-ADC → IVF-PQ) on the pinned probe set.
+    Hash-checkable end-to-end: BOTH trainings are deterministic, so
+    the oracle replays the spherical k-means (``_kmeans_ctes``), the
+    prefixed per-subspace Lloyd (``_pq_round_ctes(pre='p')``), the
+    cell routing, the distance tables, and the ADC rank arithmetic in
+    one statement.  Scale notes in
+    :func:`..operators.similarity.ivfpq_topk`."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(emb, probes, k=10)
+
+
+_IVFPQ_SQL = f"""
+WITH v AS MATERIALIZED
+  (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+cells AS MATERIALIZED (
+  SELECT id, cluster AS cell FROM (
+    SELECT vn.id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c2 c) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, cluster AS cell FROM (
+    SELECT vn.id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS pr
+    FROM vn, c2 c WHERE vn.id < 5) WHERE pr <= 4
+),
+sdims AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+psubs AS MATERIALIZED (
+  SELECT id, s.sub, list_slice(vec, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+  FROM v CROSS JOIN sdims s
+),
+pinit AS (SELECT id, vec FROM v ORDER BY id LIMIT 16),
+pc0 AS MATERIALIZED (
+  SELECT s.sub,
+         ROW_NUMBER() OVER (PARTITION BY s.sub ORDER BY i.id) - 1 AS cluster,
+         list_slice(i.vec, s.sub * 8 + 1, s.sub * 8 + 8) AS c
+  FROM pinit i CROSS JOIN sdims s
+),
+{_pq_round_ctes(1, 8, 16, pre="p")},
+{_pq_round_ctes(2, 8, 16, pre="p")},
+pfinal AS MATERIALIZED (
+  SELECT id, sub, cluster FROM (
+    SELECT v.id, v.sub, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY v.id, v.sub
+             ORDER BY list_sum(list_transform(v.sv,
+                        (x, j) -> (x - c.c[j]) * (x - c.c[j]))), c.cluster)
+             AS rn
+    FROM psubs v JOIN pc2 c USING (sub)) WHERE rn = 1
+),
+tables AS MATERIALIZED (
+  SELECT q.id AS query_id, c.sub, c.cluster,
+         list_sum(list_transform(q.sv,
+           (x, j) -> (x - c.c[j]) * (x - c.c[j]))) AS d2
+  FROM (SELECT * FROM psubs WHERE id < 5) q JOIN pc2 c USING (sub)
+),
+routed AS (
+  SELECT p.query_id, f.id AS neighbor_id, f.sub, f.cluster
+  FROM pfinal f
+  JOIN cells ce ON ce.id = f.id
+  JOIN probes p ON p.cell = ce.cell
+  WHERE f.id != p.query_id
+),
+scored AS (
+  SELECT r.query_id, r.neighbor_id,
+         ROUND(SQRT(SUM(t.d2)), 6) AS adc_dist
+  FROM routed r
+  JOIN tables t ON t.query_id = r.query_id AND t.sub = r.sub
+               AND t.cluster = r.cluster
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+QUERIES["knn_ivfpq"] = knn_ivfpq
+ORACLE["knn_ivfpq"] = _IVFPQ_SQL

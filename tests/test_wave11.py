@@ -422,3 +422,39 @@ def test_kcenter_matches_pure_python_greedy(spark, sf_dir):
             assert md == pytest.approx(expect, abs=2e-6)
     picked_d = [g[2] for g in got if g[2] is not None]
     assert all(a >= b - 1e-9 for a, b in zip(picked_d, picked_d[1:]))
+
+
+def test_ivfpq_consistent_with_components(spark, sf_dir):
+    """IVF-PQ = PQ-ADC restricted to IVF-probed cells: every IVF-PQ
+    result appears in the unrouted ADC ranking of the same query with
+    the SAME distance, and every ADC top-k candidate that lives in a
+    probed cell survives routing."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    centroids = similarity.ivf_build(emb, 16, 2)
+    codebooks = similarity.pq_build(emb, m=8, ks=16, iters=2)
+    cells = {
+        r["cand_id"]: r["cell"]
+        for r in emb.select(
+            F.col("vec_id").alias("cand_id"),
+            similarity.ivf_assign(
+                similarity._normalize(similarity._as_double("embedding")),
+                centroids,
+            ).alias("cell"),
+        ).collect()
+    }
+    probed = defaultdict(set)
+    for r in similarity.ivfpq_topk(emb, probes, k=10).collect():
+        probed[r["query_id"]].add((r["neighbor_id"], r["adc_dist"]))
+    assert set(probed) == {0, 1, 2, 3, 4}
+    full = defaultdict(dict)
+    for r in similarity.pq_adc_topk(emb, probes, codebooks, k=10_000).collect():
+        full[r["query_id"]][r["neighbor_id"]] = r["adc_dist"]
+    for q, pairs in probed.items():
+        assert len(pairs) == 10
+        for nid, d in pairs:
+            assert full[q][nid] == d, (q, nid)
