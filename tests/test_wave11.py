@@ -458,3 +458,88 @@ def test_ivfpq_consistent_with_components(spark, sf_dir):
         assert len(pairs) == 10
         for nid, d in pairs:
             assert full[q][nid] == d, (q, nid)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+@given(
+    hst.lists(
+        hst.lists(
+            hst.floats(min_value=-4.0, max_value=4.0, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=6,
+        max_size=24,
+        unique_by=tuple,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_pq_invariants_hypothesis(spark, vecs):
+    """Random tiny corpora: codes stay in range, reconstruction error
+    is nonneg, and two Lloyd rounds never give a WORSE total
+    distortion than zero rounds (training monotonicity of k-means on
+    the same init)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m, ks = 4, 4
+    trained = similarity.pq_build(df, m=m, ks=ks, iters=2)
+    init = similarity.pq_build(df, m=m, ks=ks, iters=0)
+    err = {
+        it: sum(
+            r["recon_err"] ** 2
+            for r in similarity.pq_encode(df, cb).collect()
+        )
+        for it, cb in (("trained", trained), ("init", init))
+    }
+    assert err["trained"] <= err["init"] + 1e-6
+    for r in similarity.pq_encode(df, trained).collect():
+        assert r["recon_err"] >= 0
+        for s in range(m):
+            assert 0 <= (r["pq_code"] >> (4 * s)) & 0xF < ks
+
+
+@given(
+    hst.lists(hst.integers(min_value=0, max_value=9), min_size=1, max_size=200),
+    hst.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=20, deadline=None)
+def test_misra_gries_kernel_guarantee_hypothesis(stream, k):
+    """The MG kernel (as the streaming operator runs it) satisfies
+    both guarantees on arbitrary streams — no Spark needed: drive the
+    pandas kernel directly with a fake GroupState."""
+    import pandas as pd
+
+    from gcp_cloudsql_airflow_bigquery_spark.streaming.streams import _make_mg_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        @property
+        def get(self):
+            return self.value
+
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {"order_us": range(len(stream)), "item": stream}
+    )
+    (out,) = list(_make_mg_fn(k)(("t",), iter([pdf]), st))
+    est = dict(zip(out["item"], out["est_count"]))
+    n = len(stream)
+    exact = Counter(stream)
+    bound = n / (k + 1)
+    assert len(est) <= k
+    for item, c in exact.items():
+        if c > bound:
+            assert item in est, (item, c, bound, k)
+        if item in est:
+            assert c - bound <= est[item] <= c
