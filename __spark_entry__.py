@@ -112,7 +112,8 @@ _MODULES = (
 # streaming twin is stream≡batch-tested) and the r7-wave-14 additions
 # (knn_pq_adc, doc_backoff_lm_eval), the r7-wave-15 addition
 # (events_duplicate_purchases) and the r7-wave-16 additions
-# (search_ndcg_eval, embedding_kcenter_coreset, knn_ivfpq)
+# (search_ndcg_eval, embedding_kcenter_coreset, knn_ivfpq,
+# doc_tokenizer_fertility)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

@@ -176,6 +176,7 @@ HEADLINE = [
     ("search_ndcg_eval", search.QUERIES),
     ("embedding_kcenter_coreset", llmdata.QUERIES),
     ("knn_ivfpq", llmdata.QUERIES),
+    ("doc_tokenizer_fertility", llmdata.QUERIES),
 ]
 
 

@@ -3094,3 +3094,66 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 
 QUERIES["knn_ivfpq"] = knn_ivfpq
 ORACLE["knn_ivfpq"] = _IVFPQ_SQL
+
+
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (new r7): BPE tokens per
+    whitespace word, by source — the standard tokenizer-fit diagnostic
+    (a source whose fertility is far above the corpus needs vocab
+    coverage before training, or its token budget estimates are
+    wrong).  Reuses the deterministic 24-merge BPE pipeline
+    (``doc_bpe_vocab``/``doc_bpe_tokens``): train once, encode via the
+    distinct-word fold, then ONE per-source aggregation; fertility is
+    a ratio of exact integer sums, so the only rounding is the final
+    ROUND(6)."""
+    from ..operators import tokenizer
+    from ..operators.textstats import normalize_text, tokens
+
+    docs = _docs(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, n_merges=24)
+    enc = tokenizer.bpe_encode(docs, merges)
+    per_doc = enc.select("doc_id", F.size("tokens").alias("n_bpe")).join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(normalize_text(F.col("text")))).alias("n_words"),
+        ),
+        "doc_id",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 24) -> str:
+    prefix, _, d = _bpe_vocab_sql(n_merges)
+    return f"""{prefix},
+wtok AS MATERIALIZED (
+  SELECT word,
+         len(list_filter(string_split(sym, {d}), x -> x <> '')) AS n_tok
+  FROM wf{n_merges}
+),
+docw AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+  FROM documents WHERE {_NORM} <> ''
+),
+per_doc AS (
+  SELECT dw.doc_id, CAST(SUM(w.n_tok) AS BIGINT) AS n_bpe,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM docw dw JOIN wtok w USING (word) GROUP BY 1
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       ROUND(SUM(p.n_bpe) * 1.0 / SUM(p.n_words), 6) AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+QUERIES["doc_tokenizer_fertility"] = doc_tokenizer_fertility
+ORACLE["doc_tokenizer_fertility"] = _bpe_fertility_oracle()

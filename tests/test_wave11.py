@@ -543,3 +543,34 @@ def test_misra_gries_kernel_guarantee_hypothesis(stream, k):
             assert item in est, (item, c, bound, k)
         if item in est:
             assert c - bound <= est[item] <= c
+
+
+def test_tokenizer_fertility_consistent_with_bpe_tokens(spark, sf_dir):
+    """Fertility must be exactly the ratio of the per-doc BPE token
+    sums (already differential-tested) to whitespace word counts,
+    aggregated per source — and every fertility >= 1 (BPE never emits
+    fewer tokens than words)."""
+    per_doc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in llmdata.doc_bpe_tokens(spark, sf_dir).collect()
+    }
+    words = {}
+    src = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        t = " ".join((r["text"] or "").lower().split())
+        if t:
+            words[r["doc_id"]] = len(t.split(" "))
+            src[r["doc_id"]] = r["source"]
+    agg: defaultdict = defaultdict(lambda: [0, 0, 0])
+    for d, nb in per_doc.items():
+        a = agg[src[d]]
+        a[0] += 1
+        a[1] += nb
+        a[2] += words[d]
+    out = {r["source"]: r for r in llmdata.doc_tokenizer_fertility(spark, sf_dir).collect()}
+    assert out.keys() == agg.keys()
+    for s, (nd, nb, nw) in agg.items():
+        r = out[s]
+        assert (r["n_docs"], r["n_bpe_tokens"], r["n_words"]) == (nd, nb, nw)
+        assert r["fertility"] == pytest.approx(round(nb / nw, 6), abs=1e-9)
+        assert r["fertility"] >= 1.0
