@@ -177,6 +177,8 @@ HEADLINE = [
     ("embedding_kcenter_coreset", llmdata.QUERIES),
     ("knn_ivfpq", llmdata.QUERIES),
     ("doc_tokenizer_fertility", llmdata.QUERIES),
+    # r7 wave 17: RAKE keyphrase extraction
+    ("doc_rake_keyphrases", llmdata.QUERIES),
 ]
 
 

@@ -835,3 +835,73 @@ def stupid_backoff_score(
         F.round(F.avg(nll), 6).alias("avg_neg_logscore"),
         F.round(F.exp(F.avg(nll)), 6).alias("sb_ppl"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), top phrase per
+    document: candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands on token position), each word scores
+    ``degree/frequency`` within its document (degree = the summed
+    length of phrases containing it — co-occurrence reach; frequency =
+    its occurrence count), and a phrase scores the sum of its words.
+    The multi-word complement of ``tfidf_top_terms``' single-term
+    keywords, sharing the deterministic :data:`STOPWORDS` list so the
+    oracle mirrors the phrase boundaries exactly.
+
+    Scale shape: one tokenize/explode pass, a doc-partitioned
+    ROW_NUMBER window for the islands (never global), then doc-local
+    hash aggregations and joins — every key includes ``id_col``, so
+    shuffles are uniform and nothing cross-document exists at all.
+    Scores are exact integer ratios summed per phrase and rounded(6)
+    before the per-doc argmax (phrase-text tie-break)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col,
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias(
+            "pos", "w"
+        ),
+    )
+    w_isl = Window.partitionBy(id_col).orderBy("pos")
+    words = toks.filter(~F.col("w").isin(*STOPWORDS)).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_isl)
+    )
+    plen = words.groupBy(id_col, "grp").agg(F.count("*").alias("plen"))
+    wstats = (
+        words.join(plen, [id_col, "grp"])
+        .groupBy(id_col, "w")
+        .agg(F.sum("plen").alias("deg"), F.count("*").alias("freq"))
+        .withColumn("wscore", F.col("deg") / F.col("freq"))
+    )
+    phrases = (
+        words.join(wstats, [id_col, "w"])
+        .groupBy(id_col, "grp")
+        .agg(
+            F.round(F.sum("wscore"), 6).alias("score"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+        )
+        .groupBy(id_col, "phrase")
+        .agg(
+            F.max("score").alias("score"),
+            F.max("n_words").alias("n_words"),
+        )
+    )
+    w_top = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        phrases.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "phrase", "n_words", "score")
+    )

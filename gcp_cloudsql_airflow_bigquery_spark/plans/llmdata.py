@@ -3157,3 +3157,58 @@ GROUP BY 1
 
 QUERIES["doc_tokenizer_fertility"] = doc_tokenizer_fertility
 ORACLE["doc_tokenizer_fertility"] = _bpe_fertility_oracle()
+
+
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE top keyphrase per document (new r7) — the multi-word
+    complement of ``doc_tfidf_top_term``; phrase boundaries come from
+    the deterministic shared stopword list, scores are exact
+    degree/frequency ratios.  Fully doc-local (every shuffle key
+    includes doc_id); see
+    :func:`..operators.textstats.rake_keyphrases`."""
+    return textstats.rake_keyphrases(_docs(spark, sf_dir))
+
+
+_RAKE_STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+_RAKE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS w FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             AS w
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+  ), LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+),
+words AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks WHERE w NOT IN ({_RAKE_STOPS})
+),
+plen AS (SELECT doc_id, grp, COUNT(*) AS plen FROM words GROUP BY 1, 2),
+wstats AS (
+  SELECT w.doc_id, w.w,
+         SUM(p.plen) * 1.0 / COUNT(*) AS wscore
+  FROM words w JOIN plen p USING (doc_id, grp)
+  GROUP BY 1, 2
+),
+phrases AS (
+  SELECT doc_id, phrase, MAX(score) AS score, MAX(n_words) AS n_words
+  FROM (
+    SELECT w.doc_id, w.grp,
+           ROUND(SUM(s.wscore), 6) AS score,
+           string_agg(w.w, ' ' ORDER BY w.pos) AS phrase,
+           COUNT(*) AS n_words
+    FROM words w JOIN wstats s ON s.doc_id = w.doc_id AND s.w = w.w
+    GROUP BY 1, 2
+  ) GROUP BY 1, 2
+)
+SELECT doc_id, phrase, n_words, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS rn
+  FROM phrases) WHERE rn = 1
+"""
+
+QUERIES["doc_rake_keyphrases"] = doc_rake_keyphrases
+ORACLE["doc_rake_keyphrases"] = _RAKE_SQL

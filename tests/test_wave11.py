@@ -574,3 +574,50 @@ def test_tokenizer_fertility_consistent_with_bpe_tokens(spark, sf_dir):
         assert (r["n_docs"], r["n_bpe_tokens"], r["n_words"]) == (nd, nb, nw)
         assert r["fertility"] == pytest.approx(round(nb / nw, 6), abs=1e-9)
         assert r["fertility"] >= 1.0
+
+
+def test_rake_matches_pure_python_reference(spark, sf_dir):
+    """Replay RAKE (stopword islands, degree/frequency word scores,
+    phrase sums, round-6 argmax with phrase tie-break) in pure Python
+    for every document."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import STOPWORDS
+
+    stops = set(STOPWORDS)
+    out = {
+        r["doc_id"]: (r["phrase"], r["n_words"], r["score"])
+        for r in llmdata.doc_rake_keyphrases(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = (r["text"] or "").lower().split()
+        phrases, cur = [], []
+        for w in toks:
+            if w in stops:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            assert r["doc_id"] not in out
+            continue
+        n_checked += 1
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        best = {}
+        for p in phrases:
+            txt = " ".join(p)
+            score = round(sum(deg[w] / freq[w] for w in p), 6)
+            best[txt] = (score, len(p))
+        top = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[0]
+        got = out[r["doc_id"]]
+        assert got[0] == top[0], r["doc_id"]
+        assert got[1] == top[1][1]
+        assert got[2] == pytest.approx(top[1][0], abs=2e-6)
+    assert n_checked == len(out) and n_checked > 0
