@@ -113,8 +113,9 @@ _MODULES = (
 # (knn_pq_adc, doc_backoff_lm_eval), the r7-wave-15 addition
 # (events_duplicate_purchases) and the r7-wave-16 additions
 # (search_ndcg_eval, embedding_kcenter_coreset, knn_ivfpq,
-# doc_tokenizer_fertility) and the r7-wave-17 addition
-# (doc_rake_keyphrases)
+# doc_tokenizer_fertility), the r7-wave-17 addition
+# (doc_rake_keyphrases) and the r7-wave-18 additions
+# (events_transition_conformance, doc_textrank_sentence)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

@@ -179,6 +179,9 @@ HEADLINE = [
     ("doc_tokenizer_fertility", llmdata.QUERIES),
     # r7 wave 17: RAKE keyphrase extraction
     ("doc_rake_keyphrases", llmdata.QUERIES),
+    # r7 wave 18: protocol-conformance screen and TextRank summarization
+    ("events_transition_conformance", events.QUERIES),
+    ("doc_textrank_sentence", llmdata.QUERIES),
 ]
 
 

@@ -905,3 +905,109 @@ def rake_keyphrases(
         .filter(F.col("rn") == 1)
         .select(id_col, "phrase", "n_words", "score")
     )
+
+
+def textrank_top_sentence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    damping: float = 0.85,
+    iters: int = 2,
+) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004), top
+    sentence per document: sentences are nodes, edge weight = distinct
+    word overlap / (|Wa| + |Wb|), and ``iters`` unrolled power-iteration
+    rounds of ``s_i = (1-d)/n + d·Σ_j w_ji·s_j/out_j`` from the uniform
+    start rank the centrality argmax.  The sentence-level complement of
+    :func:`rake_keyphrases`' phrase extraction.
+
+    Scale shape: everything is doc-local — the sentence self-join, the
+    out-degree aggregation, and each round's contribution sum all key
+    on ``id_col`` (sentence counts per doc are tiny, so the "quadratic"
+    pair frame is bounded per row and uniform across the corpus); the
+    rounds are unrolled joins, no driver loop, no UDF.  Scores
+    round(6) before the per-doc argmax with sentence-index
+    tie-breaks."""
+    from pyspark.sql import Window
+
+    raw = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("i", "sent"),
+    ).withColumn("sent", F.trim("sent"))
+    sw = (
+        raw.filter(F.col("sent") != "")
+        .withColumn(
+            "ws", F.array_distinct(F.split(F.lower(F.col("sent")), r"\s+"))
+        )
+        .withColumn("nw", F.size("ws"))
+        .filter(F.col("nw") > 0)
+    )
+    n = sw.groupBy(id_col).agg(F.count("*").alias("n_sents"))
+    a = sw.select(
+        id_col,
+        F.col("i").alias("src"),
+        F.col("ws").alias("ws_a"),
+        F.col("nw").alias("nw_a"),
+    )
+    b = sw.select(
+        id_col,
+        F.col("i").alias("dst"),
+        F.col("ws").alias("ws_b"),
+        F.col("nw").alias("nw_b"),
+    )
+    edges = (
+        a.join(b, id_col)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "ov", F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+        )
+        .filter(F.col("ov") > 0)
+        .select(
+            id_col,
+            "src",
+            "dst",
+            (F.col("ov") / (F.col("nw_a") + F.col("nw_b"))).alias("w"),
+        )
+    )
+    out_deg = edges.groupBy(id_col, "src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(out_deg, [id_col, "src"])
+    base = (1 - damping) * (F.lit(1.0) / F.col("n_sents"))
+    scores = sw.select(id_col, "i").join(n, id_col).select(
+        id_col, "i", (F.lit(1.0) / F.col("n_sents")).alias("s")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                scores.select(
+                    id_col, F.col("i").alias("src"), F.col("s").alias("s_src")
+                ),
+                [id_col, "src"],
+            )
+            .groupBy(id_col, F.col("dst").alias("i"))
+            .agg(F.sum(F.col("w") * F.col("s_src") / F.col("out_w")).alias("c"))
+        )
+        scores = (
+            sw.select(id_col, "i")
+            .join(n, id_col)
+            .join(contrib, [id_col, "i"], "left")
+            .select(
+                id_col,
+                "i",
+                (base + damping * F.coalesce("c", F.lit(0.0))).alias("s"),
+            )
+        )
+    w_top = Window.partitionBy(id_col).orderBy(F.desc("sr"), "i")
+    return (
+        scores.withColumn("sr", F.round("s", 6))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .join(sw.select(id_col, "i", "sent"), [id_col, "i"])
+        .join(n, id_col)
+        .select(
+            id_col,
+            F.col("i").alias("sent_idx"),
+            F.col("sent").alias("sentence"),
+            F.col("n_sents").cast("long").alias("n_sentences"),
+            F.col("sr").alias("score"),
+        )
+    )

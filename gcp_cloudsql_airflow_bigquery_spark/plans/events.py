@@ -1847,3 +1847,85 @@ WHERE prev_us IS NOT NULL AND us - prev_us <= 48 * 3600000000
 
 QUERIES["events_duplicate_purchases"] = events_duplicate_purchases
 ORACLE["events_duplicate_purchases"] = _DUPLICATE_PURCHASES_SQL
+
+
+# the declared event protocol for conformance checking: a session is
+# expected to move signup → view → click → purchase; error may follow
+# anything, and view/click may repeat or alternate.  Deliberately
+# small and literal so the oracle mirrors it exactly.
+_ALLOWED_TRANSITIONS: tuple[tuple[str, str], ...] = (
+    ("signup", "view"),
+    ("view", "view"),
+    ("view", "click"),
+    ("click", "view"),
+    ("click", "click"),
+    ("click", "purchase"),
+    ("purchase", "view"),
+    ("signup", "error"),
+    ("view", "error"),
+    ("click", "error"),
+    ("purchase", "error"),
+    ("error", "view"),
+)
+
+
+def events_transition_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance screen (new r7): per user, the
+    fraction of consecutive event-type transitions that violate the
+    declared protocol (``_ALLOWED_TRANSITIONS``) — the
+    conformance-checking counterpart of the descriptive
+    ``events_transition_matrix``: that query reports what transitions
+    happen, this one scores them against what SHOULD happen (broken
+    instrumentation and bot replay both show up as high violation
+    rates).  One LAG window + one aggregation on the same user_id key
+    (the ``events_bot_regularity`` exchange-reuse shape); the legal
+    set is a literal IN list, pure whole-stage codegen.  Flags on the
+    ROUNDED rate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    legal = F.concat_ws("->", "prev", "event_type").isin(
+        *[f"{a}->{b}" for a, b in _ALLOWED_TRANSITIONS]
+    )
+    rate = F.round(
+        F.sum((~legal).cast("long")) / F.count(F.lit(1)), 6
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum((~legal).cast("long")).alias("n_violations"),
+        rate.alias("violation_rate"),
+        (rate > 0.5).alias("nonconforming"),
+    )
+
+
+_TRANSITION_CONFORMANCE_SQL = f"""
+WITH pairs AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_transitions,
+       CAST(SUM(CASE WHEN prev || '->' || event_type NOT IN
+         ({", ".join(f"'{a}->{b}'" for a, b in _ALLOWED_TRANSITIONS)})
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       ROUND(SUM(CASE WHEN prev || '->' || event_type NOT IN
+         ({", ".join(f"'{a}->{b}'" for a, b in _ALLOWED_TRANSITIONS)})
+         THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS violation_rate,
+       ROUND(SUM(CASE WHEN prev || '->' || event_type NOT IN
+         ({", ".join(f"'{a}->{b}'" for a, b in _ALLOWED_TRANSITIONS)})
+         THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) > 0.5 AS nonconforming
+FROM pairs WHERE prev IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["events_transition_conformance"] = events_transition_conformance
+ORACLE["events_transition_conformance"] = _TRANSITION_CONFORMANCE_SQL

@@ -3212,3 +3212,73 @@ SELECT doc_id, phrase, n_words, score FROM (
 
 QUERIES["doc_rake_keyphrases"] = doc_rake_keyphrases
 ORACLE["doc_rake_keyphrases"] = _RAKE_SQL
+
+
+def doc_textrank_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank top sentence per document (new r7) — extractive
+    summarization as two unrolled power-iteration rounds over the
+    doc-local sentence-overlap graph; the sentence-level complement of
+    ``doc_rake_keyphrases``.  See
+    :func:`..operators.textstats.textrank_top_sentence`."""
+    return textstats.textrank_top_sentence(_docs(spark, sf_dir))
+
+
+def _textrank_round(i: int, d: float) -> str:
+    return f"""ct{i} AS (
+  SELECT e.doc_id, e.dst AS i,
+         SUM(e.w * s.s / e.out_w) AS c
+  FROM ew e JOIN sc{i - 1} s ON s.doc_id = e.doc_id AND s.i = e.src
+  GROUP BY 1, 2
+),
+sc{i} AS (
+  SELECT v.doc_id, v.i,
+         (1 - {d}) / n.n_sents + {d} * COALESCE(c.c, 0.0) AS s
+  FROM verts v
+  JOIN n USING (doc_id)
+  LEFT JOIN ct{i} c ON c.doc_id = v.doc_id AND c.i = v.i
+)"""
+
+
+_TEXTRANK_SQL = rf"""
+WITH raw AS (
+  SELECT doc_id, i.i - 1 AS i, trim(p[i.i]) AS sent FROM (
+    SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS p FROM documents
+  ), LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) i
+),
+sw AS MATERIALIZED (
+  SELECT doc_id, i, sent,
+         list_distinct(regexp_split_to_array(lower(sent), '\s+')) AS ws
+  FROM raw WHERE sent <> ''
+),
+verts AS (SELECT doc_id, i FROM sw),
+n AS (SELECT doc_id, COUNT(*) AS n_sents FROM sw GROUP BY 1),
+ew AS MATERIALIZED (
+  SELECT e.doc_id, e.src, e.dst, e.w,
+         SUM(e.w) OVER (PARTITION BY e.doc_id, e.src) AS out_w
+  FROM (
+    SELECT a.doc_id, a.i AS src, b.i AS dst,
+           len(list_intersect(a.ws, b.ws)) * 1.0
+             / (len(a.ws) + len(b.ws)) AS w
+    FROM sw a JOIN sw b ON a.doc_id = b.doc_id AND a.i != b.i
+    WHERE len(list_intersect(a.ws, b.ws)) > 0
+  ) e
+),
+sc0 AS (SELECT doc_id, i, 1.0 / n_sents AS s FROM verts JOIN n USING (doc_id)),
+{_textrank_round(1, 0.85)},
+{_textrank_round(2, 0.85)},
+ranked AS (
+  SELECT s.doc_id, s.i, ROUND(s.s, 6) AS sr,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY ROUND(s.s, 6) DESC, s.i) AS rn
+  FROM sc2 s
+)
+SELECT r.doc_id, r.i AS sent_idx, w.sent AS sentence,
+       n.n_sents AS n_sentences, r.sr AS score
+FROM ranked r
+JOIN sw w ON w.doc_id = r.doc_id AND w.i = r.i
+JOIN n ON n.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
+
+QUERIES["doc_textrank_sentence"] = doc_textrank_sentence
+ORACLE["doc_textrank_sentence"] = _TEXTRANK_SQL

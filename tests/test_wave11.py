@@ -621,3 +621,85 @@ def test_rake_matches_pure_python_reference(spark, sf_dir):
         assert got[1] == top[1][1]
         assert got[2] == pytest.approx(top[1][0], abs=2e-6)
     assert n_checked == len(out) and n_checked > 0
+
+
+def test_transition_conformance_matches_sequential_reference(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        _ALLOWED_TRANSITIONS,
+    )
+
+    allowed = set(_ALLOWED_TRANSITIONS)
+    by_user: defaultdict = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    out = {
+        r["user_id"]: r
+        for r in events.events_transition_conformance(spark, sf_dir).collect()
+    }
+    for uid, evs in by_user.items():
+        evs.sort()
+        pairs = [(a[2], b[2]) for a, b in zip(evs, evs[1:])]
+        if not pairs:
+            assert uid not in out
+            continue
+        viol = sum(1 for p in pairs if p not in allowed)
+        r = out[uid]
+        assert r["n_transitions"] == len(pairs)
+        assert r["n_violations"] == viol
+        assert r["violation_rate"] == pytest.approx(
+            round(viol / len(pairs), 6), abs=1e-9
+        )
+        assert r["nonconforming"] == (r["violation_rate"] > 0.5)
+
+
+def test_textrank_matches_pure_python_power_iteration(spark, sf_dir):
+    """Replay the 2-round damped power iteration over the doc-local
+    sentence-overlap graph in pure Python for every document."""
+    import re
+
+    out = {
+        r["doc_id"]: (r["sent_idx"], r["sentence"], r["n_sentences"], r["score"])
+        for r in llmdata.doc_textrank_sentence(spark, sf_dir).collect()
+    }
+    d = 0.85
+    n_checked = 0
+    for r in load_table(spark, sf_dir, "documents").collect():
+        sents = [s.strip() for s in re.split(r"[.!?]+", r["text"] or "")]
+        sw = [
+            (i, s, set(re.split(r"\s+", s.lower())))
+            for i, s in enumerate(sents)
+            if s
+        ]
+        if not sw:
+            assert r["doc_id"] not in out
+            continue
+        n_checked += 1
+        n = len(sw)
+        edges: defaultdict = defaultdict(dict)
+        for ia, _, wa in sw:
+            for ib, _, wb in sw:
+                if ia == ib:
+                    continue
+                ov = len(wa & wb)
+                if ov:
+                    edges[ia][ib] = ov / (len(wa) + len(wb))
+        out_w = {i: sum(ws.values()) for i, ws in edges.items()}
+        s = {i: 1.0 / n for i, _, _ in sw}
+        for _ in range(2):
+            nxt = {}
+            for i, _, _ in sw:
+                c = sum(
+                    edges[j][i] * s[j] / out_w[j]
+                    for j in edges
+                    if i in edges[j]
+                )
+                nxt[i] = (1 - d) / n + d * c
+            s = nxt
+        best = sorted(((round(v, 6), -i) for i, v in s.items()), reverse=True)[0]
+        idx = -best[1]
+        got = out[r["doc_id"]]
+        assert got[0] == idx, r["doc_id"]
+        assert got[1] == dict((i, t) for i, t, _ in sw)[idx]
+        assert got[2] == n
+        assert got[3] == pytest.approx(best[0], abs=2e-6)
+    assert n_checked == len(out) and n_checked > 0
