@@ -1,8 +1,11 @@
-"""Differential tests for the round-7 wave-11 governance/monitoring
-operators: each Spark plan is replayed by a small pure-Python
-reference (dict-of-counts k-anonymity, sequential gap statistics,
-textbook PSI sum) on the collected fixture rows — proving the intended
-ALGORITHM on top of the DuckDB oracles' cross-engine agreement."""
+"""Differential tests for the round-7 wave-11..18 operators: each
+Spark plan is replayed by a small pure-Python reference (dict-of-counts
+k-anonymity, sequential gap statistics, textbook PSI sum, PQ Lloyd,
+greedy MMR / k-center, the stupid-backoff ladder, nDCG, RAKE, TextRank
+power iteration, transition conformance) on the collected fixture rows
+— proving the intended ALGORITHM on top of the DuckDB oracles'
+cross-engine agreement.  Hypothesis sections add randomized invariants
+(PQ training monotonicity, Misra-Gries guarantees)."""
 
 from __future__ import annotations
 
