@@ -706,3 +706,50 @@ def test_textrank_matches_pure_python_power_iteration(spark, sf_dir):
         assert got[2] == n
         assert got[3] == pytest.approx(best[0], abs=2e-6)
     assert n_checked == len(out) and n_checked > 0
+
+
+def test_textrank_synthetic_multisentence_graph(spark):
+    """The fixture corpus has no sentence punctuation (each doc is one
+    sentence, a trivial graph), so exercise the REAL power iteration
+    on a synthetic doc: the hub sentence sharing words with every
+    other sentence must win, and scores must match the pure-Python
+    iteration."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.textstats import (
+        textrank_top_sentence,
+    )
+
+    text = (
+        "alpha beta gamma. alpha delta zeta! beta delta eta? "
+        "theta iota kappa. alpha beta delta theta."
+    )
+    df = spark.createDataFrame([(1, text), (2, "solo sentence")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textrank_top_sentence(df).collect()}
+    # doc 2: single sentence wins with the base score (1-d)/1
+    assert out[2]["sentence"] == "solo sentence"
+    assert out[2]["n_sentences"] == 1
+    assert out[2]["score"] == pytest.approx(0.15, abs=1e-6)
+    # doc 1: the hub sentence overlaps all four others
+    assert out[1]["n_sentences"] == 5
+    assert out[1]["sentence"] == "alpha beta delta theta"
+    # pure-python replay of the same 2-round iteration
+    import re
+
+    sents = [s.strip() for s in re.split(r"[.!?]+", text) if s.strip()]
+    sw = [(i, set(s.lower().split())) for i, s in enumerate(sents)]
+    n, d = len(sw), 0.85
+    edges: defaultdict = defaultdict(dict)
+    for ia, wa in sw:
+        for ib, wb in sw:
+            if ia != ib and wa & wb:
+                edges[ia][ib] = len(wa & wb) / (len(wa) + len(wb))
+    out_w = {i: sum(v.values()) for i, v in edges.items()}
+    s = {i: 1 / n for i, _ in sw}
+    for _ in range(2):
+        s = {
+            i: (1 - d) / n
+            + d * sum(edges[j][i] * s[j] / out_w[j] for j in edges if i in edges[j])
+            for i, _ in sw
+        }
+    best_idx, best = max(s.items(), key=lambda kv: (round(kv[1], 6), -kv[0]))
+    assert out[1]["sent_idx"] == best_idx
+    assert out[1]["score"] == pytest.approx(round(best, 6), abs=2e-6)
