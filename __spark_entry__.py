@@ -115,7 +115,8 @@ _MODULES = (
 # (search_ndcg_eval, embedding_kcenter_coreset, knn_ivfpq,
 # doc_tokenizer_fertility), the r7-wave-17 addition
 # (doc_rake_keyphrases) and the r7-wave-18 additions
-# (events_transition_conformance, doc_textrank_sentence)
+# (events_transition_conformance, doc_textrank_sentence) and the
+# r7-wave-19 addition (nation_revenue_theilsen)
 # — all replica-green at sf0.001+sf0.01,
 # then rotate the remaining early
 # slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,

@@ -182,6 +182,8 @@ HEADLINE = [
     # r7 wave 18: protocol-conformance screen and TextRank summarization
     ("events_transition_conformance", events.QUERIES),
     ("doc_textrank_sentence", llmdata.QUERIES),
+    # r7 wave 19: Theil-Sen robust trend (OLS twin)
+    ("nation_revenue_theilsen", advanced.QUERIES),
 ]
 
 

@@ -2422,3 +2422,107 @@ FROM r
 
 QUERIES["customer_revenue_gini"] = customer_revenue_gini
 ORACLE["customer_revenue_gini"] = _GINI_SQL
+
+
+def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (new r7): median pairwise slope per
+    nation over the same weekly revenue series as
+    ``nation_revenue_trend`` — the outlier-resistant complement of
+    that query's OLS ``regr_slope`` (one blowout week moves OLS, not
+    the median slope; breakdown point 29%).  Intercept =
+    ``median(rev − slope·x)``, the standard Theil-Sen estimator.
+
+    Scale shape: the pair frame is the WEEKLY model frame self-joined
+    per nation (~weeks²·nations rows — model-sized, never the fact
+    table); both medians are exact ``percentile``/``quantile_cont``
+    linear interpolation, which average the same two order statistics
+    in both engines.  Fact-side work is identical to the OLS query:
+    broadcast dims, one (nation, week) partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w0 = wk.agg(F.min("wk").alias("w0"))
+    pts = wk.crossJoin(F.broadcast(w0)).select(
+        "n_name",
+        (F.datediff("wk", "w0") / 7).cast("long").alias("x"),
+        "rev",
+    )
+    a = pts.select("n_name", F.col("x").alias("xa"), F.col("rev").alias("ra"))
+    b = pts.select("n_name", F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(b, "n_name")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "n_name",
+            (
+                (F.col("rb") - F.col("ra")) / (F.col("xb") - F.col("xa"))
+            ).alias("s"),
+        )
+    )
+    med = slopes.groupBy("n_name").agg(
+        F.expr("percentile(s, 0.5)").alias("slope_med"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = pts.join(med, "n_name").groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.round(F.first("slope_med"), 4).alias("ts_slope"),
+        F.round(
+            F.expr("percentile(rev - slope_med * x, 0.5)"), 4
+        ).alias("ts_intercept"),
+    )
+    return resid.select("n_name", "n_weeks", "n_pairs", "ts_slope", "ts_intercept")
+
+
+_THEILSEN_SQL = """
+WITH wk AS (
+  SELECT n_name, CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+w0 AS (SELECT MIN(wk) AS w0 FROM wk),
+pts AS (
+  SELECT n_name,
+         CAST(datediff('day', (SELECT w0 FROM w0), wk) / 7 AS BIGINT) AS x,
+         rev
+  FROM wk
+),
+slopes AS (
+  SELECT a.n_name, (b.rev - a.rev) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.n_name = b.n_name AND a.x < b.x
+),
+med AS (
+  SELECT n_name, quantile_cont(s, 0.5) AS slope_med,
+         COUNT(*) AS n_pairs
+  FROM slopes GROUP BY 1
+)
+SELECT p.n_name,
+       COUNT(*) AS n_weeks,
+       ANY_VALUE(m.n_pairs) AS n_pairs,
+       ROUND(ANY_VALUE(m.slope_med), 4) AS ts_slope,
+       ROUND(quantile_cont(p.rev - m.slope_med * p.x, 0.5), 4) AS ts_intercept
+FROM pts p JOIN med m USING (n_name)
+GROUP BY 1
+"""
+
+QUERIES["nation_revenue_theilsen"] = nation_revenue_theilsen
+ORACLE["nation_revenue_theilsen"] = _THEILSEN_SQL

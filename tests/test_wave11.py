@@ -753,3 +753,64 @@ def test_textrank_synthetic_multisentence_graph(spark):
     best_idx, best = max(s.items(), key=lambda kv: (round(kv[1], 6), -kv[0]))
     assert out[1]["sent_idx"] == best_idx
     assert out[1]["score"] == pytest.approx(round(best, 6), abs=2e-6)
+
+
+def test_theilsen_matches_pure_python_median_slopes(spark, sf_dir):
+    """Replay Theil-Sen (median pairwise slope, median residual
+    intercept, linear-interpolated medians) in pure Python from the
+    same weekly series, and pin robustness: a synthetic outlier week
+    moves the OLS slope but not the Theil-Sen slope."""
+    import statistics
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    out = {r["n_name"]: r for r in advanced.nation_revenue_theilsen(spark, sf_dir).collect()}
+    # rebuild the weekly frame via the already-oracle-checked OLS twin's
+    # inputs: collect (nation, week-start, revenue) in python
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in load_table(spark, sf_dir, "orders").collect()}
+    cust = {r["c_custkey"]: r["c_nationkey"] for r in load_table(spark, sf_dir, "customer").collect()}
+    nat = {r["n_nationkey"]: r["n_name"] for r in load_table(spark, sf_dir, "nation").collect()}
+    wk: defaultdict = defaultdict(float)
+    for r in li:
+        d = r["l_shipdate"]
+        monday = d.toordinal() - d.weekday()
+        key = (nat[cust[orders[r["l_orderkey"]]]], monday)
+        wk[key] = round(wk[key] + round(r["l_extendedprice"], 6), 6)
+    w0 = min(m for _, m in wk)
+    pts: defaultdict = defaultdict(list)
+    for (nname, m), rev in wk.items():
+        pts[nname].append(((m - w0) // 7, rev))
+
+    def median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        if n % 2:
+            return vals[n // 2]
+        return (vals[n // 2 - 1] + vals[n // 2]) / 2
+
+    for nname, series in pts.items():
+        slopes = [
+            (rb - ra) / (xb - xa)
+            for (xa, ra) in series
+            for (xb, rb) in series
+            if xa < xb
+        ]
+        sm = median(slopes)
+        im = median([rev - sm * x for x, rev in series])
+        r = out[nname]
+        assert r["n_weeks"] == len(series)
+        assert r["n_pairs"] == len(slopes)
+        assert r["ts_slope"] == pytest.approx(round(sm, 4), abs=2e-3)
+        assert r["ts_intercept"] == pytest.approx(round(im, 4), abs=2e-3)
+
+    # robustness pin on synthetic data: one blowout week
+    xs = list(range(10))
+    ys = [100.0 + 10 * x for x in xs]
+    ys[5] = 10_000.0
+    slopes = [
+        (ys[j] - ys[i]) / (j - i) for i in range(10) for j in range(i + 1, 10)
+    ]
+    assert median(slopes) == pytest.approx(10.0, abs=1.0)  # robust
+    ols = statistics.linear_regression(xs, ys).slope
+    assert abs(ols - 10.0) > 50  # OLS dragged by the outlier
