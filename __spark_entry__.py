@@ -86,121 +86,93 @@ _MODULES = (
 # while their shared helpers (catalog dtype guard, session defaults)
 # kept evolving (VERDICT r6 #5).
 #
-# ROUND 8 PLAN: after this window, every oracle-paired query has
-# driver hash signal and ~28 of the 49 r1-r3-only slots are
-# re-confirmed.  The r8 window MUST include the fifteen r7-wave-3
-# additions that landed after this window was frozen
-# (event_state_communities, map_struct_funcs, doc_source_token_drift,
-# doc_minhash_recall_eval, embedding_ann_recall_eval,
-# doc_leakage_safe_splits, part_cooccurrence_kcore,
-# events_attribution_linear, events_hourly_autocorr,
-# events_seasonal_anomaly, part_association_rules,
-# events_user_rfm_segments, nation_revenue_trend,
-# events_ab_significance, orders_open_backlog — all
-# replica-green at sf0.001+sf0.01), plus the five r7-wave-7 additions
-# (events_changepoint_cusum, events_frequent_sequences,
-# events_sliding_distinct_users, customer_survival_km,
-# doc_quality_auc_eval), the three r7-wave-8 additions
-# (customer_linkage_scores, events_forecast_eval, doc_ngram_novelty)
-# the three r7-wave-9 additions (orders_benford_screen,
-# customer_revenue_gini, doc_readability) and the two r7-wave-10
-# additions (embedding_outlier_score, doc_zipf_fit), the three
-# r7-wave-11 additions (customer_k_anonymity, events_bot_regularity,
-# doc_source_psi_drift) and the r7-wave-12 additions
-# (embedding_pq_codes, embedding_mmr_diverse), the r7-wave-13
-# addition (events_prequential_zscore, whose Welford GroupState
-# streaming twin is stream≡batch-tested) and the r7-wave-14 additions
-# (knn_pq_adc, doc_backoff_lm_eval), the r7-wave-15 addition
-# (events_duplicate_purchases) and the r7-wave-16 additions
-# (search_ndcg_eval, embedding_kcenter_coreset, knn_ivfpq,
-# doc_tokenizer_fertility), the r7-wave-17 addition
-# (doc_rake_keyphrases) and the r7-wave-18 additions
-# (events_transition_conformance, doc_textrank_sentence) and the
-# r7-wave-19 addition (nation_revenue_theilsen)
-# — all replica-green at sf0.001+sf0.01,
-# then rotate the remaining early
-# slots (agg_basic, agg_cube, agg_having, join_left/right/semi/cross,
-# window_lag_lead, set_union_distinct, set_except, set_intersect,
-# window-* residue, case_expr, split_explode, array_agg_sorted,
-# null_funcs, between_like_in, conditional_agg, late_shipment_orders,
-# nation_trade_volume, sql_in_subquery, sql_exists_subquery,
-# string/date/math residue) into the sample slots, plus a rotating
-# sample of the r4-r6 windows.
+# ROUND 8 window (this round): (a) all 45 r7-wave queries that landed
+# after the r7 window froze — the only oracle-paired queries with zero
+# driver signal (VERDICT r7 task 1; every one judge-replica-green at
+# sf0.01) — plus (b) the first 5 of the stale r1–r3 rotation
+# (dedup_exact, join_left, set_intersect, agg_cube,
+# sql_exists_subquery).  After this window every oracle-paired query
+# in the registry has driver hash signal.
+#
+# ROUND 9 PLAN: rotate the remaining ~21 r1–r3-stale slots into the
+# window (VERDICT r7 task 2): agg_basic, agg_having, agg_stats,
+# array_agg_sorted, between_like_in, case_expr, conditional_agg,
+# join_cross, join_right, join_semi, late_shipment_orders,
+# nation_trade_volume, null_funcs, pivot_status, set_except,
+# set_union_distinct, sort_limit, split_explode, sql_in_subquery,
+# unpivot_part, window_lag_lead — then any r8-wave additions that
+# landed after this window froze (they take priority over
+# re-confirmation slots, same rule as r8), then fill remaining slots
+# with a rotating sample of the r4–r6 windows (oldest-signal-first).
 _WINDOW = (
-    # (a) oracle-paired, no driver hash signal yet (12)
-    "doc_bpe_vocab",
-    "doc_bpe_tokens",
-    "doc_winnow_candidates",
-    "embedding_semantic_dedup",
-    "doc_quality_classifier",
-    "doc_perplexity_bigram",
-    "events_value_quantiles_rollup_exactmode",
-    "hybrid_search_rrf",
-    "embedding_knn_label_eval",
-    "dq_documents_report",
-    "dq_events_report",
-    "json_funcs",
-    # (b) new this round (5)
-    "embedding_knn_label_eval_ivf",
-    "embedding_semantic_dedup_indexed",
-    "events_zorder_layout",
-    "doc_containment_pairs",
-    "doc_tfidf_knn",
-    # (c) helper/semantics changed this round — re-confirm (4)
-    "doc_token_budget_selection",
-    "doc_curriculum_buckets",
-    "doc_kfold_assignment",
-    "customer_sorted_neighborhood",
-    # (d) rows-only residue, never driver-green (6)
-    "embedding_pca_projected",
-    "media_resized",
-    "agg_approx_sketch",
-    "events_value_quantiles_rollup",
-    "media_features",
-    "media_codec_features",
-    # (e) r1-r3 regression sample (23)
-    "flagship_revenue_by_region_nation",
-    "pricing_summary",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "filter_incremental",
-    "join_inner",
-    "join_full",
-    "join_anti",
-    "join_broadcast",
-    "scalar_subquery",
-    "window_rank",
-    "window_running",
-    "window_ntile",
-    "window_range_frame",
-    "topk_per_group",
-    "set_union_all",
-    "string_funcs",
-    "date_funcs",
-    "math_funcs",
-    "cast_types",
-    "dedup_last_write_wins",
-    "agg_percentiles",
+    # (a) the 45 r7-wave additions that landed after the r7 window
+    # froze (VERDICT r7 task 1) — every one oracle-paired,
+    # judge-replica-green at sf0.01, zero driver signal so far.
+    # Waves in landing order (3, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    # 16, 17, 18, 19).
+    "event_state_communities",
+    "map_struct_funcs",
+    "doc_source_token_drift",
+    "doc_minhash_recall_eval",
+    "embedding_ann_recall_eval",
+    "doc_leakage_safe_splits",
+    "part_cooccurrence_kcore",
+    "events_attribution_linear",
+    "events_hourly_autocorr",
+    "events_seasonal_anomaly",
+    "part_association_rules",
+    "events_user_rfm_segments",
+    "nation_revenue_trend",
+    "events_ab_significance",
+    "orders_open_backlog",
+    "events_changepoint_cusum",
+    "events_frequent_sequences",
+    "events_sliding_distinct_users",
+    "customer_survival_km",
+    "doc_quality_auc_eval",
+    "customer_linkage_scores",
+    "events_forecast_eval",
+    "doc_ngram_novelty",
+    "orders_benford_screen",
+    "customer_revenue_gini",
+    "doc_readability",
+    "embedding_outlier_score",
+    "doc_zipf_fit",
+    "customer_k_anonymity",
+    "events_bot_regularity",
+    "doc_source_psi_drift",
+    "embedding_pq_codes",
+    "embedding_mmr_diverse",
+    "events_prequential_zscore",
+    "knn_pq_adc",
+    "doc_backoff_lm_eval",
+    "events_duplicate_purchases",
+    "search_ndcg_eval",
+    "embedding_kcenter_coreset",
+    "knn_ivfpq",
+    "doc_tokenizer_fertility",
+    "doc_rake_keyphrases",
+    "events_transition_conformance",
+    "doc_textrank_sentence",
+    "nation_revenue_theilsen",
+    # (b) 5 slots on the stale r1–r3 set (last driver-checked 4+
+    # rounds ago while catalog/session helpers evolved — VERDICT r7
+    # task 1 names these five to start the rotation).
+    "dedup_exact",
+    "join_left",
+    "set_intersect",
+    "agg_cube",
+    "sql_exists_subquery",
 )
 
-# Deliberate rows-only slots inside the r7 window (VERDICT r6 #3):
-# these six unpaired queries have NEVER had a driver-green rows-only
-# record (their r4 slots predated the driver's rows-only handling or
-# errored), so six hash slots are spent converting them this round.
+# Deliberate rows-only slots inside the window (VERDICT r6 #3
+# mechanism).  Round 8: EMPTY — all six rows-only residue queries got
+# their first driver rows-only record in r7 (CORRECTNESS_r07.json) and
+# every r8 window entry is oracle-paired.
 # tests/test_entry_contract.py permits unpaired window entries ONLY
 # when they are listed here — an unpaired entry NOT in this set is
 # still a wasted-slot bug.
-_WINDOW_ROWS_ONLY = frozenset(
-    {
-        "embedding_pca_projected",
-        "media_resized",
-        "agg_approx_sketch",
-        "events_value_quantiles_rollup",
-        "media_features",
-        "media_codec_features",
-    }
-)
+_WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

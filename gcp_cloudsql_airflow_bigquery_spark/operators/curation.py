@@ -566,6 +566,59 @@ def global_rank(
     return ranked, run
 
 
+def global_cumsum(
+    df: DataFrame,
+    key: list,
+    value_col: str,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running ``SUM(value_col) OVER (ORDER BY key ROWS UNBOUNDED
+    PRECEDING)`` without a single-partition sort — the generic twin of
+    :func:`budget_select`'s prefix sum with no budget filter.
+
+    Same two-phase machinery as :func:`global_rank`:
+    ``repartitionByRange`` + ``sortWithinPartitions`` give a globally
+    range-ordered layout, per-partition value totals (one tiny
+    aggregation, partition-count rows) become driver-side prefix
+    offsets broadcast-joined back as a tiny ``(pid, offset)`` frame
+    (:func:`_offset_frame`), and the running-sum window runs
+    per-partition.  No task ever sees more than its own partition, at
+    any span — unlike a bare ``Window.orderBy`` this shape has no
+    calendar/grain caveat.  Integer values keep exact long arithmetic
+    (float totals promote the offset frame to double)."""
+    d = (
+        df.repartitionByRange(num_partitions, *key)
+        if num_partitions
+        else df.repartitionByRange(*key)
+    ).sortWithinPartitions(*key)
+    # localCheckpoint pins the sampled range boundaries — the frame is
+    # evaluated twice (totals collect + cum-sum job) and
+    # repartitionByRange is not documented as consistent across
+    # evaluations (the budget_select/fuzzy.py failure mode).
+    part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid] or 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(_offset_frame(part, offsets)), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def exact_ntile(
     df: DataFrame, n_buckets: int, key: list, bucket_col: str = "bucket"
 ) -> DataFrame:

@@ -236,7 +236,10 @@ SELECT 'doc_id_unique',
 # doc_dedup_keep_best_quality's quality weights: a regenerated fixture
 # with a different year must update this constant alongside, or the
 # gate itself reports violations (ADVICE r6).  Shared by the Spark
-# check and the DuckDB oracle below so the two can never drift apart.
+# check and the DuckDB oracle below so the two can never drift apart;
+# tests/test_validate.py::test_events_ts_bounds_constants_match_fixture
+# asserts every fixture SF's actual ts span falls inside this window,
+# so a regenerated fixture fails fast there (VERDICT r7 #6).
 _EVENTS_TS_LO = "2024-01-01"
 _EVENTS_TS_HI = "2025-01-01"  # exclusive
 

@@ -234,6 +234,33 @@ def test_budget_select_two_phase_equals_global_window(spark, sf_dir):
     assert want and got == want
 
 
+def test_global_cumsum_equals_global_window(spark, sf_dir):
+    """operators.curation.global_cumsum (range-partitioned two-phase
+    prefix sum, VERDICT r7 #5) must reproduce the naive unpartitioned
+    running-sum window exactly — including negative values (the
+    orders_open_backlog difference-array deltas it now powers)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 7 - 3).cast("long").alias("delta"),
+    )
+    got = {
+        (r.o_orderkey, r.run)
+        for r in curation.global_cumsum(
+            d, ["o_orderkey"], "delta", out_col="run"
+        ).collect()
+    }
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.o_orderkey, r.run)
+        for r in d.withColumn("run", F.sum("delta").over(w)).collect()
+    }
+    assert want and got == want
+
+
 def test_exact_ntile_matches_spark_ntile(spark):
     """operators.curation.exact_ntile (two-phase prefix-sum rank) must
     reproduce F.ntile over a global Window exactly, across remainder

@@ -267,8 +267,6 @@ def test_analyze_table_feeds_cost_based_optimizer(spark, sf_dir):
 #   doc_mix_rates / doc_mix_resampled — language-grain mix weights
 #   customer_survival_km   — week-BIN grain KM pass, bounded by
 #                            max-duration/7 rows (plans/advanced.py)
-#   orders_open_backlog    — week-grain difference-array running sum,
-#                            calendar-bounded (plans/advanced.py)
 #   doc_quality_auc_eval   — score-group grain rank pass, bounded by
 #                            the 1e-6 score quantization (plans/quality.py)
 _GLOBAL_WINDOW_ALLOWLIST = {
@@ -278,7 +276,6 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "doc_mix_resampled",
     "customer_survival_km",
     "doc_quality_auc_eval",
-    "orders_open_backlog",
 }
 
 

@@ -111,3 +111,36 @@ def test_quarantine_split_routes_and_annotates(spark):
     assert q[5] == "status_not_null,amt_range"
     # row conservation: nothing silently dropped
     assert clean.count() + quarantined.count() == df.count()
+
+
+def test_events_ts_bounds_constants_match_fixture():
+    """``plans/dq._EVENTS_TS_LO/_HI`` are FIXTURE-COUPLED by design
+    (the ts_bounds gate reports violations outside that calendar
+    window).  A regenerated fixture with a different year would turn
+    the gate itself into the violation (VERDICT r7 #6) — this guard
+    makes that fail fast here instead of as phantom driver hash
+    mismatches.  DuckDB parquet min/max, no Spark session needed."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.dq import (
+        _EVENTS_TS_HI,
+        _EVENTS_TS_LO,
+    )
+
+    lo = dt.datetime.fromisoformat(_EVENTS_TS_LO)
+    hi = dt.datetime.fromisoformat(_EVENTS_TS_HI)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        tmin, tmax = duckdb.sql(
+            f"SELECT MIN(ts), MAX(ts) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert lo <= tmin and tmax < hi, (
+            f"{sf}: events ts span [{tmin}, {tmax}] escapes the "
+            f"_EVENTS_TS_LO/_HI window [{lo}, {hi}) — the fixture was "
+            "regenerated; update the constants in plans/dq.py"
+        )
