@@ -184,6 +184,11 @@ HEADLINE = [
     ("doc_textrank_sentence", llmdata.QUERIES),
     # r7 wave 19: Theil-Sen robust trend (OLS twin)
     ("nation_revenue_theilsen", advanced.QUERIES),
+    # r8 wave 1: the registered end-to-end Structured Streaming run
+    # (parquet file source -> 7-day tumbling windows -> memory sink,
+    # availableNow); timed cost = stream startup + one micro-batch
+    # over the full fixture
+    ("events_weekly_counts_streamed", events.QUERIES),
 ]
 
 

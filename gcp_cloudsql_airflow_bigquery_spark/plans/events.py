@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import frequency, graph
-from ..streaming import windows
+from ..streaming import streams, windows
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,3 +1929,22 @@ GROUP BY user_id
 
 QUERIES["events_transition_conformance"] = events_transition_conformance
 ORACLE["events_transition_conformance"] = _TRANSITION_CONFORMANCE_SQL
+
+
+# Epoch-aligned 7-day buckets: Spark's window('7 days') aligns tumbling
+# windows to 1970-01-01 UTC (session TZ is UTC), i.e. start =
+# floor(epoch_us / week_us) * week_us — reproduced in DuckDB with
+# integer microsecond arithmetic (no TZ, no fractional-second drift).
+_WEEKLY_STREAMED_SQL = """
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 604800000000)
+         AS wk_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["events_weekly_counts_streamed"] = streams.events_weekly_counts_streamed
+ORACLE["events_weekly_counts_streamed"] = _WEEKLY_STREAMED_SQL

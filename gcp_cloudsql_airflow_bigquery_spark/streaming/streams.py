@@ -14,7 +14,9 @@ Spark's built-in windows can't express.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
+from itertools import count
 from typing import Any
 
 import pandas as pd
@@ -686,3 +688,59 @@ def misra_gries_stream(events: DataFrame, k: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MEMSINK_SEQ = count()
+
+
+def events_weekly_counts_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGISTERED end-to-end streaming query (VERDICT r7 #7): a real
+    micro-batch Structured Streaming run — parquet file source →
+    epoch-aligned 7-day tumbling-window aggregation → memory sink,
+    driven to completion with ``availableNow`` — whose final COMPLETE
+    table is returned as the result.  ``availableNow`` + complete mode
+    over a static fixture is deterministic and equals the batch
+    aggregation, so the driver can hash-check the streaming ENGINE
+    itself (every other streaming op is verified through batch twins).
+
+    Scale shape: source-agnostic after ``load()`` (swap in Kafka at
+    cluster scale); the windowed agg is a standard partial-agg shuffle
+    on (window, event_type); state is one row per open window×type.
+    The decimal cast before SUM is the cross-engine FP-parity pattern
+    from plans/relational.py."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    # the fixture is a single parquet FILE; FileStreamSource derives
+    # basePath from the source path and requires a directory, so force
+    # glob handling with a char class that matches exactly this file
+    # (basePath then resolves to the non-glob parent, sf_dir)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # same dtype guard as catalog.load_table (TIMESTAMP(NANOS)
+        # fixtures surface ts as int64 nanoseconds)
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "7 days").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("wk_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"events_weekly_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
