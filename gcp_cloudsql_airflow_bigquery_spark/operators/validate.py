@@ -100,10 +100,14 @@ def report(
             for n in names
         ]
     )
-    return (
-        row.select(F.explode(records).alias("r"))
-        .select("r.check_name", "r.violations", "r.n_rows")
-    )
+    # F.inline explodes the struct array straight into columns — one
+    # analyzed plan instead of explode+unpack.  These report queries
+    # are construction-dominated (the data side is a single aggregate
+    # over a few thousand groups-free rows), so driver-side analysis
+    # passes are the measurable cost (r8 adjudication of the
+    # dq_documents_report bench flag: execution ~0.25 s stable, fresh
+    # construction ~0.3 s and JIT-warmth-sensitive).
+    return row.select(F.inline(records))
 
 
 def quarantine_split(
