@@ -189,6 +189,13 @@ HEADLINE = [
     # availableNow); timed cost = stream startup + one micro-batch
     # over the full fixture
     ("events_weekly_counts_streamed", events.QUERIES),
+    # r8 wave 2: Adamic-Adar link prediction (hub-capped common-
+    # neighbor join), recency-decayed engagement, reliability-bin
+    # calibration, and RM1 pseudo-relevance-feedback expansion
+    ("part_adamic_adar", advanced.QUERIES),
+    ("events_decay_value", events.QUERIES),
+    ("doc_quality_calibration", quality.QUERIES),
+    ("search_prf_expansion", search.QUERIES),
 ]
 
 

@@ -2538,3 +2538,92 @@ GROUP BY 1
 
 QUERIES["nation_revenue_theilsen"] = nation_revenue_theilsen
 ORACLE["nation_revenue_theilsen"] = _THEILSEN_SQL
+
+
+def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (new r8) over the part
+    co-occurrence graph: for part pairs NOT currently linked (support
+    < 2) but sharing common neighbors, score ``sum_z 1/ln(deg(z))`` —
+    the classic "products frequently bought with the same companions"
+    recommendation prior, completing the graph family (CC / PageRank /
+    LPA / k-core / triangles) with its link-PREDICTION member.
+    Top-30 by (rounded score, pair) — deterministic.
+
+    Scale shape: edges come from the basket-bounded per-order pair
+    explode (TPC-H order size <= 7, linear in lineitem — the
+    ``part_association_rules`` frame); the common-neighbor join fans
+    out deg(z) per endpoint, so z is HUB-CAPPED at degree <= 256 (the
+    production-standard bound for AA/common-neighbor scoring: a
+    warehouse-hub part that co-occurs with everything carries ~zero
+    signal, 1/ln(deg) -> 0, and would alone quadratically dominate
+    the join).  The cap is part of the operator contract and mirrored
+    in the oracle.  Anti-join back to the edge set removes existing
+    links; top-30 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("a", "b")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )  # directed both ways: (x, neighbor)
+    deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("deg"))
+    # neighbors-of-z with z's degree attached, hub-capped
+    nz = (
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+        .join(deg.filter(F.col("deg") <= 256), "z")
+        .withColumn("w", 1.0 / F.log(F.col("deg")))
+        .filter(F.col("deg") >= 2)
+    )
+    pa = nz.select("z", F.col("x").alias("a"), "w")
+    pb = nz.select("z", F.col("x").alias("b"))
+    scored = (
+        pa.join(pb, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("w"), 6).alias("aa_score"))
+        .join(edges, ["a", "b"], "left_anti")
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(30)
+
+
+_ADAMIC_ADAR_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+),
+deg AS (SELECT a AS z, COUNT(*) AS deg FROM und GROUP BY 1),
+nz AS (
+  SELECT und.b AS z, und.a AS x, 1.0 / LN(deg.deg) AS w
+  FROM und JOIN deg ON und.b = deg.z
+  WHERE deg.deg BETWEEN 2 AND 256
+),
+scored AS (
+  SELECT pa.x AS a, pb.x AS b, ROUND(SUM(pa.w), 6) AS aa_score
+  FROM nz pa JOIN nz pb ON pa.z = pb.z AND pa.x < pb.x
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b, s.aa_score
+FROM scored s
+ANTI JOIN edges e ON s.a = e.a AND s.b = e.b
+ORDER BY s.aa_score DESC, s.a, s.b
+LIMIT 30
+"""
+
+QUERIES["part_adamic_adar"] = part_adamic_adar
+ORACLE["part_adamic_adar"] = _ADAMIC_ADAR_SQL

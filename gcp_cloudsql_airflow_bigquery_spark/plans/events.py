@@ -1948,3 +1948,53 @@ GROUP BY 1, 2
 
 QUERIES["events_weekly_counts_streamed"] = streams.events_weekly_counts_streamed
 ORACLE["events_weekly_counts_streamed"] = _WEEKLY_STREAMED_SQL
+
+
+def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency-weighted engagement (new r8): per-user
+    ``sum(value * 0.5^(age_days/30))`` with a 30-day half-life anchored
+    at the corpus max timestamp — the standard recency-decayed LTV /
+    engagement feature (a purchase today counts full, one from 60 days
+    ago a quarter), the time-aware refinement of the flat RFM monetary
+    sum.
+
+    Scale shape: the anchor is a 1-row max-aggregate broadcast
+    (crossJoin of a single row, the ``w0`` pattern); age is an exact
+    integer day difference so the only FP step is ``pow`` of identical
+    double inputs in both engines (absorbed by round-4); one map-side
+    combined groupBy on ``user_id`` — no window, no join, one
+    shuffle."""
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("t1"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "age_days", F.datediff(F.col("t1"), F.col("ts").cast("date"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.pow(F.lit(0.5), F.col("age_days") / F.lit(30.0))
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
+
+
+_DECAY_VALUE_SQL = """
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS t1 FROM events)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value * POWER(0.5,
+             datediff('day', CAST(ts AS DATE), (SELECT t1 FROM anchor))
+             / 30.0)), 4) AS decayed_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["events_decay_value"] = events_decay_value
+ORACLE["events_decay_value"] = _DECAY_VALUE_SQL

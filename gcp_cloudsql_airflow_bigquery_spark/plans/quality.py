@@ -793,12 +793,15 @@ def doc_quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _auc_oracle() -> str:
+def _score_label_prefix() -> str:
+    """Shared oracle CTE prefix producing ``sc(score, y)`` — the
+    (quality score, is-English label) frame both ranking evals
+    (AUC, calibration) replay.  Kept as one string so the two oracles
+    can never drift apart."""
     from .llmdata import _STOPLIST_SQL, _lang_list_sql
 
     gmax = "GREATEST(s_en, s_de, s_es, s_fr)"
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id, text,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
@@ -823,7 +826,12 @@ WITH toks AS (
                6) AS score,
          CASE WHEN {gmax} > 0 AND s_en = {gmax} THEN 1 ELSE 0 END AS y
   FROM m
-), g AS (
+)"""
+
+
+def _auc_oracle() -> str:
+    return f"""
+WITH {_score_label_prefix()}, g AS (
   SELECT score, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY 1
 ), r AS (
   SELECT score, cnt, pos,
@@ -841,6 +849,58 @@ FROM r
 
 QUERIES["doc_quality_auc_eval"] = doc_quality_auc_eval
 ORACLE["doc_quality_auc_eval"] = _auc_oracle()
+
+
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability analysis (new r8): treat the surface
+    quality heuristic (already in [0, 1]) as a probability of the
+    English-language label and report, per decile bin, the count, mean
+    prediction, observed positive fraction, and the bin's Brier
+    (squared-error) mass — the reliability-diagram companion to
+    ``doc_quality_auc_eval`` (AUC measures ranking; calibration
+    measures whether 0.7 MEANS 70%).  ``sum(sq_err)/sum(n)`` over the
+    10 rows is the corpus Brier score.
+
+    Scale shape: one map-side-combined aggregation by decile bin (10
+    groups) over the scored corpus — no window, no join, one shuffle
+    of 10-row partials.  Binning multiplies the same rounded-6 score
+    doubles by 10 and floors in BOTH engines, so bucket assignment is
+    bit-identical cross-engine; avg/sum outputs are round-6/round-4
+    absorbed."""
+    t = F.col("text")
+    scored = load_table(spark, sf_dir, "documents").select(
+        textstats.quality_score(t).alias("score"),
+        (textstats.detect_lang(t) == "en").cast("int").alias("y"),
+    )
+    b = scored.withColumn(
+        "bin", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_pred"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
+        F.round(
+            F.sum(F.pow(F.col("score") - F.col("y"), F.lit(2))), 4
+        ).alias("sq_err_sum"),
+    )
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH {_score_label_prefix()}, b AS (
+  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, y
+  FROM sc
+)
+SELECT bin, COUNT(*)::BIGINT AS n,
+       ROUND(AVG(score), 6) AS avg_pred,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_pos,
+       ROUND(SUM(POWER(score - y, 2)), 4) AS sq_err_sum
+FROM b GROUP BY 1
+"""
+
+
+QUERIES["doc_quality_calibration"] = doc_quality_calibration
+ORACLE["doc_quality_calibration"] = _calibration_oracle()
 
 
 def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:

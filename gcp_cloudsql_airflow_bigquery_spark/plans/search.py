@@ -601,3 +601,156 @@ FROM dcg JOIN ideal USING (query_id)
 
 QUERIES["search_ndcg_eval"] = search_ndcg_eval
 ORACLE["search_ndcg_eval"] = _NDCG_SQL
+
+
+# --- pseudo-relevance feedback (r8): RM1 query expansion ------------------
+
+_PRF_TOPD = 10  # pseudo-relevant depth per query
+_PRF_TERMS = 5  # expansion terms emitted per query
+
+
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM1 pseudo-relevance-feedback query expansion (new r8): take
+    each query's BM25 top-10 as the pseudo-relevant set R, weight
+    every term of every d in R by ``p(w|d) * score(d) = (tf/dl) *
+    bm25``, sum over R, drop the original query terms, and emit the
+    top-5 expansion terms per query — the classic relevance-model
+    expansion loop (the missing retrieval-QUALITY member next to
+    BM25 / hybrid-RRF / nDCG).
+
+    Cross-engine exactness: the BM25 scores are the hash-proven
+    rounded-4 doubles of ``doc_bm25_search``; each term contribution
+    is computed in double in the same written order, decimal-cast
+    before the per-(query, term) sum (order-independent addition, the
+    module-docstring pattern), ranked on the EXACT decimal, rounded
+    only for display.
+
+    Scale shape: postings/doc-length frames are the shared inverted
+    index build (one tokenize + two aggs); only the k x |R| top-doc
+    postings join fans in (R is 10 docs/query, so the expansion side
+    is query-batch-sized, not corpus-sized); ranking is a per-query
+    window over at most |R| x doc-vocab candidate terms."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_QUERY_BATCH, ["query_id", "query_text"])
+    top = bm25_topk(docs, queries, k=_PRF_TOPD, k1=_K1, b=_B).select(
+        "query_id", "doc_id", "score"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cand = (
+        top.join(tf, "doc_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "term",
+            (F.col("tf") / F.col("dl") * F.col("score"))
+            .cast("decimal(28,10)")
+            .alias("c"),
+        )
+    )
+    rm = cand.groupBy("query_id", "term").agg(F.sum("c").alias("rm_dec"))
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.split(normalize_text(F.col("query_text")), " ")
+        ).alias("term"),
+    ).distinct()
+    expq = rm.join(qterms, ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rm_dec").desc(), F.col("term").asc()
+    )
+    return (
+        expq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PRF_TERMS)
+        .select(
+            "query_id",
+            "term",
+            F.round(F.col("rm_dec").cast("double"), 6).alias("rm1"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_PRF_SQL = f"""
+WITH queries(query_id, query_text) AS (VALUES {_QUERY_VALUES}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(
+    trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM queries
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+doc_lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM doc_lens) AS avgdl
+),
+matched AS (
+  SELECT q.query_id, p.term, p.doc_id, p.tf
+  FROM postings p JOIN qterms q ON p.term = q.term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY 1
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(ROUND(SUM(CAST(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * ({_K1} + 1)) / (m.tf + {_K1} * (1 - {_B} + {_B} * l.dl / c.avgdl))
+         AS DECIMAL(28,10))), 4) AS DOUBLE) AS score
+  FROM matched m
+  JOIN dfreq d ON m.term = d.term
+  JOIN doc_lens l ON m.doc_id = l.doc_id
+  CROSS JOIN consts c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+topd AS (
+  SELECT query_id, doc_id, score FROM ranked WHERE rank <= {_PRF_TOPD}
+),
+cand AS (
+  SELECT t.query_id, p.term,
+         CAST(p.tf * 1.0 / l.dl * t.score AS DECIMAL(28,10)) AS c
+  FROM topd t
+  JOIN postings p ON p.doc_id = t.doc_id
+  JOIN doc_lens l ON l.doc_id = t.doc_id
+),
+rm AS (SELECT query_id, term, SUM(c) AS rm_dec FROM cand GROUP BY 1, 2),
+expq AS (
+  SELECT rm.query_id, rm.term, rm.rm_dec
+  FROM rm ANTI JOIN qterms q
+    ON rm.query_id = q.query_id AND rm.term = q.term
+),
+rr AS (
+  SELECT query_id, term, rm_dec,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rm_dec DESC, term) AS rank
+  FROM expq
+)
+SELECT query_id, term,
+       ROUND(CAST(rm_dec AS DOUBLE), 6) AS rm1,
+       CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= {_PRF_TERMS}
+"""
+
+QUERIES["search_prf_expansion"] = search_prf_expansion
+ORACLE["search_prf_expansion"] = _PRF_SQL
