@@ -196,6 +196,13 @@ HEADLINE = [
     ("events_decay_value", events.QUERIES),
     ("doc_quality_calibration", quality.QUERIES),
     ("search_prf_expansion", search.QUERIES),
+    # r8 wave 3: grid-quantized two-sample KS drift, Dunning-LLR
+    # collocations, t-closeness privacy gate, and the oracle-paired
+    # image aHash (encode->decode->hash through the codec path)
+    ("events_ks_drift", events.QUERIES),
+    ("doc_collocations_llr", llmdata.QUERIES),
+    ("customer_t_closeness", dq.QUERIES),
+    ("media_image_ahash", llmdata.QUERIES),
 ]
 
 

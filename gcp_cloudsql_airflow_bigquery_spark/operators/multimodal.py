@@ -467,3 +467,128 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
     return media.mapInArrow(
         kernel, schema="media_id long, kind string, n_bytes long, checksum long"
     )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average hash (aHash) per IMAGE row: decode the PPM,
+    nearest-sample the pixel grid to 8×8, and set bit (y, x) when the
+    cell's channel sum exceeds the grid mean — the classic cheap
+    perceptual fingerprint for image near-dup detection.
+
+    INTEGER semantics on purpose: the per-cell statistic is the raw
+    ``r+g+b`` channel sum and the threshold test is
+    ``sum3 * 64 > total`` (both exact integers < 2^25), so the hash is
+    bit-identical in ANY reimplementation — no float grayscale, no
+    mean rounding.  That is what makes the media family's first
+    ORACLE-PAIRED query possible (the synthetic blobs are integer
+    arithmetic a SQL engine can replay; see
+    plans/llmdata.media_image_ahash).
+
+    Output: ``media_id``, 16-hex-char ``ahash_hex`` (MSB-first,
+    row-major), and the four 16-bit bands ``b0..b3`` (two rows each)
+    used for pigeonhole blocking in :func:`ahash_near_dup_pairs`.
+    Arrow-batched ``mapInPandas`` like every media kernel; non-image
+    rows are dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "image":
+                    continue
+                w, h, rgb = decode_ppm(bytes(content))
+                s3 = []
+                for gy in range(8):
+                    for gx in range(8):
+                        x, y = gx * w // 8, gy * h // 8
+                        o = (y * w + x) * 3
+                        s3.append(rgb[o] + rgb[o + 1] + rgb[o + 2])
+                total = sum(s3)
+                bits = [1 if v * 64 > total else 0 for v in s3]
+                by = bytearray()
+                for row in range(8):
+                    b = 0
+                    for col in range(8):
+                        b = (b << 1) | bits[row * 8 + col]
+                    by.append(b)
+                hexs = by.hex()
+                bands = [int(hexs[i * 4 : (i + 1) * 4], 16) for i in range(4)]
+                out.append((int(mid), hexs, *bands))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "ahash_hex", "b0", "b1", "b2", "b3"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "ahash_hex": "object",
+                    "b0": "int32",
+                    "b1": "int32",
+                    "b2": "int32",
+                    "b3": "int32",
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, ahash_hex string, b0 int, b1 int, b2 int, b3 int",
+    )
+
+
+def ahash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs from aHash: pigeonhole banding (4 × 16-bit
+    bands — two hashes within Hamming distance ≤ 3 MUST agree on at
+    least one band, since 3 flips cannot touch 4 bands) generates
+    candidates via an equi-join on (band index, band value); the exact
+    Hamming distance then verifies each candidate as
+    ``Σ bit_count(b_i XOR b'_i)`` — integer XOR + popcount per 16-bit
+    band, no 64-bit sign pitfalls.  The LSH-shaped candidate/verify
+    split every dedup family in this repo uses, applied to images.
+
+    Scale shape: the only shuffle is the band equi-join (each hash
+    explodes into exactly 4 band rows); candidates within a bucket
+    pair quadratically, which is the standard banding trade-off —
+    uniform hashes keep buckets tiny, and a hot bucket means the
+    images really are near-identical."""
+    bands = hashed.select(
+        "media_id",
+        "ahash_hex",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("i"), F.col("b0").alias("v")),
+                F.struct(F.lit(1).alias("i"), F.col("b1").alias("v")),
+                F.struct(F.lit(2).alias("i"), F.col("b2").alias("v")),
+                F.struct(F.lit(3).alias("i"), F.col("b3").alias("v")),
+            )
+        ).alias("band"),
+    ).select("media_id", "b0", "b1", "b2", "b3", "band.i", "band.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.b0").bitwiseXOR(F.col("b.b0"))
+                )
+                + F.bit_count(F.col("a.b1").bitwiseXOR(F.col("b.b1")))
+                + F.bit_count(F.col("a.b2").bitwiseXOR(F.col("b.b2")))
+                + F.bit_count(F.col("a.b3").bitwiseXOR(F.col("b.b3")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

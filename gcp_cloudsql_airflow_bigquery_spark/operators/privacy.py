@@ -122,3 +122,72 @@ def k_anonymity_report(
         "n_rows",
         "min_class_size",
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi: Sequence[str],
+    band_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """t-closeness for an ORDERED sensitive attribute (the band
+    column): per quasi-identifier equivalence class, the 1-D earth
+    mover's distance between the class's band distribution and the
+    global one, ``EMD = (1/(m-1)) * sum_i |sum_{j<=i}(p_j - q_j)|`` —
+    the distributional refinement of k-anonymity/l-diversity (a class
+    can be large AND diverse yet still leak "everyone here is rich").
+    Emits the ``top_n`` worst classes by (rounded EMD, keys).
+
+    Scale shape: one (QI, band) aggregation + one QI aggregation + one
+    band aggregation; the dense class x band grid is a broadcast
+    nested-loop of the CLASS frame against the (bounded) band list —
+    QI-cardinality-sized, never row-sized; the cumulative sum runs per
+    class over the band-bounded frame.  Cross-engine exactness: the
+    per-band diffs are DECIMAL-cast before the windowed cumsum —
+    DuckDB's segment-tree window aggregation sums doubles in a
+    different order than Spark's sequential running sum, and decimal
+    addition is order-independent."""
+    from pyspark.sql import Window
+
+    bands = df.groupBy(band_col).agg(F.count(F.lit(1)).alias("g_cnt"))
+    nm = bands.agg(
+        F.sum("g_cnt").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    classes = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("class_n"))
+    cnts = df.groupBy(*list(quasi), band_col).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    grid = classes.crossJoin(F.broadcast(bands))
+    full = (
+        grid.join(cnts, [*quasi, band_col], "left")
+        .withColumn("k", F.coalesce(F.col("k"), F.lit(0)))
+        .crossJoin(F.broadcast(nm))
+        .withColumn(
+            "diff_dec",
+            (
+                F.col("k") / F.col("class_n")
+                - F.col("g_cnt") / F.col("n_tot")
+            ).cast("decimal(28,18)"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi)
+        .orderBy(band_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = full.withColumn("cum", F.sum("diff_dec").over(w))
+    emd = cum.groupBy(*list(quasi), "class_n", "m").agg(
+        F.sum(F.abs(F.col("cum"))).alias("s")
+    )
+    return (
+        emd.select(
+            *quasi,
+            "class_n",
+            F.round(
+                F.col("s").cast("double") / (F.col("m") - 1), 6
+            ).alias("t_emd"),
+        )
+        .orderBy(F.col("t_emd").desc(), *[F.col(q).asc() for q in quasi])
+        .limit(top_n)
+    )

@@ -387,3 +387,77 @@ ORACLE: dict[str, str] = {
     "dq_events_report": _DQ_EVENTS_SQL,
     "customer_k_anonymity": _K_ANONYMITY_SQL,
 }
+
+
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness gate (new r8) over the customer extract: QI =
+    (nation, market segment), ordered sensitive attribute = the
+    account-balance band (``FLOOR(bal/1000)``, the same IEEE-floor
+    banding as ``customer_k_anonymity`` — which used the segment as
+    sensitive; the two gates are each other's transpose).  Worst 20
+    classes by 1-D EMD vs the global balance distribution — the
+    "everyone in this class is rich" leak k-anonymity cannot see.
+    Mechanics and decimal-cumsum exactness in
+    :func:`operators.privacy.t_closeness_report`."""
+    from ..operators import privacy
+
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"),
+    )
+    return privacy.t_closeness_report(
+        banded, ["c_nationkey", "c_mktsegment"], "bal_band"
+    )
+
+
+_T_CLOSENESS_SQL = """
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+bands AS (SELECT bal_band, COUNT(*) AS g_cnt FROM banded GROUP BY 1),
+nm AS (SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_tot, COUNT(*) AS m FROM bands),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_n
+  FROM banded GROUP BY 1, 2
+),
+cnts AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS k
+  FROM banded GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.class_n, b.bal_band, b.g_cnt
+  FROM classes c CROSS JOIN bands b
+),
+filled AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.class_n, g.bal_band,
+         CAST(COALESCE(cnts.k, 0) * 1.0 / g.class_n
+              - g.g_cnt * 1.0 / nm.n_tot AS DECIMAL(28,18)) AS diff_dec,
+         nm.m
+  FROM grid g
+  LEFT JOIN cnts ON g.c_nationkey = cnts.c_nationkey
+    AND g.c_mktsegment = cnts.c_mktsegment AND g.bal_band = cnts.bal_band
+  CROSS JOIN nm
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, class_n, m,
+         SUM(diff_dec) OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY bal_band
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM filled
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, class_n, m, SUM(ABS(cum)) AS s
+  FROM cum GROUP BY 1, 2, 3, 4
+)
+SELECT c_nationkey, c_mktsegment, CAST(class_n AS BIGINT) AS class_n,
+       ROUND(CAST(s AS DOUBLE) / (m - 1), 6) AS t_emd
+FROM emd
+ORDER BY t_emd DESC, c_nationkey, c_mktsegment
+LIMIT 20
+"""
+
+QUERIES["customer_t_closeness"] = customer_t_closeness
+ORACLE["customer_t_closeness"] = _T_CLOSENESS_SQL

@@ -1998,3 +1998,153 @@ GROUP BY user_id
 
 QUERIES["events_decay_value"] = events_decay_value
 ORACLE["events_decay_value"] = _DECAY_VALUE_SQL
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (new r8): per
+    event_type, the KS statistic between the value distributions of
+    the earlier and later calendar HALVES of the stream (split at the
+    data-derived midpoint), on a fixed 256-bin value grid — the
+    distribution-shape member of the drift family (PSI buckets by
+    quantile mass, KL by token share; KS measures the single worst
+    CDF gap, the classic "did the metric's distribution move" test).
+    Emits n_early/n_late, the KS D, and the 5% critical value with a
+    drift flag (both compared ROUNDED, the r7 boundary-tie lesson).
+
+    Scale shape: midpoint and vmax are 1-row aggregates broadcast via
+    crossJoin; binning is a narrow map; one (type, bin, half) count
+    aggregation; the CDF window runs per type over the FIXED 256-bin
+    grid (bounded by construction, not by the calendar); one final
+    per-type aggregate.  Grid quantization is the documented
+    approximation — exact KS needs a per-type global value sort that
+    is pointless at 100 TB when the grid D converges to it from
+    below."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    consts = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t1"),
+        F.max("value").alias("vmax"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(consts))
+        .select(
+            "event_type",
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) * 2
+                <= F.col("t0") + F.col("t1"),
+                1,
+            )
+            .otherwise(0)
+            .alias("early"),
+            F.least(
+                F.floor(F.col("value") / F.col("vmax") * 256), F.lit(255)
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").cast("long").alias("c_early"),
+        F.sum(1 - F.col("early")).cast("long").alias("c_late"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("c_early").cast("long").alias("n_early"),
+        F.sum("c_late").cast("long").alias("n_late"),
+    )
+    cum = per_bin.select(
+        "event_type",
+        "bin",
+        F.sum("c_early").over(w).alias("cum_e"),
+        F.sum("c_late").over(w).alias("cum_l"),
+    )
+    gaps = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.abs(
+            F.col("cum_e") / F.col("n_early")
+            - F.col("cum_l") / F.col("n_late")
+        ).alias("gap"),
+    )
+    d = gaps.groupBy("event_type").agg(
+        F.round(F.max("gap"), 6).alias("ks_d")
+    )
+    out = d.join(F.broadcast(tot), "event_type")
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("n_early") + F.col("n_late"))
+            / (F.col("n_early") * F.col("n_late"))
+        ),
+        6,
+    )
+    return out.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        "ks_d",
+        crit.alias("crit_5pct"),
+        (F.col("ks_d") > crit).alias("drifted"),
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, ts, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+consts AS (
+  SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1,
+         MAX(value) AS vmax
+  FROM ev
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) * 2 <= c.t0 + c.t1 THEN 1 ELSE 0 END AS early,
+         CAST(LEAST(FLOOR(value / c.vmax * 256), 255) AS INT) AS bin
+  FROM ev CROSS JOIN consts c
+),
+per_bin AS (
+  SELECT event_type, bin,
+         CAST(SUM(early) AS BIGINT) AS c_early,
+         CAST(SUM(1 - early) AS BIGINT) AS c_late
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(c_early) AS BIGINT) AS n_early,
+         CAST(SUM(c_late) AS BIGINT) AS n_late
+  FROM per_bin GROUP BY 1
+),
+cum AS (
+  SELECT event_type, bin,
+         SUM(c_early) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum_e,
+         SUM(c_late) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum_l
+  FROM per_bin
+),
+d AS (
+  SELECT c.event_type,
+         ROUND(MAX(ABS(c.cum_e * 1.0 / t.n_early
+                       - c.cum_l * 1.0 / t.n_late)), 6) AS ks_d
+  FROM cum c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY 1
+)
+SELECT d.event_type, t.n_early, t.n_late, d.ks_d,
+       ROUND(1.358 * SQRT((t.n_early + t.n_late) * 1.0
+             / (t.n_early * t.n_late)), 6) AS crit_5pct,
+       d.ks_d > ROUND(1.358 * SQRT((t.n_early + t.n_late) * 1.0
+             / (t.n_early * t.n_late)), 6) AS drifted
+FROM d JOIN tot t ON d.event_type = t.event_type
+"""
+
+QUERIES["events_ks_drift"] = events_ks_drift
+ORACLE["events_ks_drift"] = _KS_DRIFT_SQL

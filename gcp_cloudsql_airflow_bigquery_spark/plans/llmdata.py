@@ -3282,3 +3282,199 @@ WHERE r.rn = 1
 
 QUERIES["doc_textrank_sentence"] = doc_textrank_sentence
 ORACLE["doc_textrank_sentence"] = _TEXTRANK_SQL
+
+
+def doc_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (new r8): the G²
+    statistic of every adjacent bigram's 2×2 contingency table
+    (bigram count vs first-/second-slot marginals), the standard
+    corpus-linguistics measure of "these two tokens co-occur far more
+    than chance" — the phrase-discovery member of the corpus-stats
+    family (Zipf fit, n-gram novelty, token drift).  Top-30 bigrams
+    with n11 ≥ 5 by (rounded G², pair).
+
+    Cross-engine exactness: every count is an exact integer; the four
+    G² terms are computed in double in the same written order (k·N
+    and R·C products are taken in DOUBLE so the shape is overflow-free
+    at any corpus size), ln on identical doubles, fixed 4-term
+    left-associated sum, round-4 output.
+
+    Scale shape: bigrams come from a per-row ``transform(sequence)``
+    over the token array — pure codegen, NO self-join, no posexplode
+    pair shuffle; three hash aggregations (bigram, first-slot,
+    second-slot) + a 1-row total broadcast; marginal joins key on the
+    word (vocab-sized frames); top-30 is TakeOrderedAndProject."""
+    from ..operators.textstats import normalize_text
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.split(normalize_text(F.col("text")), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, "
+                "element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    n11 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    r1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("r1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    nn = pairs.agg(F.count(F.lit(1)).alias("nn"))
+    j = (
+        n11.filter(F.col("k11") >= 5)
+        .join(r1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nn))
+    )
+    k11 = F.col("k11").cast("double")
+    k12 = (F.col("r1") - F.col("k11")).cast("double")
+    k21 = (F.col("c2") - F.col("k11")).cast("double")
+    k22 = (F.col("nn") - F.col("r1") - F.col("c2") + F.col("k11")).cast(
+        "double"
+    )
+    n = F.col("nn").cast("double")
+    rr1 = F.col("r1").cast("double")
+    cc2 = F.col("c2").cast("double")
+
+    def term(k, r, c):
+        return F.when(k > 0, k * F.log(k * n / (r * c))).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            term(k11, rr1, cc2)
+            + term(k12, rr1, n - cc2)
+            + term(k21, n - rr1, cc2)
+            + term(k22, n - rr1, n - cc2)
+        ),
+        4,
+    )
+    return (
+        j.select("w1", "w2", F.col("k11").alias("n11"), g2.alias("llr"))
+        .orderBy(F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(30)
+    )
+
+
+_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+), pairs AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+), n11 AS (
+  SELECT w1, w2, COUNT(*) AS k11 FROM pairs GROUP BY 1, 2
+), r1 AS (SELECT w1, COUNT(*) AS r1 FROM pairs GROUP BY 1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM pairs GROUP BY 1),
+nn AS (SELECT COUNT(*) AS nn FROM pairs),
+j AS (
+  SELECT n11.w1, n11.w2, k11, r1.r1, c2.c2, nn.nn
+  FROM n11 JOIN r1 ON n11.w1 = r1.w1
+           JOIN c2 ON n11.w2 = c2.w2
+           CROSS JOIN nn
+  WHERE k11 >= 5
+), g AS (
+  SELECT w1, w2, k11,
+    ROUND(2.0 * (
+      (CASE WHEN CAST(k11 AS DOUBLE) > 0 THEN CAST(k11 AS DOUBLE)
+        * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+             / (CAST(r1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+      + (CASE WHEN CAST(r1 - k11 AS DOUBLE) > 0 THEN CAST(r1 - k11 AS DOUBLE)
+        * ln(CAST(r1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+             / (CAST(r1 AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(c2 AS DOUBLE))))
+        ELSE 0.0 END)
+      + (CASE WHEN CAST(c2 - k11 AS DOUBLE) > 0 THEN CAST(c2 - k11 AS DOUBLE)
+        * ln(CAST(c2 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+             / ((CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE)) * CAST(c2 AS DOUBLE)))
+        ELSE 0.0 END)
+      + (CASE WHEN CAST(nn - r1 - c2 + k11 AS DOUBLE) > 0
+        THEN CAST(nn - r1 - c2 + k11 AS DOUBLE)
+        * ln(CAST(nn - r1 - c2 + k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+             / ((CAST(nn AS DOUBLE) - CAST(r1 AS DOUBLE))
+                * (CAST(nn AS DOUBLE) - CAST(c2 AS DOUBLE))))
+        ELSE 0.0 END)
+    ), 4) AS llr
+  FROM j
+)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS n11, llr
+FROM g
+ORDER BY llr DESC, w1, w2
+LIMIT 30
+"""
+
+QUERIES["doc_collocations_llr"] = doc_collocations_llr
+ORACLE["doc_collocations_llr"] = _COLLOCATIONS_SQL
+
+
+def media_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints (new r8) — the media family's
+    FIRST oracle-paired query: deterministic PPM blobs are encoded and
+    decoded through the real codec path
+    (:func:`..operators.multimodal.attach_codec_media` /
+    ``decode_ppm``) and hashed with the integer-semantics 64-bit aHash
+    (:func:`..operators.multimodal.image_ahash`).  Because the
+    synthetic image generator is pure integer arithmetic
+    (``pixel(c) = (x*31 + y*17 + (c+1)*mid) % 256``) and the aHash
+    threshold is the exact integer test ``sum3*64 > total``, DuckDB
+    can replay the ENTIRE encode→decode→hash loop — so the driver
+    hash-checks the multimodal plumbing end-to-end instead of the
+    rows-only signal its three sibling queries get.  The banding
+    columns b0..b3 are the pigeonhole blocking keys of
+    ``ahash_near_dup_pairs`` (unit-tested with planted near-dups)."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    return multimodal.image_ahash(media).orderBy("media_id")
+
+
+_IMAGE_AHASH_SQL = """
+WITH ids AS (
+  SELECT doc_id AS mid FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT mid, gy.range AS gy, gx.range AS gx,
+         ((gx.range * 31 + gy.range * 17 + mid) % 256)
+         + ((gx.range * 31 + gy.range * 17 + 2 * mid) % 256)
+         + ((gx.range * 31 + gy.range * 17 + 3 * mid) % 256) AS s3
+  FROM ids, range(8) gy, range(8) gx
+),
+tot AS (SELECT mid, SUM(s3) AS total FROM px GROUP BY 1),
+bits AS (
+  SELECT px.mid, gy, gx,
+         CASE WHEN s3 * 64 > t.total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot t ON px.mid = t.mid
+),
+bytes AS (
+  SELECT mid, gy,
+         CAST(SUM(bit * (1 << (7 - gx))) AS INT) AS byte
+  FROM bits GROUP BY 1, 2
+),
+packed AS (
+  SELECT mid,
+         string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY gy)
+           AS ahash_hex,
+         CAST(MAX(CASE WHEN gy = 0 THEN byte END) * 256
+              + MAX(CASE WHEN gy = 1 THEN byte END) AS INT) AS b0,
+         CAST(MAX(CASE WHEN gy = 2 THEN byte END) * 256
+              + MAX(CASE WHEN gy = 3 THEN byte END) AS INT) AS b1,
+         CAST(MAX(CASE WHEN gy = 4 THEN byte END) * 256
+              + MAX(CASE WHEN gy = 5 THEN byte END) AS INT) AS b2,
+         CAST(MAX(CASE WHEN gy = 6 THEN byte END) * 256
+              + MAX(CASE WHEN gy = 7 THEN byte END) AS INT) AS b3
+  FROM bytes GROUP BY 1
+)
+SELECT mid AS media_id, ahash_hex, b0, b1, b2, b3
+FROM packed ORDER BY media_id
+"""
+
+QUERIES["media_image_ahash"] = media_image_ahash
+ORACLE["media_image_ahash"] = _IMAGE_AHASH_SQL

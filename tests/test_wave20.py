@@ -122,3 +122,46 @@ def test_prf_expansion_excludes_query_terms_and_ranks(spark):
         assert len(rs) <= search._PRF_TERMS
         rm1s = [r.rm1 for r in rs]
         assert all(x >= y - 1e-9 for x, y in zip(rm1s, rm1s[1:]))
+
+
+def test_image_ahash_known_pattern_and_near_dup_banding(spark):
+    """aHash on hand-built PPMs: a half-black/half-white image has a
+    known hash (top rows 0x00, bottom rows 0xff); flipping ≤3 cells
+    keeps it within Hamming 3 (found by the banded pair join), while
+    the inverted image is Hamming 64 (excluded)."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        encode_ppm,
+        image_ahash,
+    )
+
+    def img(cells):  # cells: 64 ints in {0, 255}, row-major 8x8
+        rgb = bytes(c for v in cells for c in (v, v, v))
+        return encode_ppm(8, 8, rgb)
+
+    base = [0] * 32 + [255] * 32          # bottom half bright
+    near = list(base)
+    for i in (32, 33, 34):                # flip 3 bright cells dark
+        near[i] = 0
+    inv = [255 - v for v in base]
+    rows = [
+        (1, "image", img(base), "image/x-portable-pixmap", 8, 8, None),
+        (2, "image", img(near), "image/x-portable-pixmap", 8, 8, None),
+        (3, "image", img(inv), "image/x-portable-pixmap", 8, 8, None),
+        (4, "audio", b"not an image", "audio/wav", None, None, 4),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    hashed = image_ahash(media)
+    got = {r.media_id: r for r in hashed.collect()}
+    assert set(got) == {1, 2, 3}          # audio row dropped
+    assert got[1].ahash_hex == "00000000ffffffff"
+    assert got[3].ahash_hex == "ffffffff00000000"
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ahash_near_dup_pairs(hashed, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 3}           # near-dup found, inverse not
