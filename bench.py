@@ -203,6 +203,13 @@ HEADLINE = [
     ("doc_collocations_llr", llmdata.QUERIES),
     ("customer_t_closeness", dq.QUERIES),
     ("media_image_ahash", llmdata.QUERIES),
+    # r8 wave 4: SCD2 dimension history (the warehouse-history surface
+    # the reference's WRITE_TRUNCATE reloads discard), Mann-Kendall
+    # trend significance (the Theil-Sen estimator's test twin), and
+    # the language-ID confusion-matrix eval
+    ("customer_scd2_history", advanced.QUERIES),
+    ("nation_mann_kendall", advanced.QUERIES),
+    ("doc_lang_confusion", llmdata.QUERIES),
 ]
 
 

@@ -2627,3 +2627,167 @@ LIMIT 30
 
 QUERIES["part_adamic_adar"] = part_adamic_adar
 ORACLE["part_adamic_adar"] = _ADAMIC_ADAR_SQL
+
+
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history (new r8): rebuild a
+    versioned customer dimension from the order stream — one row per
+    (customer, active day) version carrying cumulative order count and
+    decimal-exact cumulative spend, with ``valid_from`` / ``valid_to``
+    validity intervals (open ``valid_to`` = current version) and a
+    dense version number.  The warehouse-history surface the
+    reference's WRITE_TRUNCATE reloads throw away every run
+    (reference ``dags/cloudsql_to_bigquery.py:209-236`` replaces the
+    table wholesale; SCD2 is what a warehouse KEEPS instead).
+
+    Scale shape: one (customer, day) pre-aggregation, then LEAD /
+    ROW_NUMBER / running windows all sharing the SAME (custkey ×
+    order-date) partitioning — one shuffle, three window functions on
+    one sorted pass; the cumulative spend is summed in DECIMAL so
+    results are partitioning-independent."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("spend_day"),
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "custkey",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.sum("n_day").over(wc).cast("long").alias("n_orders_cum"),
+        F.round(F.sum("spend_day").over(wc).cast("double"), 2).alias(
+            "spend_cum"
+        ),
+    )
+
+
+_SCD2_SQL = """
+WITH daily AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+         COUNT(*) AS n_day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_day
+  FROM orders GROUP BY 1, 2
+)
+SELECT custkey, valid_from,
+       LEAD(valid_from) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       CAST(SUM(n_day) OVER (PARTITION BY custkey ORDER BY valid_from
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_orders_cum,
+       ROUND(CAST(SUM(spend_day) OVER (PARTITION BY custkey
+            ORDER BY valid_from ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS spend_cum
+FROM daily
+WINDOW w AS (PARTITION BY custkey ORDER BY valid_from)
+"""
+
+QUERIES["customer_scd2_history"] = customer_scd2_history
+ORACLE["customer_scd2_history"] = _SCD2_SQL
+
+
+def nation_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST (new r8): the non-parametric
+    significance twin of the Theil-Sen ESTIMATOR, on the same weekly
+    revenue series — ``S = Σ_{i<j} sign(rev_j − rev_i)``, normal
+    approximation ``z = (S ∓ 1)/sqrt(n(n−1)(2n+5)/18)`` with
+    continuity correction, and a 5% two-sided trend flag (compared on
+    the ROUNDED z, the r7 boundary-tie rule).  Theil-Sen says how
+    steep; Mann-Kendall says whether to believe it.
+
+    Scale shape: identical to the Theil-Sen twin — the sign-pair
+    frame is the WEEKLY model frame self-joined per nation
+    (weeks²·nations rows, same quadratic span caveat documented
+    there); S is an exact integer sum, the variance is integer
+    arithmetic, one sqrt/divide per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", "l_shipdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = wk.select("n_name", F.col("wk").alias("wa"), F.col("rev").alias("ra"))
+    b = wk.select("n_name", F.col("wk").alias("wb"), F.col("rev").alias("rb"))
+    s = (
+        a.join(b, "n_name")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.signum(F.col("rb") - F.col("ra")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    cnt = wk.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_weeks"))
+    j = s.join(cnt, "n_name")
+    nw = F.col("n_weeks").cast("double")
+    var = nw * (nw - 1) * (2 * nw + 5) / 18.0
+    z = F.round(
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)
+        )
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return j.select(
+        "n_name",
+        "n_weeks",
+        "s_stat",
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("trending"),
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH wk AS (
+  SELECT n_name, CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.n_name,
+         CAST(SUM(SIGN(b.rev - a.rev)) AS BIGINT) AS s_stat
+  FROM wk a JOIN wk b ON a.n_name = b.n_name AND a.wk < b.wk
+  GROUP BY 1
+),
+cnt AS (SELECT n_name, COUNT(*) AS n_weeks FROM wk GROUP BY 1),
+j AS (
+  SELECT s.n_name, cnt.n_weeks, s.s_stat,
+         ROUND(CASE
+           WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+             / SQRT(cnt.n_weeks * (cnt.n_weeks - 1.0)
+                    * (2.0 * cnt.n_weeks + 5) / 18.0)
+           WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+             / SQRT(cnt.n_weeks * (cnt.n_weeks - 1.0)
+                    * (2.0 * cnt.n_weeks + 5) / 18.0)
+           ELSE 0.0 END, 4) AS z
+  FROM s JOIN cnt ON s.n_name = cnt.n_name
+)
+SELECT n_name, CAST(n_weeks AS BIGINT) AS n_weeks, s_stat, z,
+       ABS(z) > 1.96 AS trending
+FROM j
+"""
+
+QUERIES["nation_mann_kendall"] = nation_mann_kendall
+ORACLE["nation_mann_kendall"] = _MANN_KENDALL_SQL

@@ -3478,3 +3478,62 @@ FROM packed ORDER BY media_id
 
 QUERIES["media_image_ahash"] = media_image_ahash
 ORACLE["media_image_ahash"] = _IMAGE_AHASH_SQL
+
+
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (new r8): the heuristic detector
+    (``textstats.detect_lang``) evaluated against the fixture's
+    ground-truth ``lang`` column — per (actual, predicted) cell count
+    and row-normalized share, the standard classifier-quality readout
+    (``doc_language_id`` emits per-doc predictions; this is its
+    aggregate EVAL, the confusion counterpart of the AUC/calibration
+    pair on the quality score).
+
+    Scale shape: one narrow scoring pass (stopword-list hits fold
+    in-row, pure codegen), one (actual, predicted) aggregation over at
+    most |langs|² groups, per-actual totals attached by broadcast.
+    The share is an exact integer ratio rounded to 6."""
+    p = _docs(spark, sf_dir).select(
+        "lang", textstats.detect_lang(F.col("text")).alias("lang_pred")
+    )
+    cm = p.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = p.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("t"), 6).alias("row_share"),
+    )
+
+
+_LANG_CONFUSION_SQL = rf"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("en")}'))) AS s_en,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("de")}'))) AS s_de,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("es")}'))) AS s_es,
+         len(list_filter(w, x -> x IN ('{_lang_list_sql("fr")}'))) AS s_fr
+  FROM toks
+), p AS (
+  SELECT lang,
+         CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+              WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+              WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM s
+), cm AS (
+  SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2
+), tot AS (SELECT lang, COUNT(*) AS t FROM p GROUP BY 1)
+SELECT cm.lang, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+       ROUND(cm.n * 1.0 / tot.t, 6) AS row_share
+FROM cm JOIN tot ON cm.lang = tot.lang
+"""
+
+QUERIES["doc_lang_confusion"] = doc_lang_confusion
+ORACLE["doc_lang_confusion"] = _LANG_CONFUSION_SQL
