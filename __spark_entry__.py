@@ -100,10 +100,18 @@ _MODULES = (
 # join_cross, join_right, join_semi, late_shipment_orders,
 # nation_trade_volume, null_funcs, pivot_status, set_except,
 # set_union_distinct, sort_limit, split_explode, sql_in_subquery,
-# unpivot_part, window_lag_lead — then any r8-wave additions that
+# unpivot_part, window_lag_lead — then the r8-wave additions that
 # landed after this window froze (they take priority over
-# re-confirmation slots, same rule as r8), then fill remaining slots
-# with a rotating sample of the r4–r6 windows (oldest-signal-first).
+# re-confirmation slots, same rule as r8): wave 1
+# events_weekly_counts_streamed (the registered end-to-end stream),
+# wave 2 part_adamic_adar, events_decay_value,
+# doc_quality_calibration, search_prf_expansion, wave 3
+# events_ks_drift, doc_collocations_llr, customer_t_closeness,
+# media_image_ahash (the media family's first oracle-paired query),
+# wave 4 customer_scd2_history, nation_mann_kendall,
+# doc_lang_confusion — all replica-green at sf0.001+sf0.01 when they
+# landed — then fill remaining slots with a rotating sample of the
+# r4–r6 windows (oldest-signal-first).
 _WINDOW = (
     # (a) the 45 r7-wave additions that landed after the r7 window
     # froze (VERDICT r7 task 1) — every one oracle-paired,
