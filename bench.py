@@ -210,6 +210,12 @@ HEADLINE = [
     ("customer_scd2_history", advanced.QUERIES),
     ("nation_mann_kendall", advanced.QUERIES),
     ("doc_lang_confusion", llmdata.QUERIES),
+    # r8 wave 5: median/MAD robust anomaly screen (the breakdown-
+    # resistant twin of events_anomaly_zscore), chi-square
+    # independence test, and the grid-banded weighted median
+    ("events_mad_outliers", events.QUERIES),
+    ("events_weekday_chi2", events.QUERIES),
+    ("nation_weighted_median_price", advanced.QUERIES),
 ]
 
 

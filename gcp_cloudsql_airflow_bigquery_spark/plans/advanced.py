@@ -2558,7 +2558,11 @@ def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, 1/ln(deg) -> 0, and would alone quadratically dominate
     the join).  The cap is part of the operator contract and mirrored
     in the oracle.  Anti-join back to the edge set removes existing
-    links; top-30 is TakeOrderedAndProject."""
+    links; top-30 is TakeOrderedAndProject.  The edge/degree lineage
+    appears several times in the static plan (pa/pb self-join, the
+    anti-join) — at runtime AQE's exchange reuse collapses the
+    repeats (measured: 8 ReusedExchange nodes in the final adaptive
+    plan), so the fact-side work executes once."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
@@ -2791,3 +2795,83 @@ FROM j
 
 QUERIES["nation_mann_kendall"] = nation_mann_kendall
 ORACLE["nation_mann_kendall"] = _MANN_KENDALL_SQL
+
+
+def nation_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per nation (new r8): the
+    smallest whole-dollar price band at which the running quantity
+    reaches half the nation's total — the weighted order statistic
+    Spark has no builtin for (``percentile`` weighs rows equally; a
+    10 000-unit line and a 1-unit line are not the same evidence
+    about "the typical traded price").
+
+    Scale shape: the fact-sized work is one (nation, price-band)
+    aggregation (bands are whole dollars — the grid bounds the
+    cumulative frame by the PRICE DOMAIN, not the row count, the same
+    quantization argument as the KS drift grid); the running-quantity
+    window and the half-total pick run on that band frame.  All
+    arithmetic is exact longs — no FP in the selection, so the pick
+    is bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    banded = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.floor("l_extendedprice").cast("long").alias("band"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = banded.groupBy("n_name").agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    cum = banded.select(
+        "n_name", "band", F.sum("qty").over(w).alias("cum_qty")
+    )
+    return (
+        cum.join(F.broadcast(tot), "n_name")
+        .filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("n_name", "total_qty")
+        .agg(F.min("band").alias("wmedian_price_band"))
+        .select("n_name", "total_qty", "wmedian_price_band")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH banded AS (
+  SELECT n_name, CAST(FLOOR(l_extendedprice) AS BIGINT) AS band,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT n_name, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM banded GROUP BY 1
+),
+cum AS (
+  SELECT n_name, band,
+         SUM(qty) OVER (PARTITION BY n_name ORDER BY band
+                        ROWS UNBOUNDED PRECEDING) AS cum_qty
+  FROM banded
+)
+SELECT c.n_name, t.total_qty,
+       MIN(c.band) AS wmedian_price_band
+FROM cum c JOIN tot t ON c.n_name = t.n_name
+WHERE c.cum_qty * 2 >= t.total_qty
+GROUP BY 1, 2
+"""
+
+QUERIES["nation_weighted_median_price"] = nation_weighted_median_price
+ORACLE["nation_weighted_median_price"] = _WEIGHTED_MEDIAN_SQL

@@ -2148,3 +2148,214 @@ FROM d JOIN tot t ON d.event_type = t.event_type
 
 QUERIES["events_ks_drift"] = events_ks_drift
 ORACLE["events_ks_drift"] = _KS_DRIFT_SQL
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust daily anomaly screen (new r8): per event
+    type, each DAY's decimal-exact value total scored by the modified
+    z ``0.6745 * (x − median) / MAD`` over the type's daily series —
+    the breakdown-resistant twin of ``events_anomaly_zscore`` (one
+    blowout day inflates a mean/stddev gate enough to hide itself;
+    the median/MAD gate it cannot touch, breakdown point 50%).
+    Emits each type's 5 most extreme days with the 3.5 outlier flag
+    (compared on the ROUNDED score, the r7 boundary-tie rule) — top-N
+    rather than threshold-only so the result carries hash signal even
+    on a well-behaved fixture.
+
+    Scale shape: the daily rollup is the only fact-sized shuffle;
+    median and MAD are exact percentiles over the calendar-bounded
+    (type × day) frame — ~365 rows per type at any SF, so the exact
+    order statistic is safe (at unbounded grain you would swap in the
+    KLL sketch per the quantiles-rollup pattern); the top-5 rank is a
+    per-type window over that same bounded frame."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("day_total")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("day_total", F.lit(0.5)).alias("med")
+    )
+    j1 = daily.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("day_total") - F.col("med")), F.lit(0.5))
+        .alias("mad")
+    )
+    j2 = j1.join(F.broadcast(mad), "event_type").filter(F.col("mad") > 0)
+    modz = F.round(
+        0.6745 * (F.col("day_total") - F.col("med")) / F.col("mad"), 4
+    )
+    scored = j2.select(
+        "event_type",
+        "d",
+        F.round("day_total", 4).alias("day_total"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        modz.alias("mod_z"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("mod_z")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            "d",
+            "day_total",
+            "med",
+            "mad",
+            "mod_z",
+            (F.abs(F.col("mod_z")) > 3.5).alias("outlier"),
+        )
+    )
+
+
+_MAD_OUTLIERS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_total
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(day_total, 0.5) AS med
+  FROM daily GROUP BY 1
+),
+j1 AS (
+  SELECT d.*, m.med FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(ABS(day_total - med), 0.5) AS mad
+  FROM j1 GROUP BY 1
+),
+j2 AS (
+  SELECT j1.*, mad.mad FROM j1 JOIN mad ON j1.event_type = mad.event_type
+  WHERE mad.mad > 0
+),
+scored AS (
+  SELECT event_type, d,
+         ROUND(day_total, 4) AS day_total,
+         ROUND(med, 4) AS med,
+         ROUND(mad, 4) AS mad,
+         ROUND(0.6745 * (day_total - med) / mad, 4) AS mod_z
+  FROM j2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ABS(mod_z) DESC, d) AS rk
+  FROM scored
+)
+SELECT event_type, d, day_total, med, mad, mod_z,
+       ABS(mod_z) > 3.5 AS outlier
+FROM ranked WHERE rk <= 5
+"""
+
+QUERIES["events_mad_outliers"] = events_mad_outliers
+ORACLE["events_mad_outliers"] = _MAD_OUTLIERS_SQL
+
+
+def events_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (new r8): is event type
+    independent of weekday?  Pearson χ² over the bounded
+    |types| × 7 contingency table with expected counts from the
+    marginals — the categorical-association member of the statistical
+    family (z-test A/B, KS drift, Mann-Kendall trend, G²
+    collocations).  Single-row output: χ², degrees of freedom, and
+    the 5% verdict against the dof-24 critical value (flag compared
+    on the ROUNDED statistic).
+
+    Scale shape: one fact-sized (type, weekday) count aggregation;
+    everything downstream runs on the ≤35-cell table (marginals as
+    broadcast joins, per-cell terms DECIMAL-cast so the final sum is
+    order-independent)."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    nn = cells.agg(F.sum("o").alias("nn"))
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                F.pow(
+                    F.col("o")
+                    - F.col("rt").cast("double")
+                    * F.col("ct")
+                    / F.col("nn"),
+                    F.lit(2),
+                )
+                / (
+                    F.col("rt").cast("double")
+                    * F.col("ct")
+                    / F.col("nn")
+                )
+            )
+            .cast("decimal(28,10)")
+            .alias("term"),
+        )
+    )
+    agg = terms.agg(
+        F.round(F.sum("term").cast("double"), 4).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    dims = cells.agg(
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    out = agg.crossJoin(F.broadcast(dims))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    return out.select(
+        "chi2",
+        dof.cast("long").alias("dof"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (F.col("chi2") > 36.415).alias("dependent_5pct"),
+    )
+
+
+_WEEKDAY_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+nn AS (SELECT SUM(o) AS nn FROM cells),
+terms AS (
+  SELECT CAST(POWER(c.o - CAST(r.rt AS DOUBLE) * t.ct / n.nn, 2)
+              / (CAST(r.rt AS DOUBLE) * t.ct / n.nn)
+         AS DECIMAL(28,10)) AS term
+  FROM cells c
+  JOIN rt r ON c.event_type = r.event_type
+  JOIN ct t ON c.dow = t.dow
+  CROSS JOIN nn n
+),
+agg AS (
+  SELECT ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2,
+         COUNT(*) AS n_cells
+  FROM terms
+),
+dims AS (
+  SELECT COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c
+  FROM cells
+)
+SELECT agg.chi2,
+       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+       CAST(agg.n_cells AS BIGINT) AS n_cells,
+       agg.chi2 > 36.415 AS dependent_5pct
+FROM agg CROSS JOIN dims
+"""
+
+QUERIES["events_weekday_chi2"] = events_weekday_chi2
+ORACLE["events_weekday_chi2"] = _WEEKDAY_CHI2_SQL
