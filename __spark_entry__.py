@@ -109,9 +109,12 @@ _MODULES = (
 # events_ks_drift, doc_collocations_llr, customer_t_closeness,
 # media_image_ahash (the media family's first oracle-paired query),
 # wave 4 customer_scd2_history, nation_mann_kendall,
-# doc_lang_confusion — all replica-green at sf0.001+sf0.01 when they
-# landed — then fill remaining slots with a rotating sample of the
-# r4–r6 windows (oldest-signal-first).
+# doc_lang_confusion, wave 5 events_mad_outliers,
+# events_weekday_chi2, nation_weighted_median_price, wave 6
+# part_price_index — all replica-green at sf0.001+sf0.01 when they
+# landed (16 queries; with the 21 stale slots that fills 37 of 50) —
+# then fill remaining slots with a rotating sample of the r4–r6
+# windows (oldest-signal-first).
 _WINDOW = (
     # (a) the 45 r7-wave additions that landed after the r7 window
     # froze (VERDICT r7 task 1) — every one oracle-paired,

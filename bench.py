@@ -216,6 +216,8 @@ HEADLINE = [
     ("events_mad_outliers", events.QUERIES),
     ("events_weekday_chi2", events.QUERIES),
     ("nation_weighted_median_price", advanced.QUERIES),
+    # r8 wave 6: Laspeyres price index (fixed base-month basket)
+    ("part_price_index", advanced.QUERIES),
 ]
 
 

@@ -2875,3 +2875,91 @@ GROUP BY 1, 2
 
 QUERIES["nation_weighted_median_price"] = nation_weighted_median_price
 ORACLE["nation_weighted_median_price"] = _WEIGHTED_MEDIAN_SQL
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index (new r8): monthly aggregate price level
+    relative to the first month, holding the BASE month's quantity
+    basket fixed — ``I_t = Σ p_t·q_0 / Σ p_0·q_0`` over parts traded
+    in both months (p = monthly average unit price, q_0 = base-month
+    quantity) — the classic inflation-style index a revenue warehouse
+    reports (raw revenue conflates price moves with volume moves;
+    the index isolates price).
+
+    Scale shape: one (part, month) fact aggregation; the base-month
+    slice joins back on partkey (part-cardinality frame, not
+    fact-sized); numerator/denominator are DECIMAL sums so the ratio
+    is order-independent; the month list output is calendar-bounded.
+    Unit price p = decimal revenue / long quantity, computed with
+    identical operand order in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("mo"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    m0 = pm.agg(F.min("mo").alias("mo0"))
+    base = (
+        pm.join(F.broadcast(m0), pm.mo == F.col("mo0"))
+        .select(
+            "pk",
+            (F.col("rev").cast("double") / F.col("qty")).alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    cur = pm.select(
+        "pk",
+        "mo",
+        (F.col("rev").cast("double") / F.col("qty")).alias("pt"),
+    )
+    j = cur.join(base, "pk")
+    return (
+        j.groupBy("mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum((F.col("pt") * F.col("q0")).cast("decimal(28,8)")).alias(
+                "num"
+            ),
+            F.sum((F.col("p0") * F.col("q0")).cast("decimal(28,8)")).alias(
+                "den"
+            ),
+        )
+        .select(
+            "mo",
+            "n_parts",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("laspeyres_index"),
+        )
+    )
+
+
+_PRICE_INDEX_SQL = """
+WITH pm AS (
+  SELECT l_partkey AS pk,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+m0 AS (SELECT MIN(mo) AS mo0 FROM pm),
+base AS (
+  SELECT pk, CAST(rev AS DOUBLE) / qty AS p0, qty AS q0
+  FROM pm, m0 WHERE pm.mo = m0.mo0
+),
+cur AS (
+  SELECT pk, mo, CAST(rev AS DOUBLE) / qty AS pt FROM pm
+),
+j AS (SELECT cur.mo, cur.pt, base.p0, base.q0
+      FROM cur JOIN base ON cur.pk = base.pk)
+SELECT mo, COUNT(*)::BIGINT AS n_parts,
+       ROUND(CAST(SUM(CAST(pt * q0 AS DECIMAL(28,8))) AS DOUBLE)
+             / CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,8))) AS DOUBLE), 6)
+         AS laspeyres_index
+FROM j GROUP BY 1
+"""
+
+QUERIES["part_price_index"] = part_price_index
+ORACLE["part_price_index"] = _PRICE_INDEX_SQL
