@@ -311,7 +311,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -578,7 +578,7 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supps") >= 2)
             & (F.col("n_late_supps") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -778,7 +778,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_revenue")
     )
     return (
-        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy(F.col("total_revenue").desc(), "s_suppkey")
         .limit(5)
@@ -1003,7 +1003,7 @@ def events_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        ev.join(F.broadcast(c), "user_id")
+        ev.join(c, "user_id")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "event_type")
         .agg(
@@ -1618,7 +1618,7 @@ def supplier_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1837,9 +1837,9 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= 2)
     )
     out = (
-        pairs.join(F.broadcast(item.withColumnRenamed("p", "a")), "a")
+        pairs.join(item.withColumnRenamed("p", "a"), "a")
         .withColumnRenamed("n_p", "n_a")
-        .join(F.broadcast(item.withColumnRenamed("p", "b")), "b")
+        .join(item.withColumnRenamed("p", "b"), "b")
         .withColumnRenamed("n_p", "n_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
@@ -1905,7 +1905,7 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     wk = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",
@@ -2456,7 +2456,7 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     wk = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",
@@ -2714,7 +2714,7 @@ def nation_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     wk = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",
@@ -2818,7 +2818,7 @@ def nation_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     banded = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",

@@ -30,7 +30,7 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("dim_custkey")
     )
     joined = orders.join(
-        F.broadcast(customer),
+        customer,
         orders.o_custkey == F.col("dim_custkey"),
         "left",
     )

@@ -405,8 +405,13 @@ FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
 
 
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit broadcast of the part dim against the fact — at 100 TB the
-    fact side never shuffles for this join."""
+    """The registry's ONE deliberate explicit-hint demo: `F.broadcast`
+    surface exercised against a dim-scale table.  `part` scales with SF,
+    so production plans never hint it (SCALE.md "broadcast policy"; this
+    slot is the sole allowlisted exception in
+    tests/test_plan_shapes.py::test_no_forced_broadcast_of_sf_scaling_tables)
+    — at 100 TB you would drop the hint and let AQE decide, exactly as
+    every other registered plan does."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (

@@ -52,10 +52,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = _t(spark, sf_dir, "nation").alias("n2")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("n2.n_nationkey"))
@@ -121,9 +121,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast(_DEC)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -162,7 +162,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC)
     base = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(F.col("l_partkey"), val.alias("val"))
     )
@@ -240,9 +240,9 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     )
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -273,7 +273,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
     )
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     return (
         j.withColumn("avg_qty", F.avg("l_quantity").over(w))
@@ -308,14 +308,14 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     movers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_name", "s_suppkey")
         .orderBy("s_name", "s_suppkey")
     )

@@ -320,3 +320,82 @@ def test_no_unpartitioned_window_over_corpus_inputs(spark, sf_dir):
         if "CartesianProduct" in phys:
             offenders[name] = offenders.get(name, []) + ["CartesianProduct"]
     assert not offenders, f"bad plan shapes: {offenders}"
+
+
+# --- broadcast policy (VERDICT r8 #1) -------------------------------
+
+# Local variable names conventionally bound to SF-scaling inputs inside
+# plans/ modules.  An explicit F.broadcast() hint bypasses
+# autoBroadcastJoinThreshold at ANY size, so hinting one of these forces
+# a driver-side collect that breaks at 100x scale (Spark's 8 GB
+# broadcast hard limit) — the hint must come off and AQE decides.
+_SF_SCALING_NAMES = {
+    "c", "customer", "cust",
+    "s", "supplier", "supp",
+    "p", "part",
+    "li", "lineitem",
+    "o", "orders",
+    "ev", "events",
+    "docs", "documents",
+    "emb", "embeddings",
+    # SF-scaling derived frames (per-supplier / per-part aggregates)
+    "bad_supp", "movers", "item",
+}
+
+# The one deliberate exception: the registered explicit-hint surface
+# demo (see its docstring).
+_FORCED_BROADCAST_ALLOWLIST = {("relational.py", "join_broadcast")}
+
+
+def _forced_broadcast_offenders():
+    import ast
+    import pathlib
+
+    import gcp_cloudsql_airflow_bigquery_spark.plans as plans_pkg
+
+    plans_dir = pathlib.Path(plans_pkg.__file__).parent
+    offenders = []
+    for path in sorted(plans_dir.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+                f = call.func
+                if not (isinstance(f, ast.Attribute) and f.attr == "broadcast"):
+                    continue
+                if not call.args:
+                    continue
+                root = call.args[0]
+                while isinstance(root, (ast.Attribute, ast.Call)):
+                    root = root.func if isinstance(root, ast.Call) else root.value
+                    if isinstance(root, ast.Attribute):
+                        continue
+                if isinstance(root, ast.Name) and root.id in _SF_SCALING_NAMES:
+                    if (path.name, fn.name) in _FORCED_BROADCAST_ALLOWLIST:
+                        continue
+                    offenders.append(f"{path.name}:{call.lineno} {fn.name} broadcast({root.id})")
+    return offenders
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables():
+    """No registered plan force-broadcasts an SF-scaling input (customer,
+    supplier, part, facts, or per-part/per-supplier derived frames).
+    Hints stay only on genuinely bounded frames: nation (25 rows),
+    region (5), 1-row scalars, and bounded-key aggregates."""
+    offenders = _forced_broadcast_offenders()
+    assert not offenders, offenders
+
+
+def test_dehinted_dims_still_autobroadcast_at_test_sf(spark, sf_dir):
+    """De-hinting must not change the bench-scale strategy: customer /
+    supplier / part are all under autoBroadcastJoinThreshold at test SF,
+    so Catalyst still picks BroadcastHashJoin without the hint."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans import dq, tpch
+
+    p3 = tpch.QUERIES["q3_shipping_priority"](spark, sf_dir)
+    plan3 = p3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3, plan3
+    assert "SortMergeJoin" not in plan3, plan3
+
+    p5 = tpch.QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    plan5 = p5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5, plan5
