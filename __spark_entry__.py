@@ -94,95 +94,84 @@ _MODULES = (
 # sql_exists_subquery).  After this window every oracle-paired query
 # in the registry has driver hash signal.
 #
-# ROUND 9 PLAN: rotate the remaining ~21 r1–r3-stale slots into the
-# window (VERDICT r7 task 2): agg_basic, agg_having, agg_stats,
-# array_agg_sorted, between_like_in, case_expr, conditional_agg,
-# join_cross, join_right, join_semi, late_shipment_orders,
-# nation_trade_volume, null_funcs, pivot_status, set_except,
-# set_union_distinct, sort_limit, split_explode, sql_in_subquery,
-# unpivot_part, window_lag_lead — then the r8-wave additions that
-# landed after this window froze (they take priority over
-# re-confirmation slots, same rule as r8): wave 1
-# events_weekly_counts_streamed (the registered end-to-end stream),
-# wave 2 part_adamic_adar, events_decay_value,
-# doc_quality_calibration, search_prf_expansion, wave 3
-# events_ks_drift, doc_collocations_llr, customer_t_closeness,
-# media_image_ahash (the media family's first oracle-paired query),
-# wave 4 customer_scd2_history, nation_mann_kendall,
-# doc_lang_confusion, wave 5 events_mad_outliers,
-# events_weekday_chi2, nation_weighted_median_price, wave 6
-# part_price_index — all replica-green at sf0.001+sf0.01 when they
-# landed (16 queries; with the 21 stale slots that fills 37 of 50) —
-# then fill remaining slots with a rotating sample of the r4–r6
-# windows (oldest-signal-first).
+# ROUND 9 window (this round, burned exactly as the r8 plan wrote it):
+# (a) the 21 remaining r1-r3-stale slots (last driver-checked r3 while
+# catalog/session/shared helpers kept evolving), (b) the 16 r8-wave
+# additions that landed after the r8 window froze (their first driver
+# signal; every one judge-replica-green at sf0.01 per VERDICT r8), and
+# (c) 13 r4-filler slots oldest-signal-first from the r4 doc_* family
+# (skipping rows-only doc_dedup_minhash so _WINDOW_ROWS_ONLY stays
+# empty), deliberately including the two bench-watch queries
+# doc_bloom_incremental_new and doc_dedup_prefix_jaccard.
+#
+# ROUND 10 PLAN: (a) any r9-wave additions that land after this window
+# freezes (same first-signal-priority rule as r8/r9), then (b) the
+# remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
+# doc_token_stats, embedding_centroids, embedding_covariance_matrix,
+# embedding_neardup, embedding_quantized, event_heavy_hitters,
+# events_anomaly_zscore, events_cohort_ltv, events_cohort_retention,
+# events_dau_mau_stickiness, events_error_rate_sli, events_funnel,
+# events_funnel_windowed, events_multires_rollup, events_ohlc_hourly,
+# events_session, events_sliding, events_transition_matrix,
+# events_tumbling, events_value_histogram, events_variant_props,
+# knn_bruteforce, knn_int8), then (c) r5 rotation oldest-first.
 _WINDOW = (
-    # (a) the 45 r7-wave additions that landed after the r7 window
-    # froze (VERDICT r7 task 1) — every one oracle-paired,
-    # judge-replica-green at sf0.01, zero driver signal so far.
-    # Waves in landing order (3, 7, 8, 9, 10, 11, 12, 13, 14, 15,
-    # 16, 17, 18, 19).
-    "event_state_communities",
-    "map_struct_funcs",
-    "doc_source_token_drift",
-    "doc_minhash_recall_eval",
-    "embedding_ann_recall_eval",
-    "doc_leakage_safe_splits",
-    "part_cooccurrence_kcore",
-    "events_attribution_linear",
-    "events_hourly_autocorr",
-    "events_seasonal_anomaly",
-    "part_association_rules",
-    "events_user_rfm_segments",
-    "nation_revenue_trend",
-    "events_ab_significance",
-    "orders_open_backlog",
-    "events_changepoint_cusum",
-    "events_frequent_sequences",
-    "events_sliding_distinct_users",
-    "customer_survival_km",
-    "doc_quality_auc_eval",
-    "customer_linkage_scores",
-    "events_forecast_eval",
-    "doc_ngram_novelty",
-    "orders_benford_screen",
-    "customer_revenue_gini",
-    "doc_readability",
-    "embedding_outlier_score",
-    "doc_zipf_fit",
-    "customer_k_anonymity",
-    "events_bot_regularity",
-    "doc_source_psi_drift",
-    "embedding_pq_codes",
-    "embedding_mmr_diverse",
-    "events_prequential_zscore",
-    "knn_pq_adc",
-    "doc_backoff_lm_eval",
-    "events_duplicate_purchases",
-    "search_ndcg_eval",
-    "embedding_kcenter_coreset",
-    "knn_ivfpq",
-    "doc_tokenizer_fertility",
-    "doc_rake_keyphrases",
-    "events_transition_conformance",
-    "doc_textrank_sentence",
-    "nation_revenue_theilsen",
-    # (b) 5 slots on the stale r1–r3 set (last driver-checked 4+
-    # rounds ago while catalog/session helpers evolved — VERDICT r7
-    # task 1 names these five to start the rotation).
-    "dedup_exact",
-    "join_left",
-    "set_intersect",
-    "agg_cube",
-    "sql_exists_subquery",
+    # (a) the 21 r1-r3-stale slots
+    "agg_basic",
+    "agg_having",
+    "agg_stats",
+    "array_agg_sorted",
+    "between_like_in",
+    "case_expr",
+    "conditional_agg",
+    "join_cross",
+    "join_right",
+    "join_semi",
+    "late_shipment_orders",
+    "nation_trade_volume",
+    "null_funcs",
+    "pivot_status",
+    "set_except",
+    "set_union_distinct",
+    "sort_limit",
+    "split_explode",
+    "sql_in_subquery",
+    "unpivot_part",
+    "window_lag_lead",
+    # (b) the 16 r8-wave additions, landing order (first driver signal)
+    "events_weekly_counts_streamed",
+    "part_adamic_adar",
+    "events_decay_value",
+    "doc_quality_calibration",
+    "search_prf_expansion",
+    "events_ks_drift",
+    "doc_collocations_llr",
+    "customer_t_closeness",
+    "media_image_ahash",
+    "customer_scd2_history",
+    "nation_mann_kendall",
+    "doc_lang_confusion",
+    "events_mad_outliers",
+    "events_weekday_chi2",
+    "nation_weighted_median_price",
+    "part_price_index",
+    # (c) 13 r4-filler slots (oldest-signal-first; incl. both
+    # bench-watch queries)
+    "doc_bloom_incremental_new",
+    "doc_corpus_filter",
+    "doc_dedup_exact",
+    "doc_dedup_keep_canonical",
+    "doc_dedup_ngram_jaccard",
+    "doc_dedup_prefix_jaccard",
+    "doc_dup_clusters",
+    "doc_duplicate_passages",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_lm_score",
+    "doc_passage_redacted",
+    "doc_quality",
 )
 
-# Deliberate rows-only slots inside the window (VERDICT r6 #3
-# mechanism).  Round 8: EMPTY — all six rows-only residue queries got
-# their first driver rows-only record in r7 (CORRECTNESS_r07.json) and
-# every r8 window entry is oracle-paired.
-# tests/test_entry_contract.py permits unpaired window entries ONLY
-# when they are listed here — an unpaired entry NOT in this set is
-# still a wasted-slot bug.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 
