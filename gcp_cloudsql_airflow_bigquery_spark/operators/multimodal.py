@@ -552,7 +552,19 @@ def ahash_near_dup_pairs(
     explodes into exactly 4 band rows); candidates within a bucket
     pair quadratically, which is the standard banding trade-off —
     uniform hashes keep buckets tiny, and a hot bucket means the
-    images really are near-identical."""
+    images really are near-identical.
+
+    ``max_hamming`` is hard-capped at 3: with 4 bands the pigeonhole
+    argument only guarantees candidate completeness for distance ≤ 3
+    (4 flips can hit all 4 bands), so a larger threshold would
+    silently return incomplete recall (ADVICE r8)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "ahash_near_dup_pairs: max_hamming > 3 breaks the 4-band "
+            "pigeonhole completeness guarantee (got "
+            f"{max_hamming}); re-band with more/narrower bands for "
+            "larger radii"
+        )
     bands = hashed.select(
         "media_id",
         "ahash_hex",

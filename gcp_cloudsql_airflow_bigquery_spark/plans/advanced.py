@@ -2582,7 +2582,11 @@ def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = (
         und.select(F.col("b").alias("z"), F.col("a").alias("x"))
         .join(deg.filter(F.col("deg") <= 256), "z")
-        .withColumn("w", 1.0 / F.log(F.col("deg")))
+        # decimal-cast the per-neighbor weight so the SUM is
+        # order-independent across partitionings/engines (the repo's
+        # BM25/PRF convention — a double sum near a round-6 boundary
+        # could flip the top-30 cutoff, ADVICE r8)
+        .withColumn("w", (1.0 / F.log(F.col("deg"))).cast("decimal(28,10)"))
         .filter(F.col("deg") >= 2)
     )
     pa = nz.select("z", F.col("x").alias("a"), "w")
@@ -2591,7 +2595,7 @@ def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.join(pb, "z")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.round(F.sum("w"), 6).alias("aa_score"))
+        .agg(F.round(F.sum("w").cast("double"), 6).alias("aa_score"))
         .join(edges, ["a", "b"], "left_anti")
     )
     return scored.orderBy(
@@ -2613,12 +2617,14 @@ und AS (
 ),
 deg AS (SELECT a AS z, COUNT(*) AS deg FROM und GROUP BY 1),
 nz AS (
-  SELECT und.b AS z, und.a AS x, 1.0 / LN(deg.deg) AS w
+  SELECT und.b AS z, und.a AS x,
+         CAST(1.0 / LN(deg.deg) AS DECIMAL(28,10)) AS w
   FROM und JOIN deg ON und.b = deg.z
   WHERE deg.deg BETWEEN 2 AND 256
 ),
 scored AS (
-  SELECT pa.x AS a, pb.x AS b, ROUND(SUM(pa.w), 6) AS aa_score
+  SELECT pa.x AS a, pb.x AS b,
+         ROUND(CAST(SUM(pa.w) AS DOUBLE), 6) AS aa_score
   FROM nz pa JOIN nz pb ON pa.z = pb.z AND pa.x < pb.x
   GROUP BY 1, 2
 )

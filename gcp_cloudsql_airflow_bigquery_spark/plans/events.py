@@ -1943,8 +1943,13 @@ SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 604800000000)
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
          AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
+# The WHERE mirrors the implicit `ts IS NOT NULL` Spark's window()
+# rewrite injects on the stream side, so a regenerated fixture with
+# null ts cannot cause a phantom extra NULL wk_start group on the
+# oracle side (ADVICE r8).
 
 QUERIES["events_weekly_counts_streamed"] = streams.events_weekly_counts_streamed
 ORACLE["events_weekly_counts_streamed"] = _WEEKLY_STREAMED_SQL
@@ -2262,15 +2267,50 @@ QUERIES["events_mad_outliers"] = events_mad_outliers
 ORACLE["events_mad_outliers"] = _MAD_OUTLIERS_SQL
 
 
+# Upper-tail 5% chi-square critical values, dof 1-30 (standard table);
+# beyond 30 both engines fall back to the Wilson-Hilferty cube
+# approximation rounded to 3 dp so the flag comparison stays
+# bit-identical cross-engine.  One dict generates BOTH the Spark CASE
+# and the oracle CASE — they cannot drift apart.
+_CHI2_CRIT_5PCT = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+    11: 19.675, 12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996,
+    16: 26.296, 17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410,
+    21: 32.671, 22: 33.924, 23: 35.172, 24: 36.415, 25: 37.652,
+    26: 38.885, 27: 40.113, 28: 41.337, 29: 42.557, 30: 43.773,
+}
+
+
+def _chi2_crit_spark(dof):  # dof: integer Column
+    crit = None
+    for k, v in _CHI2_CRIT_5PCT.items():
+        crit = F.when(dof == k, F.lit(v)) if crit is None else crit.when(dof == k, F.lit(v))
+    # Wilson-Hilferty: dof * (1 - 2/(9 dof) + z_0.95 * sqrt(2/(9 dof)))^3
+    d = dof.cast("double")
+    wh = d * F.pow(1.0 - 2.0 / (9.0 * d) + 1.6449 * F.sqrt(2.0 / (9.0 * d)), F.lit(3))
+    return crit.otherwise(F.round(wh, 3))
+
+
+_CHI2_CRIT_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {{dof}} = {k} THEN {v}" for k, v in _CHI2_CRIT_5PCT.items())
+    + " ELSE ROUND(CAST({dof} AS DOUBLE) * POWER(1.0 - 2.0/(9.0*{dof})"
+    + " + 1.6449 * SQRT(2.0/(9.0*{dof})), 3), 3) END"
+)
+
+
 def events_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test (new r8): is event type
     independent of weekday?  Pearson χ² over the bounded
     |types| × 7 contingency table with expected counts from the
     marginals — the categorical-association member of the statistical
     family (z-test A/B, KS drift, Mann-Kendall trend, G²
-    collocations).  Single-row output: χ², degrees of freedom, and
-    the 5% verdict against the dof-24 critical value (flag compared
-    on the ROUNDED statistic).
+    collocations).  Single-row output: χ², degrees of freedom, the
+    5% critical value DERIVED FROM dof (lookup table dof 1-30,
+    Wilson-Hilferty approximation beyond — ADVICE r8: a hard-coded
+    36.415 silently went wrong if type cardinality drifted), and the
+    verdict (flag compared on ROUNDED statistics both sides).
 
     Scale shape: one fact-sized (type, weekday) count aggregation;
     everything downstream runs on the ≤35-cell table (marginals as
@@ -2315,12 +2355,14 @@ def events_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("dow").alias("c"),
     )
     out = agg.crossJoin(F.broadcast(dims))
-    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    dof = ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+    crit = _chi2_crit_spark(dof)
     return out.select(
         "chi2",
-        dof.cast("long").alias("dof"),
+        dof.alias("dof"),
         F.col("n_cells").cast("long").alias("n_cells"),
-        (F.col("chi2") > 36.415).alias("dependent_5pct"),
+        crit.alias("crit_5pct"),
+        (F.col("chi2") > crit).alias("dependent_5pct"),
     )
 
 
@@ -2350,12 +2392,17 @@ dims AS (
   SELECT COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c
   FROM cells
 )
-SELECT agg.chi2,
-       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
-       CAST(agg.n_cells AS BIGINT) AS n_cells,
-       agg.chi2 > 36.415 AS dependent_5pct
-FROM agg CROSS JOIN dims
-"""
+, final AS (
+  SELECT agg.chi2,
+         CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+         CAST(agg.n_cells AS BIGINT) AS n_cells
+  FROM agg CROSS JOIN dims
+)
+SELECT chi2, dof, n_cells,
+       {crit} AS crit_5pct,
+       chi2 > {crit} AS dependent_5pct
+FROM final
+""".format(crit=_CHI2_CRIT_SQL_CASE.format(dof="dof"))
 
 QUERIES["events_weekday_chi2"] = events_weekday_chi2
 ORACLE["events_weekday_chi2"] = _WEEKDAY_CHI2_SQL

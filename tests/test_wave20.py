@@ -165,3 +165,57 @@ def test_image_ahash_known_pattern_and_near_dup_banding(spark):
         for r in ahash_near_dup_pairs(hashed, max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 3}           # near-dup found, inverse not
+
+
+def test_ahash_near_dup_rejects_uncoverable_radius(spark):
+    """4 x 16-bit pigeonhole banding only guarantees candidate
+    completeness for Hamming distance <= 3; larger radii must fail
+    loudly instead of silently under-recalling (ADVICE r8)."""
+    import pytest as _pytest
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    dummy = spark.range(1).selectExpr(
+        "id AS media_id", "'00' AS ahash_hex",
+        "0 AS b0", "0 AS b1", "0 AS b2", "0 AS b3",
+    )
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        ahash_near_dup_pairs(dummy, max_hamming=4)
+    # <= 3 still accepted
+    assert ahash_near_dup_pairs(dummy, max_hamming=3).count() == 0
+
+
+def test_weekday_chi2_critical_value_derived_from_dof(spark, sf_dir):
+    """The 5%% critical value must track the emitted dof (ADVICE r8:
+    a hard-coded dof-24 constant went silently wrong under fixture
+    drift); beyond the dof-30 table the Wilson-Hilferty fallback must
+    agree with a python replay."""
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        _CHI2_CRIT_5PCT,
+        events_weekday_chi2,
+    )
+
+    row = events_weekday_chi2(spark, sf_dir).collect()[0]
+    assert row.crit_5pct == _CHI2_CRIT_5PCT[row.dof]
+    assert row.dependent_5pct == (row.chi2 > row.crit_5pct)
+
+    # Wilson-Hilferty branch (dof > 30): spark expression vs python
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        _chi2_crit_spark,
+    )
+
+    got = (
+        spark.range(1)
+        .select(_chi2_crit_spark(F.lit(40).cast("long")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    d = 40.0
+    want = round(d * (1 - 2 / (9 * d) + 1.6449 * math.sqrt(2 / (9 * d))) ** 3, 3)
+    assert got == want  # true value 55.758; WH gives ~55.75
