@@ -27,6 +27,7 @@ materializing a partition at once.
 from __future__ import annotations
 
 import hashlib
+import math
 import zlib
 from collections.abc import Iterator
 
@@ -604,3 +605,82 @@ def ahash_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Per-AUDIO-row PCM16 signal statistics through the real RIFF
+    decode path (:func:`decode_wav_pcm16`): sample count, sample sum,
+    sum of squares, peak amplitude, zero-crossing count, min/max
+    sample, plus the one derived float — RMS, computed as
+    ``sqrt(sum_sq / n)``: the division is exact (n a power of two in
+    the fixture) and IEEE sqrt is correctly rounded in every engine,
+    so the double is bit-identical cross-engine WITHOUT rounding.
+
+    INTEGER semantics on purpose (the ``image_ahash`` convention):
+    every emitted statistic except ``rms`` is an exact 64-bit integer
+    over the decoded samples, so any reimplementation — including a
+    SQL engine replaying the synthetic id-seeded waveform — produces
+    identical rows.  That makes the WAV path's first ORACLE-PAIRED
+    query possible (plans/llmdata.media_audio_stats), moving the
+    codec family beyond rows-only checks.
+
+    Arrow-batched ``mapInPandas`` like every media kernel; non-audio
+    rows are dropped.  Scale shape: one decode pass per blob, no
+    shuffle — statistics are per-row, downstream aggregation is the
+    caller's choice."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "audio":
+                    continue
+                rate, xs = decode_wav_pcm16(bytes(content))
+                n = len(xs)
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (xs[i - 1] < 0) != (xs[i] < 0)
+                )
+                sum_sq = sum(x * x for x in xs)
+                out.append(
+                    (
+                        int(mid),
+                        rate,
+                        n,
+                        sum(xs),
+                        sum_sq,
+                        max((abs(x) for x in xs), default=0),
+                        zc,
+                        min(xs, default=0),
+                        max(xs, default=0),
+                        math.sqrt(sum_sq / n) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "rate", "n_samples", "sum_samples",
+                    "sum_sq", "peak", "zero_crossings", "smin", "smax",
+                    "rms",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "rate": "int64",
+                    "n_samples": "int64", "sum_samples": "int64",
+                    "sum_sq": "int64", "peak": "int64",
+                    "zero_crossings": "int64", "smin": "int64",
+                    "smax": "int64", "rms": "float64",
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, rate long, n_samples long, sum_samples long,"
+            " sum_sq long, peak long, zero_crossings long, smin long,"
+            " smax long, rms double"
+        ),
+    )

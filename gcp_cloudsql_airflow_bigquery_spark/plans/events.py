@@ -1955,6 +1955,29 @@ QUERIES["events_weekly_counts_streamed"] = streams.events_weekly_counts_streamed
 ORACLE["events_weekly_counts_streamed"] = _WEEKLY_STREAMED_SQL
 
 
+# Registered end-to-end stream #2 (VERDICT r8 #5): stateful
+# dropDuplicatesWithinWatermark over a self-unioned (at-least-once)
+# feed, then a batch rollup of the deduped sink.  The oracle's
+# DISTINCT over the full row content is exactly what the full-row
+# dedup key converges to — twin-independent and robust to
+# fixture-internal exact duplicates.
+_DEDUP_STREAMED_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_id, user_id, event_type, value, ts FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM d
+GROUP BY 1
+"""
+
+QUERIES["events_dedup_streamed"] = streams.events_dedup_streamed
+ORACLE["events_dedup_streamed"] = _DEDUP_STREAMED_SQL
+
+
 def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential recency-weighted engagement (new r8): per-user
     ``sum(value * 0.5^(age_days/30))`` with a 30-day half-life anchored

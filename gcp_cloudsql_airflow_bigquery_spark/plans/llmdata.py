@@ -3480,6 +3480,62 @@ QUERIES["media_image_ahash"] = media_image_ahash
 ORACLE["media_image_ahash"] = _IMAGE_AHASH_SQL
 
 
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 signal statistics (new r9) — the media family's SECOND
+    oracle-paired query, covering the WAV side of the codec path the
+    way :func:`media_image_ahash` covers PPM (VERDICT r8 #6):
+    deterministic RIFF/WAVE blobs are encoded and decoded through the
+    real chunk-walking parser
+    (:func:`..operators.multimodal.attach_codec_media` /
+    ``decode_wav_pcm16``) and reduced to exact integer statistics
+    (:func:`..operators.multimodal.audio_pcm_stats`).  The synthetic
+    waveform is pure integer arithmetic
+    (``x_i = ((mid*2654435761 + i*40503) % 65536) - 32768``), so DuckDB
+    replays the ENTIRE encode→decode→measure loop; the single float
+    (RMS) is an unrounded IEEE sqrt of an exact dyadic ratio —
+    bit-identical cross-engine."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    return multimodal.audio_pcm_stats(media).orderBy("media_id")
+
+
+_AUDIO_STATS_SQL = """
+WITH ids AS (
+  SELECT doc_id AS mid FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 1
+),
+s AS (
+  SELECT mid, i.range AS i,
+         ((mid * 2654435761 + i.range * 40503) % 65536) - 32768 AS x
+  FROM ids, range(64) i
+),
+lagged AS (
+  SELECT mid, i, x,
+         LAG(x) OVER (PARTITION BY mid ORDER BY i) AS prev
+  FROM s
+)
+SELECT mid AS media_id,
+       CAST(16000 AS BIGINT) AS rate,
+       COUNT(*)::BIGINT AS n_samples,
+       CAST(SUM(x) AS BIGINT) AS sum_samples,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (x < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MIN(x) AS BIGINT) AS smin,
+       CAST(MAX(x) AS BIGINT) AS smax,
+       SQRT(CAST(SUM(x * x) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) AS rms
+FROM lagged
+GROUP BY 1
+ORDER BY media_id
+"""
+
+QUERIES["media_audio_stats"] = media_audio_stats
+ORACLE["media_audio_stats"] = _AUDIO_STATS_SQL
+
+
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (new r8): the heuristic detector
     (``textstats.detect_lang``) evaluated against the fixture's

@@ -1203,3 +1203,33 @@ def test_leakage_safe_splits_neardups_never_straddle(spark):
     assert got[4] == (4, "train")
     assert got[5] == (4, "train")  # would be "test" if hashed on doc_id
     assert got[3] == (3, "test")
+
+
+def test_audio_pcm_stats_matches_python_replay(spark):
+    """audio_pcm_stats through the real RIFF decode path equals a
+    direct python computation on the same samples (the WAV twin of the
+    aHash known-pattern test)."""
+    import math
+
+    from gcp_cloudsql_airflow_bigquery_spark.operators import multimodal
+
+    ids = spark.range(12).selectExpr("id AS doc_id")
+    media = multimodal.attach_codec_media(ids)
+    got = {
+        r.media_id: r
+        for r in multimodal.audio_pcm_stats(media).collect()
+    }
+    audio_ids = [i for i in range(12) if i % 3 == 1]
+    assert sorted(got) == audio_ids
+    for mid in audio_ids:
+        xs = [((mid * 2654435761 + i * 40503) % 65536) - 32768 for i in range(64)]
+        r = got[mid]
+        assert r.rate == 16000 and r.n_samples == 64
+        assert r.sum_samples == sum(xs)
+        assert r.sum_sq == sum(x * x for x in xs)
+        assert r.peak == max(abs(x) for x in xs)
+        assert r.zero_crossings == sum(
+            1 for i in range(1, 64) if (xs[i - 1] < 0) != (xs[i] < 0)
+        )
+        assert (r.smin, r.smax) == (min(xs), max(xs))
+        assert r.rms == math.sqrt(sum(x * x for x in xs) / 64)
