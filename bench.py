@@ -218,6 +218,19 @@ HEADLINE = [
     ("nation_weighted_median_price", advanced.QUERIES),
     # r8 wave 6: Laspeyres price index (fixed base-month basket)
     ("part_price_index", advanced.QUERIES),
+    # r9 wave 1: second registered stream (stateful dedup) and the
+    # WAV-path oracle-paired signal statistics
+    ("events_dedup_streamed", events.QUERIES),
+    ("media_audio_stats", llmdata.QUERIES),
+    # r9 wave 2: stream-stream join registered stream, behavioral
+    # entropy, per-brand correlation, EWMA forecast baseline,
+    # hash-stratified sampling census, IVF cell-balance census
+    ("events_attribution_streamed", events.QUERIES),
+    ("events_user_entropy", events.QUERIES),
+    ("brand_price_qty_corr", advanced.QUERIES),
+    ("events_ewma_daily", events.QUERIES),
+    ("events_stratified_sample", events.QUERIES),
+    ("embedding_cluster_balance", llmdata.QUERIES),
 ]
 
 

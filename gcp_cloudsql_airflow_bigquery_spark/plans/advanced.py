@@ -2969,3 +2969,85 @@ FROM j GROUP BY 1
 
 QUERIES["part_price_index"] = part_price_index
 ORACLE["part_price_index"] = _PRICE_INDEX_SQL
+
+
+def brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per part brand
+    (new r9) — the bivariate-association member of the robust-stats
+    family (Theil-Sen slope, Mann-Kendall trend, χ² independence), the
+    classic "do bigger orders move on price" merchandising diagnostic.
+
+    Cross-engine exactness: the five moment sums (Σx, Σy, Σxy, Σx²,
+    Σy²) are computed in DECIMAL from decimal-cast inputs — exact and
+    partial-aggregation-order independent — and the final correlation
+    is one identically-ordered double expression on both sides, so the
+    only FP ops are the same correctly-rounded divisions/sqrt.
+
+    Scale shape: one fact-scan aggregation shuffled on the join key
+    plus the brand groupBy; part joins WITHOUT a broadcast hint
+    (SF-scaling table — r9 broadcast policy), Catalyst/AQE picks the
+    strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # narrow decimals so the cross-products fit DuckDB's
+    # non-widening multiply: qty <= 50 (9,2), price 2dp (12,2);
+    # products are (22,4) — exact at any SF reachable by the sums
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(corr, 6).alias("price_qty_corr"),
+    )
+
+
+_BRAND_CORR_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(9,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+         SUM(CAST(l_quantity AS DECIMAL(9,2))
+             * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_items,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS price_qty_corr
+FROM m
+"""
+
+QUERIES["brand_price_qty_corr"] = brand_price_qty_corr
+ORACLE["brand_price_qty_corr"] = _BRAND_CORR_SQL

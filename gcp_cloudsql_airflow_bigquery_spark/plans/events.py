@@ -1978,6 +1978,28 @@ QUERIES["events_dedup_streamed"] = streams.events_dedup_streamed
 ORACLE["events_dedup_streamed"] = _DEDUP_STREAMED_SQL
 
 
+# Registered end-to-end stream #3 (r9): the stream-stream join shape.
+# Inner time-bounded joins emit matches as found, so availableNow over
+# a static fixture equals the batch join exactly.
+_ATTRIBUTION_STREAMED_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+QUERIES["events_attribution_streamed"] = streams.events_attribution_streamed
+ORACLE["events_attribution_streamed"] = _ATTRIBUTION_STREAMED_SQL
+
+
 def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential recency-weighted engagement (new r8): per-user
     ``sum(value * 0.5^(age_days/30))`` with a 30-day half-life anchored
@@ -2429,3 +2451,243 @@ FROM final
 
 QUERIES["events_weekday_chi2"] = events_weekday_chi2
 ORACLE["events_weekday_chi2"] = _WEEKDAY_CHI2_SQL
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user (new r9): Shannon entropy (nats)
+    of each user's event-type distribution plus the normalized form
+    (entropy / ln(n_types)) — the standard engagement-breadth feature
+    separating single-action accounts from diverse ones, and the
+    per-ENTITY member of the information family (KL novelty, PSI drift,
+    weekday χ² are corpus-level).
+
+    Scale shape: one (user, type) count aggregation off the fact scan,
+    a user-partitioned window for the exact-long totals, then a per-user
+    agg — two key-local shuffles on user_id, nothing corpus-quadratic.
+    Per-term ``-p·ln p`` values are DECIMAL-cast before summing (the
+    BM25/PRF order-independence convention); the flag-free output
+    rounds both statistics to 6 decimals."""
+    from pyspark.sql import Window
+
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id")
+    base = cnt.withColumn("n", F.sum("c").over(w)).withColumn(
+        "n_types", F.count(F.lit(1)).over(w)
+    )
+    p = F.col("c") / F.col("n")
+    term = (-p * F.log(p)).cast("decimal(28,12)")
+    out = base.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("n_types").cast("long").alias("n_types"),
+        F.sum(term).cast("double").alias("h"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round("h", 6).alias("entropy"),
+        F.when(
+            F.col("n_types") > 1,
+            F.round(F.col("h") / F.log(F.col("n_types").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+_USER_ENTROPY_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT user_id, c,
+         SUM(c) OVER (PARTITION BY user_id) AS n,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_types
+  FROM cnt
+),
+agg AS (
+  SELECT user_id,
+         MAX(n) AS n_events,
+         MAX(n_types) AS n_types,
+         CAST(SUM(CAST(-(c * 1.0 / n) * LN(c * 1.0 / n)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS h
+  FROM base GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       ROUND(h, 6) AS entropy,
+       CASE WHEN n_types > 1 THEN ROUND(h / LN(CAST(n_types AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM agg
+"""
+
+QUERIES["events_user_entropy"] = events_user_entropy
+ORACLE["events_user_entropy"] = _USER_ENTROPY_SQL
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    type (new r9), evaluated at the last fixture day — simple
+    exponential smoothing ``s_t = α·x_t + (1-α)·s_(t-1)`` (α = 0.3,
+    s_1 = x_1) in its CLOSED FORM, so the recurrence is one weighted
+    window sum instead of an iterative pass: the forecasting-baseline
+    member of the trend family (Theil-Sen slope, Mann-Kendall,
+    changepoint CUSUM), and the denominator of the standard
+    "today vs smoothed history" burst ratio emitted alongside.
+
+    Scale shape: one fact-sized (type, day) count aggregation; the
+    closed-form sum is LINEAR in days (each day contributes one term
+    to its type's last-day anchor — no pair frame), keyed on the
+    bounded type×calendar grain.  ``POWER``-weighted terms are
+    DECIMAL-cast before summing (the events_decay_value parity
+    pattern)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    idx = daily.withColumn("t", F.row_number().over(w)).withColumn(
+        "tmax", F.max("t").over(wall)
+    )
+    weight = F.pow(F.lit(0.7), (F.col("tmax") - F.col("t")).cast("double"))
+    term = (
+        F.when(F.col("t") == 1, weight * F.col("x"))
+        .otherwise(F.lit(0.3) * weight * F.col("x"))
+        .cast("decimal(28,12)")
+    )
+    out = idx.groupBy("event_type").agg(
+        F.max("tmax").cast("long").alias("n_days"),
+        F.sum(term).cast("double").alias("s"),
+        F.max(F.when(F.col("t") == F.col("tmax"), F.col("x"))).cast("long").alias("last_count"),
+        F.max("day").alias("last_day"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        "last_count",
+        F.round("s", 6).alias("ewma"),
+        F.round(F.col("last_count") / F.col("s"), 6).alias("burst_ratio"),
+    )
+
+
+_EWMA_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS tmax
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         MAX(tmax) AS n_days,
+         CAST(SUM(CAST(CASE WHEN t = 1
+                            THEN POWER(0.7, CAST(tmax - t AS DOUBLE)) * x
+                            ELSE 0.3 * POWER(0.7, CAST(tmax - t AS DOUBLE)) * x
+                       END AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         MAX(CASE WHEN t = tmax THEN x END) AS last_count,
+         MAX(day) AS last_day
+  FROM idx GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       last_day,
+       CAST(last_count AS BIGINT) AS last_count,
+       ROUND(s, 6) AS ewma,
+       ROUND(last_count / s, 6) AS burst_ratio
+FROM agg
+"""
+
+QUERIES["events_ewma_daily"] = events_ewma_daily
+ORACLE["events_ewma_daily"] = _EWMA_DAILY_SQL
+
+
+# Per-type sampling rates (percent kept): rare/valuable types kept
+# whole, high-volume types thinned — the standard class-balanced
+# downsample before training.  One dict generates BOTH sides.
+_STRATA_RATES = {"view": 10, "click": 20, "error": 50, "purchase": 80, "signup": 100}
+
+
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified downsampling census (new r9):
+    keep an event iff ``md5(event_id) mod 100 < rate(event_type)`` —
+    membership is a pure function of the id (the doc_kfold_assignment
+    convention), so the sample is STABLE under corpus growth,
+    reproducible on any engine, and needs no RNG state.  Emits the
+    per-stratum census: totals, kept counts, decimal-exact kept value,
+    and the realized rate against the target.
+
+    Scale shape: one fact scan + one bounded groupBy on event_type —
+    the filter is a pure projection expression (whole-stage codegen,
+    no shuffle before the 5-group agg).  Unknown types default to
+    keep-all (rate 100), the safe bias for a training sample."""
+    rate = None
+    for k, v in _STRATA_RATES.items():
+        cond = F.col("event_type") == k
+        rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
+    rate = rate.otherwise(F.lit(100))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    ev = _events(spark, sf_dir).withColumn("keep", bucket < rate).withColumn(
+        "target_rate", rate
+    )
+    return ev.groupBy("event_type").agg(
+        F.max("target_rate").cast("long").alias("target_pct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(
+                F.when(F.col("keep"), F.col("value"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(18,6)")
+            ).cast("double"),
+            4,
+        ).alias("kept_value"),
+        F.round(
+            F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("realized_rate"),
+    )
+
+
+_STRATIFIED_SQL = """
+WITH ev AS (
+  SELECT event_type, value,
+         (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::UBIGINT %% 100)
+           < CASE event_type {cases} ELSE 100 END AS keep,
+         CASE event_type {cases} ELSE 100 END AS target_rate
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(target_rate) AS BIGINT) AS target_pct,
+       COUNT(*)::BIGINT AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(CASE WHEN keep THEN value ELSE 0.0 END
+                           AS DECIMAL(18,6))) AS DOUBLE), 4) AS kept_value,
+       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS realized_rate
+FROM ev
+GROUP BY 1
+""".replace("%%", "%").format(
+    cases=" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+)
+
+QUERIES["events_stratified_sample"] = events_stratified_sample
+ORACLE["events_stratified_sample"] = _STRATIFIED_SQL

@@ -3593,3 +3593,63 @@ FROM cm JOIN tot ON cm.lang = tot.lang
 
 QUERIES["doc_lang_confusion"] = doc_lang_confusion
 ORACLE["doc_lang_confusion"] = _LANG_CONFUSION_SQL
+
+
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell census (new r9): the deterministic spherical k-means
+    codebook (``similarity.ivf_build`` — the exact machinery behind
+    knn_ivf / SemDeDup) assigned over the corpus, emitting per-cell
+    sizes and shares.  This is the operational diagnostic that decides
+    whether an IVF index is USABLE at scale: probe cost is bounded by
+    the largest cells, and a skewed census means re-training the
+    codebook or splitting hot cells — the ANN-family twin of the
+    join-key skew report.
+
+    Scale shape: codebook training is the documented amortized-path
+    trade-off shared with knn_ivf; assignment is one broadcast-codebook
+    map pass; the census is a k-row aggregate with a window share."""
+    emb = _emb(spark, sf_dir)
+    centroids = similarity.ivf_build(emb, n_centroids=16, iters=2)
+    assigned = emb.select(
+        similarity.ivf_assign(
+            similarity._normalize(similarity._as_double("embedding")),
+            centroids,
+        ).alias("cluster")
+    )
+    census = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    total = census.agg(F.sum("n_vecs").alias("total"))
+    return (
+        census.crossJoin(F.broadcast(total))  # 1-row scalar, stays in-plan
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_CLUSTER_BALANCE_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+assign AS MATERIALIZED (
+  SELECT id, cluster FROM (
+    SELECT vn.id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS rn
+    FROM vn, c2 c) WHERE rn = 1
+),
+census AS (SELECT cluster, COUNT(*) AS n_vecs FROM assign GROUP BY 1),
+nn AS (SELECT SUM(n_vecs) AS total FROM census)
+SELECT CAST(c.cluster AS INTEGER) AS cluster,
+       CAST(c.n_vecs AS BIGINT) AS n_vecs,
+       ROUND(c.n_vecs * 1.0 / nn.total, 6) AS share
+FROM census c CROSS JOIN nn
+ORDER BY cluster
+"""
+
+QUERIES["embedding_cluster_balance"] = embedding_cluster_balance
+ORACLE["embedding_cluster_balance"] = _CLUSTER_BALANCE_SQL

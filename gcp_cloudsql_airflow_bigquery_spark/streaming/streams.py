@@ -805,3 +805,34 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REGISTERED end-to-end streaming query (r9): the
+    STREAM-STREAM JOIN shape — click→purchase attribution via
+    :func:`attribution_join_stream` driven with ``availableNow`` into a
+    memory sink, completing the driver-checked streaming family
+    (tumbling agg → stateful dedup → time-bounded two-sided join).
+    Inner-join matches are emitted as found, so the append-mode result
+    over a static fixture equals the batch time-bounded join the
+    oracle runs — set-semantics output, order-insensitive hash.
+
+    Scale shape: per-side state ≈ one watermark horizon of the two
+    FILTERED event types (clicks/purchases), not the full stream; the
+    interval bound is what lets Spark expire buffered rows.  Swap the
+    file source for Kafka; the join is unchanged."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    joined = attribution_join_stream(stream, within="30 minutes")
+    name = f"events_attribution_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
