@@ -231,6 +231,11 @@ HEADLINE = [
     ("events_ewma_daily", events.QUERIES),
     ("events_stratified_sample", events.QUERIES),
     ("embedding_cluster_balance", llmdata.QUERIES),
+    # r9 wave 3: Markov stationary distribution, rank movers, and the
+    # classical trend/seasonal decomposition
+    ("events_markov_stationary", events.QUERIES),
+    ("brand_monthly_rank_moves", advanced.QUERIES),
+    ("events_daily_decomposition", events.QUERIES),
 ]
 
 

@@ -3051,3 +3051,86 @@ FROM m
 
 QUERIES["brand_price_qty_corr"] = brand_price_qty_corr
 ORACLE["brand_price_qty_corr"] = _BRAND_CORR_SQL
+
+
+def brand_monthly_rank_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers leaderboard (new r9): part brands ranked by
+    monthly revenue with their rank movement vs the previous month —
+    the standard merchandising "what's climbing" report, and the
+    rank-dynamics member of the window family (dense_rank over a
+    bounded grain + LAG across the time axis).
+
+    Cross-engine exactness: revenue is the decimal-cast sum; ranks are
+    integers off the ROUNDED revenue (ties broken by brand) so a
+    boundary ulp can't flip an ordering the oracle doesn't see.
+
+    Scale shape: one fact-sized (brand, month) aggregation; everything
+    after runs on the bounded brand×calendar grain (two windows on the
+    same partitioning)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("month", "l_shipdate").cast("date").alias("mo"),
+        )
+        .agg(
+            # round the EXACT decimal, then cast: a half-cent tie on
+            # the double cast rounds differently per engine
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wrank = Window.partitionBy("mo").orderBy(
+        F.col("revenue").desc(), F.col("p_brand")
+    )
+    wlag = Window.partitionBy("p_brand").orderBy("mo")
+    ranked = rev.withColumn("rnk", F.rank().over(wrank)).withColumn(
+        "prev_rnk", F.lag("rnk").over(wlag)
+    )
+    return ranked.select(
+        "mo",
+        "p_brand",
+        "revenue",
+        F.col("rnk").cast("long").alias("rnk"),
+        (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_gain"),
+    )
+
+
+_RANK_MOVES_SQL = """
+WITH rev AS (
+  SELECT p_brand,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+r1 AS (
+  SELECT mo, p_brand, revenue,
+         RANK() OVER (PARTITION BY mo
+                      ORDER BY revenue DESC, p_brand) AS rnk
+  FROM rev
+),
+ranked AS (
+  SELECT mo, p_brand, revenue, rnk,
+         LAG(rnk) OVER (PARTITION BY p_brand ORDER BY mo) AS prev_rnk
+  FROM r1
+)
+SELECT mo, p_brand, revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(prev_rnk - rnk AS BIGINT) AS rank_gain
+FROM ranked
+"""
+
+QUERIES["brand_monthly_rank_moves"] = brand_monthly_rank_moves
+ORACLE["brand_monthly_rank_moves"] = _RANK_MOVES_SQL

@@ -2691,3 +2691,208 @@ GROUP BY 1
 
 QUERIES["events_stratified_sample"] = events_stratified_sample
 ORACLE["events_stratified_sample"] = _STRATIFIED_SQL
+
+
+_MARKOV_ROUNDS = 12
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (new r9): where does the behavior process spend its time in the
+    long run?  The long-horizon companion of
+    ``events_transition_matrix`` (one step) and
+    ``events_transition_conformance`` (rule violations): 12 unrolled
+    power-iteration rounds ``π ← πP`` from the uniform start over the
+    observed from-states — fixed-round deterministic, the
+    BPE/Lloyd-unroll convention, so the oracle replays the exact same
+    arithmetic whether or not the chain has fully mixed.
+
+    Cross-engine exactness: P entries are double quotients of exact
+    longs; each round's ``π_i·p_ij`` products are DECIMAL-cast before
+    the exact sum (order-independent), and the decimal→double
+    round-trip per round pins both engines to identical IEEE values.
+
+    Scale shape: one user-keyed LEAD shuffle over the fact scan; the
+    chain itself is a |types|² frame, so the 12 rounds are model-sized
+    joins (the per-merge-BPE-round shape), nothing corpus-scale."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    cnt = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowsum = cnt.groupBy("from_type").agg(F.sum("n").alias("rn"))
+    P = (
+        cnt.join(rowsum, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            (F.col("n") / F.col("rn")).alias("p"),
+        )
+        .localCheckpoint(eager=True)  # model-sized (|types|²); pins the
+        # 12-round loop's shared input instead of re-deriving the LEAD
+        # shuffle per round
+    )
+    states = P.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()  # model-sized driver action (|types|)
+    pi = states.select("state", F.lit(1.0 / k).alias("pi"))
+    for _ in range(_MARKOV_ROUNDS):
+        pi = (
+            P.join(pi, P.from_type == pi.state)
+            .select(
+                F.col("to_type").alias("state"),
+                (F.col("pi") * F.col("p")).cast("decimal(28,15)").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("double").alias("pi"))
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.round("pi", 6).alias("stationary"),
+    ).orderBy("event_type")
+
+
+def _markov_sql() -> str:
+    head = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('ms', ts), event_id)
+           AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+rowsum AS (SELECT from_type, SUM(n) AS rn FROM cnt GROUP BY 1),
+P AS MATERIALIZED (
+  SELECT c.from_type, c.to_type, c.n / CAST(r.rn AS DOUBLE) AS p
+  FROM cnt c JOIN rowsum r USING (from_type)
+),
+states AS (SELECT DISTINCT from_type AS state FROM P),
+kk AS (SELECT COUNT(*) AS k FROM states),
+pi0 AS (SELECT state, 1.0 / kk.k AS pi FROM states, kk)"""
+    rounds = [
+        f""",
+pi{i} AS MATERIALIZED (
+  SELECT P.to_type AS state,
+         CAST(SUM(CAST(pi.pi * P.p AS DECIMAL(28,15))) AS DOUBLE) AS pi
+  FROM P JOIN pi{i - 1} pi ON P.from_type = pi.state
+  GROUP BY 1
+)"""
+        for i in range(1, _MARKOV_ROUNDS + 1)
+    ]
+    tail = f"""
+SELECT state AS event_type, ROUND(pi, 6) AS stationary
+FROM pi{_MARKOV_ROUNDS} ORDER BY 1
+"""
+    return head + "".join(rounds) + tail
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+ORACLE["events_markov_stationary"] = _markov_sql()
+
+
+def events_daily_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily event counts (new r9):
+    trend = 7-day centered moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series — the textbook
+    trend/seasonal split that turns the raw series the anomaly/CUSUM
+    queries consume into interpretable components.  Emits the
+    per-(type, weekday) seasonal index with its support.
+
+    Cross-engine exactness: the series is densified over the global
+    day span (zeros included, the seasonal_anomaly convention) so both
+    engines see identical windows; the centered window sums EXACT
+    LONGS (safe vs DuckDB's segment-tree double summation) and the
+    detrended terms are DECIMAL-cast before the weekday mean.
+
+    Scale shape: one fact-sized (type, day) count; the dense grid,
+    window, and weekday agg all live on the bounded type×calendar
+    grain."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(days)
+    x = grid.join(daily, ["event_type", "day"], "left").fillna(0, ["x"])
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = (
+        x.withColumn("wn", F.count(F.lit(1)).over(w7))
+        .withColumn("ws", F.sum("x").over(w7))
+        .filter(F.col("wn") == 7)
+        .withColumn("trend", F.col("ws") / F.lit(7.0))
+    )
+    det = (F.col("x") - F.col("trend")).cast("decimal(28,12)")
+    return (
+        t.groupBy(
+            "event_type",
+            (F.dayofweek("day")).cast("int").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                (F.sum(det) / F.count(F.lit(1))).cast("double"), 4
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_DAILY_DECOMP_SQL = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events
+           WHERE ts IS NOT NULL),
+daily AS (SELECT event_type, day, COUNT(*) AS x FROM e GROUP BY 1, 2),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         FROM bounds),
+grid AS (SELECT t.event_type, days.day
+         FROM (SELECT DISTINCT event_type FROM daily) t, days),
+x AS (
+  SELECT g.event_type, g.day, COALESCE(d.x, 0) AS x
+  FROM grid g LEFT JOIN daily d
+    ON g.event_type = d.event_type AND g.day = d.day
+),
+t AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER w AS wn,
+         SUM(x) OVER w AS ws
+  FROM x
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type,
+       CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+       COUNT(*)::BIGINT AS n_days,
+       ROUND(CAST(SUM(CAST(x - ws / 7.0 AS DECIMAL(28,12)))
+                  / COUNT(*) AS DOUBLE), 4) AS seasonal
+FROM t WHERE wn = 7
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["events_daily_decomposition"] = events_daily_decomposition
+ORACLE["events_daily_decomposition"] = _DAILY_DECOMP_SQL

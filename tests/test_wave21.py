@@ -70,3 +70,49 @@ def test_stratified_sample_is_deterministic_and_rate_shaped(spark):
         assert 0 <= a[et].n_kept <= a[et].n_total
         if a[et].target_pct == 100:
             assert a[et].n_kept == a[et].n_total
+
+
+def test_markov_stationary_is_fixed_point_and_sums_to_one(spark):
+    """After 12 rounds the distribution should (a) sum to ~1 and (b) be
+    near-invariant under one more application of P — the defining
+    property, checked against an independent python replay of the
+    chain."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        events_markov_stationary,
+        events_transition_matrix,
+    )
+
+    pi = {
+        r.event_type: r.stationary
+        for r in events_markov_stationary(spark, SF_DIR).collect()
+    }
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    P: dict[tuple[str, str], float] = {}
+    for r in events_transition_matrix(spark, SF_DIR).collect():
+        P[(r.from_type, r.to_type)] = r.n
+    rowsum: dict[str, float] = {}
+    for (a, _), n in P.items():
+        rowsum[a] = rowsum.get(a, 0) + n
+    nxt = {s: 0.0 for s in pi}
+    for (a, b), n in P.items():
+        nxt[b] += pi[a] * (n / rowsum[a])
+    for s in pi:
+        assert abs(nxt[s] - pi[s]) < 5e-3, (s, nxt[s], pi[s])
+
+
+def test_daily_decomposition_seasonal_sums_near_zero(spark):
+    """Additive seasonal indices over a full week of a detrended series
+    must roughly cancel per type (the decomposition identity)."""
+    from gcp_cloudsql_airflow_bigquery_spark.plans.events import (
+        events_daily_decomposition,
+    )
+
+    rows = events_daily_decomposition(spark, SF_DIR).collect()
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    for et, rs in per_type.items():
+        assert len(rs) == 7, et  # every weekday present on the dense grid
+        mean_abs = sum(abs(r.seasonal) for r in rs) / 7
+        weighted = sum(r.seasonal * r.n_days for r in rs) / sum(r.n_days for r in rs)
+        assert abs(weighted) <= max(0.2, 0.2 * mean_abs), (et, weighted)
