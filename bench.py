@@ -236,6 +236,7 @@ HEADLINE = [
     ("events_markov_stationary", events.QUERIES),
     ("brand_monthly_rank_moves", advanced.QUERIES),
     ("events_daily_decomposition", events.QUERIES),
+    ("nation_supplier_hhi", advanced.QUERIES),
 ]
 
 

@@ -3134,3 +3134,89 @@ FROM ranked
 
 QUERIES["brand_monthly_rank_moves"] = brand_monthly_rank_moves
 ORACLE["brand_monthly_rank_moves"] = _RANK_MOVES_SQL
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (new r9): sum of squared revenue shares across a nation's
+    suppliers — the market-concentration member of the distribution
+    family (Gini = inequality, HHI = concentration), with the standard
+    DOJ bands flagged off the ROUNDED statistic.
+
+    Cross-engine exactness: per-supplier revenue is an exact decimal
+    sum; shares are double quotients of identical decimals cast to
+    double, and the share-squared terms are DECIMAL-cast before the
+    final sum (order-independent).
+
+    Scale shape: one fact-scan (supplier) aggregation shuffled on the
+    join key, then everything lives on the supplier×nation grain;
+    supplier and nation join unhinted per the r9 broadcast policy
+    (nation is under threshold and auto-broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("rev")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("rev").alias("tot"))
+    share = rev.join(tot, "n_name").select(
+        "n_name",
+        (F.col("rev").cast("double") / F.col("tot").cast("double")).alias("sh"),
+    )
+    hhi = F.round(
+        F.sum((F.col("sh") * F.col("sh")).cast("decimal(28,15)")).cast("double"),
+        6,
+    )
+    return (
+        share.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            hhi.alias("hhi"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("hhi") < 0.15, F.lit("unconcentrated"))
+            .when(F.col("hhi") < 0.25, F.lit("moderate"))
+            .otherwise(F.lit("high")),
+        )
+        .orderBy("n_name")
+    )
+
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT n_name, SUM(rev) AS tot FROM rev GROUP BY 1),
+share AS (
+  SELECT rev.n_name,
+         CAST(rev.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS sh
+  FROM rev JOIN tot t ON rev.n_name = t.n_name
+),
+agg AS (
+  SELECT n_name,
+         COUNT(*)::BIGINT AS n_suppliers,
+         ROUND(CAST(SUM(CAST(sh * sh AS DECIMAL(28,15))) AS DOUBLE), 6) AS hhi
+  FROM share GROUP BY 1
+)
+SELECT n_name, n_suppliers, hhi,
+       CASE WHEN hhi < 0.15 THEN 'unconcentrated'
+            WHEN hhi < 0.25 THEN 'moderate'
+            ELSE 'high' END AS band
+FROM agg ORDER BY n_name
+"""
+
+QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
+ORACLE["nation_supplier_hhi"] = _HHI_SQL
