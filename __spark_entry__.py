@@ -104,8 +104,16 @@ _MODULES = (
 # empty), deliberately including the two bench-watch queries
 # doc_bloom_incremental_new and doc_dedup_prefix_jaccard.
 #
-# ROUND 10 PLAN: (a) any r9-wave additions that land after this window
-# freezes (same first-signal-priority rule as r8/r9), then (b) the
+# ROUND 10 PLAN: (a) the 12 r9-wave additions (landed after this
+# window froze; every one oracle-paired and replica-green at
+# sf0.001+sf0.01, full-registry pass mid-r9): wave 1
+# events_dedup_streamed (registered stream #2, stateful dedup),
+# media_audio_stats (the WAV path's first oracle pair); wave 2
+# events_attribution_streamed (registered stream #3, stream-stream
+# join), events_user_entropy, brand_price_qty_corr, events_ewma_daily,
+# events_stratified_sample, embedding_cluster_balance; wave 3
+# events_markov_stationary, brand_monthly_rank_moves,
+# events_daily_decomposition, nation_supplier_hhi — then (b) the
 # remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
 # doc_token_stats, embedding_centroids, embedding_covariance_matrix,
 # embedding_neardup, embedding_quantized, event_heavy_hitters,

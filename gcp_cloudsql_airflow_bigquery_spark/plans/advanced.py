@@ -3152,6 +3152,8 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key, then everything lives on the supplier×nation grain;
     supplier and nation join unhinted per the r9 broadcast policy
     (nation is under threshold and auto-broadcasts)."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -3165,10 +3167,16 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
-    tot = rev.groupBy("n_name").agg(F.sum("rev").alias("tot"))
-    share = rev.join(tot, "n_name").select(
+    # single-scan: the nation total is a window over the supplier-grain
+    # frame (exact DECIMAL window sum — engine-safe), not an agg⋈agg
+    # self-join that would statically re-derive the fact scan
+    wn = Window.partitionBy("n_name")
+    share = rev.select(
         "n_name",
-        (F.col("rev").cast("double") / F.col("tot").cast("double")).alias("sh"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wn).cast("double")
+        ).alias("sh"),
     )
     hhi = F.round(
         F.sum((F.col("sh") * F.col("sh")).cast("decimal(28,15)")).cast("double"),
@@ -3199,11 +3207,11 @@ WITH rev AS (
   JOIN nation ON s_nationkey = n_nationkey
   GROUP BY 1, 2
 ),
-tot AS (SELECT n_name, SUM(rev) AS tot FROM rev GROUP BY 1),
 share AS (
-  SELECT rev.n_name,
-         CAST(rev.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS sh
-  FROM rev JOIN tot t ON rev.n_name = t.n_name
+  SELECT n_name,
+         CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS sh
+  FROM rev
 ),
 agg AS (
   SELECT n_name,
