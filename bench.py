@@ -237,6 +237,10 @@ HEADLINE = [
     ("brand_monthly_rank_moves", advanced.QUERIES),
     ("events_daily_decomposition", events.QUERIES),
     ("nation_supplier_hhi", advanced.QUERIES),
+    # r9 wave 4: context-window truncation census and the Pareto 80%
+    # cohort (global_cumsum scale path)
+    ("doc_context_fit_report", curation.QUERIES),
+    ("events_power_users_pareto", events.QUERIES),
 ]
 
 

@@ -469,3 +469,71 @@ WHERE cum_cost <= 20000
 
 QUERIES["doc_token_budget_selection"] = doc_token_budget_selection
 ORACLE["doc_token_budget_selection"] = _BUDGET_SELECT_SQL
+
+
+_CONTEXT_WINDOW = 256
+
+
+def doc_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fitting census (new r9): per source, how much of
+    the corpus survives a ``_CONTEXT_WINDOW``-token cap — overflow doc
+    counts and the truncated token mass — the sizing report every
+    sequence-packing / training-mix step starts from (what fraction of
+    tokens would a hard truncation throw away, and from which
+    sources?).
+
+    Scale shape: pure-projection token counts (whitespace split stays
+    in codegen) folded by one bounded per-source aggregation; exact
+    long token arithmetic, ratios rounded."""
+    from ..operators import textstats
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = textstats.token_count(F.col("text"))
+    w = F.lit(_CONTEXT_WINDOW)
+    base = d.select(
+        "source",
+        n_tok.alias("n_tokens"),
+        (n_tok > w).cast("long").alias("overflow"),
+        F.greatest(n_tok - w, F.lit(0)).cast("long").alias("truncated"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("overflow").alias("n_overflow"),
+            F.round(F.sum("overflow") / F.count(F.lit(1)), 6).alias(
+                "overflow_rate"
+            ),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("truncated").alias("tokens_truncated"),
+            F.round(
+                F.sum("truncated") / F.sum("n_tokens"), 6
+            ).alias("truncated_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_CONTEXT_FIT_SQL = f"""
+WITH base AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens > {_CONTEXT_WINDOW} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow,
+       ROUND(SUM(CASE WHEN n_tokens > {_CONTEXT_WINDOW} THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS overflow_rate,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(GREATEST(n_tokens - {_CONTEXT_WINDOW}, 0)) AS BIGINT)
+         AS tokens_truncated,
+       ROUND(SUM(GREATEST(n_tokens - {_CONTEXT_WINDOW}, 0)) * 1.0
+             / SUM(n_tokens), 6) AS truncated_frac
+FROM base
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_context_fit_report"] = doc_context_fit_report
+ORACLE["doc_context_fit_report"] = _CONTEXT_FIT_SQL

@@ -2896,3 +2896,87 @@ ORDER BY 1, 2
 
 QUERIES["events_daily_decomposition"] = events_daily_decomposition
 ORACLE["events_daily_decomposition"] = _DAILY_DECOMP_SQL
+
+
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of event value (new r9): the smallest user
+    cohort covering ≥80% of total value — the "how top-heavy is the
+    business" companion of ``customer_revenue_gini`` (a coefficient)
+    as an actionable cohort size.  One row: user totals, the 80% head
+    count, its share of the user base, and total value.
+
+    Cross-engine exactness: per-user value is an exact DECIMAL sum
+    scaled to integer MICRO-UNITS, the running sum is exact long
+    arithmetic, and the 80% test is the integer comparison
+    ``5·(cum − v) < 4·total`` — no float anywhere until the final
+    rounded ratios.
+
+    Scale shape: per-user agg (one user_id shuffle), then the running
+    sum via ``operators/curation.global_cumsum`` — the range-
+    partitioned two-phase prefix sum, so NO single-partition window at
+    any corpus size (the orders_open_backlog r8 lesson applied from
+    day one)."""
+    from ..operators import curation as cur_ops
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    cum = cur_ops.global_cumsum(
+        per_user,
+        [F.col("v").desc(), F.col("user_id").asc()],
+        "v",
+        out_col="cum",
+    )
+    tot = per_user.agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    head = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(5 * (F.col("cum") - F.col("v")) < 4 * F.col("total"))
+        .agg(F.count(F.lit(1)).alias("n_users_80pct"))
+    )
+    return head.crossJoin(F.broadcast(tot)).select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_users_80pct").cast("long").alias("n_users_80pct"),
+        F.round(F.col("n_users_80pct") / F.col("n_users"), 6).alias(
+            "user_share_80pct"
+        ),
+        F.round(F.col("total") / F.lit(1e6), 4).alias("total_value"),
+    )
+
+
+_PARETO_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT user_id, v,
+         SUM(v) OVER (ORDER BY v DESC, user_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_user
+),
+tot AS (SELECT SUM(v) AS total, COUNT(*) AS n_users FROM per_user),
+head AS (
+  SELECT COUNT(*) AS n_users_80pct
+  FROM cum, tot WHERE 5 * (cum - v) < 4 * total
+)
+SELECT CAST(tot.n_users AS BIGINT) AS n_users,
+       CAST(head.n_users_80pct AS BIGINT) AS n_users_80pct,
+       ROUND(head.n_users_80pct * 1.0 / tot.n_users, 6) AS user_share_80pct,
+       ROUND(tot.total / 1e6, 4) AS total_value
+FROM head, tot
+"""
+
+QUERIES["events_power_users_pareto"] = events_power_users_pareto
+ORACLE["events_power_users_pareto"] = _PARETO_SQL
