@@ -241,6 +241,9 @@ HEADLINE = [
     # cohort (global_cumsum scale path)
     ("doc_context_fit_report", curation.QUERIES),
     ("events_power_users_pareto", events.QUERIES),
+    # r9 wave 5: registered stream #4 — exactly-once partitioned
+    # file sink (landing-zone shape), landed table rolled up
+    ("events_filesink_pipeline", events.QUERIES),
 ]
 
 

@@ -2000,6 +2000,24 @@ QUERIES["events_attribution_streamed"] = streams.events_attribution_streamed
 ORACLE["events_attribution_streamed"] = _ATTRIBUTION_STREAMED_SQL
 
 
+# Registered end-to-end stream #4 (r9): the exactly-once partitioned
+# file-sink path (the reference landing-zone shape).  The rollup over
+# the landed files equals the batch filter+aggregate.
+_FILESINK_SQL = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE))::BIGINT AS n_days,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events
+WHERE value >= 10.0
+GROUP BY 1
+"""
+
+QUERIES["events_filesink_pipeline"] = streams.events_filesink_pipeline
+ORACLE["events_filesink_pipeline"] = _FILESINK_SQL
+
+
 def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential recency-weighted engagement (new r8): per-user
     ``sum(value * 0.5^(age_days/30))`` with a 30-day half-life anchored

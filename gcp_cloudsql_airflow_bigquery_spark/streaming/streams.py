@@ -181,6 +181,7 @@ def run_to_files(
     fmt: str = "parquet",
     output_mode: str = "append",
     timeout_s: float = 120.0,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Drive a stream with availableNow into a file sink with a
     checkpoint — the production shape of the reference's GCS landing
@@ -193,14 +194,16 @@ def run_to_files(
     scale this is what makes the ingest loop safely re-runnable —
     the batch pipeline gets the same property from overwrite/snapshot
     idempotence."""
-    q = (
+    writer = (
         stream.writeStream.format(fmt)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
@@ -836,3 +839,67 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_attribution_streamed_{next(_MEMSINK_SEQ)}"
     run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+def events_filesink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REGISTERED end-to-end streaming query (r9): the
+    EXACTLY-ONCE FILE-SINK path — the streaming analog of the
+    reference's GCS landing zone (NDJSON chunks per run,
+    ``copy_cloudsql_to_bigquery_v2.py:88``), modernized to
+    day-partitioned parquet: file source → filter/projection →
+    checkpointed partitioned file sink driven with ``availableNow`` →
+    the landed table read back and rolled up.  Completes the
+    driver-checked streaming family: windowed agg, stateful dedup,
+    stream-stream join, and now the transactional sink.
+
+    The checkpoint is the exactly-once contract (a restarted query
+    neither loses nor re-emits rows — unit-proved in
+    tests/test_streaming.py::test_stream_checkpoint_recovery); the
+    rollup over the landed files therefore equals the batch
+    filter+aggregate the oracle runs.
+
+    Scale shape: narrow codegen filter/projection, day-partitioned
+    append (the snapshot/pruning layout `pipeline.py` reads back),
+    bounded 5-group rollup; swap source for Kafka and path for object
+    storage unchanged."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    landed = (
+        stream.filter(F.col("value") >= 10.0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.to_date("ts").alias("day"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="events_filesink_")
+    out_dir = os.path.join(base, "landed")
+    run_to_files(
+        landed,
+        out_dir,
+        os.path.join(base, "ckpt"),
+        partition_by=["day"],
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("day").alias("n_days"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
