@@ -244,6 +244,7 @@ HEADLINE = [
     # r9 wave 5: registered stream #4 — exactly-once partitioned
     # file sink (landing-zone shape), landed table rolled up
     ("events_filesink_pipeline", events.QUERIES),
+    ("embedding_quantization_error", llmdata.QUERIES),
 ]
 
 

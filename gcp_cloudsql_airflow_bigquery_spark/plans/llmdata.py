@@ -3653,3 +3653,122 @@ ORDER BY cluster
 
 QUERIES["embedding_cluster_balance"] = embedding_cluster_balance
 ORACLE["embedding_cluster_balance"] = _CLUSTER_BALANCE_SQL
+
+
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization error report (new r9): the precision side of
+    the speed/storage trade ``embedding_quantized`` and ``knn_int8``
+    buy — per norm-band statistics of cosine(full, dequantized) and
+    reconstruction MSE, the diagnostic that decides whether int8 (or
+    PQ) is safe for a given corpus before swapping it into the ANN
+    serving path.
+
+    Cross-engine exactness: quantized ints are integer-exact (the
+    embedding_quantized convention); dequantization, dot products and
+    norms are the SAME left-to-right float64 folds on identical inputs
+    in both engines (the knn_bruteforce parity), per-vector statistics
+    are rounded, and the band means DECIMAL-cast the rounded per-vector
+    values before summing.  Bands are fixed value-range eighths of the
+    corpus-max PEAK AMPLITUDE max|x| (the per-vector quantization-step
+    driver — fixture embeddings are unit-norm, so norm itself is
+    degenerate), via a 1-row broadcast scalar — no global window.
+
+    Scale shape: narrow per-row transforms (zero shuffle) to the
+    per-vector frame, one bounded 8-band aggregation."""
+    emb = _emb(spark, sf_dir)
+    v = similarity._as_double("embedding")
+    q = similarity.quantize_int8(F.col("embedding"))
+    deq = F.zip_with(
+        q.getField("q"),
+        F.array_repeat(q.getField("scale"), F.size(q.getField("q"))),
+        lambda qi, s: qi.cast("double") * s,
+    )
+    d = F.size(F.col("embedding"))
+    per_vec = emb.select(
+        "vec_id",
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("nrm"),
+        F.round(similarity.cosine(v, deq), 6).alias("cos_fd"),
+        F.round(
+            similarity.dot(
+                F.zip_with(v, deq, lambda x, y: x - y),
+                F.zip_with(v, deq, lambda x, y: x - y),
+            )
+            / d,
+            9,
+        ).alias("mse"),
+    )
+    maxn = per_vec.agg(F.max("nrm").alias("maxn"))
+    banded = per_vec.crossJoin(F.broadcast(maxn)).select(
+        F.least(
+            F.floor(F.col("nrm") * 8.0 / F.col("maxn")).cast("int"), F.lit(7)
+        ).alias("band"),
+        "cos_fd",
+        "mse",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                (
+                    F.sum(F.col("cos_fd").cast("decimal(28,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("mean_cos"),
+            F.round(F.min("cos_fd"), 6).alias("min_cos"),
+            F.round(
+                (
+                    F.sum(F.col("mse").cast("decimal(28,15)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                9,
+            ).alias("mean_mse"),
+        )
+        .orderBy("band")
+    )
+
+
+_QUANT_ERROR_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') AS mx
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id, v, mx,
+         CASE WHEN mx = 0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v,
+                     x -> CAST(round(x * 127.0 / mx) AS INT) * (mx / 127.0))
+         END AS deq
+  FROM m
+),
+per_vec AS (
+  SELECT vec_id,
+         mx AS nrm,
+         ROUND(list_dot_product(v, deq)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(deq, deq))), 6) AS cos_fd,
+         ROUND(list_dot_product(
+                 list_transform(list_zip(v, deq), p -> p[1] - p[2]),
+                 list_transform(list_zip(v, deq), p -> p[1] - p[2]))
+               / len(v), 9) AS mse
+  FROM dq
+),
+maxn AS (SELECT MAX(nrm) AS maxn FROM per_vec)
+SELECT LEAST(CAST(FLOOR(p.nrm * 8.0 / maxn.maxn) AS INTEGER), 7) AS band,
+       COUNT(*)::BIGINT AS n_vecs,
+       ROUND(CAST(SUM(CAST(cos_fd AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE), 6)
+         AS mean_cos,
+       ROUND(MIN(cos_fd), 6) AS min_cos,
+       ROUND(CAST(SUM(CAST(mse AS DECIMAL(28,15))) / COUNT(*) AS DOUBLE), 9)
+         AS mean_mse
+FROM per_vec p CROSS JOIN maxn
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["embedding_quantization_error"] = embedding_quantization_error
+ORACLE["embedding_quantization_error"] = _QUANT_ERROR_SQL
