@@ -113,7 +113,11 @@ _MODULES = (
 # join), events_user_entropy, brand_price_qty_corr, events_ewma_daily,
 # events_stratified_sample, embedding_cluster_balance; wave 3
 # events_markov_stationary, brand_monthly_rank_moves,
-# events_daily_decomposition, nation_supplier_hhi — then (b) the
+# events_daily_decomposition, nation_supplier_hhi; wave 4
+# doc_context_fit_report, events_power_users_pareto; wave 5
+# events_filesink_pipeline (registered stream #4, exactly-once
+# partitioned file sink), embedding_quantization_error — 16 queries
+# total, filling 16 of 50 — then (b) the
 # remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
 # doc_token_stats, embedding_centroids, embedding_covariance_matrix,
 # embedding_neardup, embedding_quantized, event_heavy_hitters,
