@@ -116,8 +116,10 @@ _MODULES = (
 # events_daily_decomposition, nation_supplier_hhi; wave 4
 # doc_context_fit_report, events_power_users_pareto; wave 5
 # events_filesink_pipeline (registered stream #4, exactly-once
-# partitioned file sink), embedding_quantization_error — 16 queries
-# total, filling 16 of 50 — then (b) the
+# partitioned file sink), embedding_quantization_error; wave 6
+# events_sessions_streamed (registered stream #5, applyInPandasWithState
+# GroupState sessionization — all five stateful shapes driver-checked)
+# — 17 queries total, filling 17 of 50 — then (b) the
 # remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
 # doc_token_stats, embedding_centroids, embedding_covariance_matrix,
 # embedding_neardup, embedding_quantized, event_heavy_hitters,

@@ -245,6 +245,9 @@ HEADLINE = [
     # file sink (landing-zone shape), landed table rolled up
     ("events_filesink_pipeline", events.QUERIES),
     ("embedding_quantization_error", llmdata.QUERIES),
+    # r9 wave 6: registered stream #5 — custom GroupState
+    # sessionization (applyInPandasWithState), closed sessions only
+    ("events_sessions_streamed", events.QUERIES),
 ]
 
 

@@ -2018,6 +2018,41 @@ QUERIES["events_filesink_pipeline"] = streams.events_filesink_pipeline
 ORACLE["events_filesink_pipeline"] = _FILESINK_SQL
 
 
+# Registered end-to-end stream #5 (r9): the custom GroupState shape.
+# The stream emits CLOSED sessions only, so the oracle is the batch
+# recursive-CTE capped sessionization minus each user's last (open)
+# session.
+_SESSIONS_STREAMED_SQL = """
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, t, t AS sess_start FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN e.t - r.t > 43200000000 OR e.t - r.sess_start > 172800000000
+              THEN e.t ELSE r.sess_start END
+  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+),
+sess AS (
+  SELECT user_id, sess_start AS session_start, MAX(t) AS session_end,
+         COUNT(*) AS n_events
+  FROM r GROUP BY 1, 2
+),
+last AS (SELECT user_id, MAX(session_start) AS last_start FROM sess GROUP BY 1)
+SELECT s.user_id, s.session_start, s.session_end,
+       CAST(s.n_events AS BIGINT) AS n_events
+FROM sess s
+JOIN last l ON s.user_id = l.user_id AND s.session_start <> l.last_start
+"""
+
+QUERIES["events_sessions_streamed"] = streams.events_sessions_streamed
+ORACLE["events_sessions_streamed"] = _SESSIONS_STREAMED_SQL
+
+
 def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential recency-weighted engagement (new r8): per-user
     ``sum(value * 0.5^(age_days/30))`` with a 30-day half-life anchored

@@ -903,3 +903,41 @@ def events_filesink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REGISTERED end-to-end streaming query (r9): the CUSTOM
+    STATEFUL OPERATOR shape — gap+max-duration sessionization in
+    GroupState (:func:`capped_sessions_stream`,
+    ``applyInPandasWithState``) driven with ``availableNow`` into a
+    memory sink.  The stream emits sessions as they CLOSE; each user's
+    final session stays open in state, so the deterministic result is
+    exactly the batch capped sessionization MINUS each user's last
+    session — which is what the oracle's recursive-CTE replay computes.
+    Completes the driver-checked streaming family across all five
+    stateful shapes: windowed agg, watermark dedup, stream-stream
+    join, transactional sink, and custom GroupState.
+
+    Scale shape: one user_id state shuffle; per-key state is the open
+    session triple (12 bytes of ints), emitted rows are closed
+    sessions only.  Same gap/cap as the batch twin
+    (``events_session_capped``: 12 h gap, 48 h cap — both rules fire
+    on the fixture)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    ev = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    sessions = capped_sessions_stream(ev, gap_s=43_200, max_duration_s=172_800)
+    name = f"events_sessions_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(sessions, name, output_mode="append")
+    return spark.table(name)
