@@ -118,8 +118,9 @@ _MODULES = (
 # events_filesink_pipeline (registered stream #4, exactly-once
 # partitioned file sink), embedding_quantization_error; wave 6
 # events_sessions_streamed (registered stream #5, applyInPandasWithState
-# GroupState sessionization — all five stateful shapes driver-checked)
-# — 17 queries total, filling 17 of 50 — then (b) the
+# GroupState sessionization — all five stateful shapes driver-checked);
+# wave 7 media_resized_hex (byte-exact resize replay — third media
+# oracle pair) — 18 queries total, filling 18 of 50 — then (b) the
 # remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
 # doc_token_stats, embedding_centroids, embedding_covariance_matrix,
 # embedding_neardup, embedding_quantized, event_heavy_hitters,

@@ -248,6 +248,8 @@ HEADLINE = [
     # r9 wave 6: registered stream #5 — custom GroupState
     # sessionization (applyInPandasWithState), closed sessions only
     ("events_sessions_streamed", events.QUERIES),
+    # r9 wave 7: resize path oracle-paired end-to-end (byte-exact hex)
+    ("media_resized_hex", llmdata.QUERIES),
 ]
 
 

@@ -3772,3 +3772,51 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["embedding_quantization_error"] = embedding_quantization_error
 ORACLE["embedding_quantization_error"] = _QUANT_ERROR_SQL
+
+
+def media_resized_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize, hash-checked end-to-end (new r9)
+    — the media family's THIRD oracle-paired query, moving the RESIZE
+    path beyond the rows-only signal of ``media_resized``: PPM blobs
+    are encoded, decoded, index-sampled 8×8→4×4 and re-encoded through
+    the real codec path
+    (:func:`..operators.multimodal.resize_media`), and the ENTIRE
+    resized blob is emitted as hex.  Nearest-neighbor sampling is pure
+    integer index arithmetic (``src = out·in_dim // out_dim``), so
+    DuckDB replays encode→decode→resize→re-encode byte-for-byte —
+    header included (a constant ASCII prefix)."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    resized = multimodal.resize_media(media, out_w=4, out_h=4)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.lower(F.hex("content")).alias("content_hex"),
+    ).orderBy("media_id")
+
+
+_RESIZED_HEX_SQL = """
+WITH ids AS (
+  SELECT doc_id AS mid FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT mid, y.range AS y, x.range AS x, c.range AS c,
+         ((x.range * 2) * 31 + (y.range * 2) * 17 + mid * (c.range + 1))
+           % 256 AS v
+  FROM ids, range(4) y, range(4) x, range(3) c
+)
+SELECT mid AS media_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       '50360a3420340a3235350a'
+         || string_agg(lpad(lower(to_hex(v)), 2, '0'), ''
+                       ORDER BY y, x, c) AS content_hex
+FROM px GROUP BY mid ORDER BY media_id
+"""
+
+QUERIES["media_resized_hex"] = media_resized_hex
+ORACLE["media_resized_hex"] = _RESIZED_HEX_SQL
