@@ -104,87 +104,82 @@ _MODULES = (
 # empty), deliberately including the two bench-watch queries
 # doc_bloom_incremental_new and doc_dedup_prefix_jaccard.
 #
-# ROUND 10 PLAN: (a) the 12 r9-wave additions (landed after this
-# window froze; every one oracle-paired and replica-green at
-# sf0.001+sf0.01, full-registry pass mid-r9): wave 1
-# events_dedup_streamed (registered stream #2, stateful dedup),
-# media_audio_stats (the WAV path's first oracle pair); wave 2
-# events_attribution_streamed (registered stream #3, stream-stream
-# join), events_user_entropy, brand_price_qty_corr, events_ewma_daily,
-# events_stratified_sample, embedding_cluster_balance; wave 3
-# events_markov_stationary, brand_monthly_rank_moves,
-# events_daily_decomposition, nation_supplier_hhi; wave 4
-# doc_context_fit_report, events_power_users_pareto; wave 5
-# events_filesink_pipeline (registered stream #4, exactly-once
-# partitioned file sink), embedding_quantization_error; wave 6
-# events_sessions_streamed (registered stream #5, applyInPandasWithState
-# GroupState sessionization — all five stateful shapes driver-checked);
-# wave 7 media_resized_hex (byte-exact resize replay — third media
-# oracle pair) — 18 queries total, filling 18 of 50 — then (b) the
-# remaining 25 r4-stale slots (doc_quality, doc_tfidf_top_term,
-# doc_token_stats, embedding_centroids, embedding_covariance_matrix,
-# embedding_neardup, embedding_quantized, event_heavy_hitters,
-# events_anomaly_zscore, events_cohort_ltv, events_cohort_retention,
-# events_dau_mau_stickiness, events_error_rate_sli, events_funnel,
-# events_funnel_windowed, events_multires_rollup, events_ohlc_hourly,
-# events_session, events_sliding, events_transition_matrix,
-# events_tumbling, events_value_histogram, events_variant_props,
-# knn_bruteforce, knn_int8), then (c) r5 rotation oldest-first.
+# ROUND 10 window (this round, burned exactly as the r9 plan wrote
+# it): (a) the 18 r9-wave additions that landed after the r9 window
+# froze (their first driver signal; every one oracle-paired and both
+# judge- and builder-replica-green at sf0.01) — streams #2–#5, the
+# two new media oracle pairs, and the 12 analytics — then (b) the 24
+# remaining r4-stale oracle-paired slots (last driver signal r4 while
+# catalog/session/shared helpers kept evolving; skipping rows-only
+# doc_dedup_minhash so _WINDOW_ROWS_ONLY stays empty; doc_quality
+# already re-greened in the r9 window), then (c) the first 8 of the
+# r5 rotation oldest-first (CORRECTNESS_r05.json insertion order).
+#
+# ROUND 11 PLAN: (a) any r10-wave additions that land after this
+# window freezes (first driver signal), then (b) the remaining 40
+# r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
+# after q9_product_type_profit: q11_important_stock,
+# q12_shipping_priority_class, q16_parts_supplier_relationship,
+# q17_small_quantity_revenue, q19_discounted_revenue,
+# q20_potential_promotion, q22_global_sales_opportunity,
+# salted_join_nation, salted_agg_hot_keys, topk_per_group_salted,
+# table_profile, dq_orders_report, dq_lineitem_report, then the
+# temporal/curation/search r5 slots), then (c) r6 rotation
+# oldest-first if slots remain.
 _WINDOW = (
-    # (a) the 21 r1-r3-stale slots
-    "agg_basic",
-    "agg_having",
-    "agg_stats",
-    "array_agg_sorted",
-    "between_like_in",
-    "case_expr",
-    "conditional_agg",
-    "join_cross",
-    "join_right",
-    "join_semi",
-    "late_shipment_orders",
-    "nation_trade_volume",
-    "null_funcs",
-    "pivot_status",
-    "set_except",
-    "set_union_distinct",
-    "sort_limit",
-    "split_explode",
-    "sql_in_subquery",
-    "unpivot_part",
-    "window_lag_lead",
-    # (b) the 16 r8-wave additions, landing order (first driver signal)
-    "events_weekly_counts_streamed",
-    "part_adamic_adar",
-    "events_decay_value",
-    "doc_quality_calibration",
-    "search_prf_expansion",
-    "events_ks_drift",
-    "doc_collocations_llr",
-    "customer_t_closeness",
-    "media_image_ahash",
-    "customer_scd2_history",
-    "nation_mann_kendall",
-    "doc_lang_confusion",
-    "events_mad_outliers",
-    "events_weekday_chi2",
-    "nation_weighted_median_price",
-    "part_price_index",
-    # (c) 13 r4-filler slots (oldest-signal-first; incl. both
-    # bench-watch queries)
-    "doc_bloom_incremental_new",
-    "doc_corpus_filter",
-    "doc_dedup_exact",
-    "doc_dedup_keep_canonical",
-    "doc_dedup_ngram_jaccard",
-    "doc_dedup_prefix_jaccard",
-    "doc_dup_clusters",
-    "doc_duplicate_passages",
-    "doc_fingerprint",
-    "doc_langid",
-    "doc_lm_score",
-    "doc_passage_redacted",
-    "doc_quality",
+    # (a) the 18 r9-wave additions, landing order (first driver signal)
+    "events_dedup_streamed",
+    "media_audio_stats",
+    "events_attribution_streamed",
+    "events_user_entropy",
+    "brand_price_qty_corr",
+    "events_ewma_daily",
+    "events_stratified_sample",
+    "embedding_cluster_balance",
+    "events_markov_stationary",
+    "brand_monthly_rank_moves",
+    "events_daily_decomposition",
+    "nation_supplier_hhi",
+    "doc_context_fit_report",
+    "events_power_users_pareto",
+    "events_filesink_pipeline",
+    "embedding_quantization_error",
+    "events_sessions_streamed",
+    "media_resized_hex",
+    # (b) the 24 remaining r4-stale oracle-paired slots
+    "doc_tfidf_top_term",
+    "doc_token_stats",
+    "embedding_centroids",
+    "embedding_covariance_matrix",
+    "embedding_neardup",
+    "embedding_quantized",
+    "event_heavy_hitters",
+    "events_anomaly_zscore",
+    "events_cohort_ltv",
+    "events_cohort_retention",
+    "events_dau_mau_stickiness",
+    "events_error_rate_sli",
+    "events_funnel",
+    "events_funnel_windowed",
+    "events_multires_rollup",
+    "events_ohlc_hourly",
+    "events_session",
+    "events_sliding",
+    "events_transition_matrix",
+    "events_tumbling",
+    "events_value_histogram",
+    "events_variant_props",
+    "knn_bruteforce",
+    "knn_int8",
+    # (c) r5 rotation oldest-first (CORRECTNESS_r05 insertion order)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
 )
 
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
