@@ -190,7 +190,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank: (node, rank), ranks summing to 1.
 
@@ -236,15 +236,18 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # With ``broadcast_ranks`` (bounded node sets: types, labels,
+        # ``broadcast_ranks`` is OPT-IN (default False — scale
+        # policy: node sets are unbounded unless the caller KNOWS
+        # otherwise).  With it (bounded node sets: types, labels,
         # entities) the rank table broadcasts, the join is map-side,
         # and the dst-grouped agg reuses norm's standing partitioning —
-        # no edge-sized exchange per round.  For node-scale graphs
-        # (web-graph PageRank) pass False: ranks shuffle by src each
-        # round (node-sized — still far cheaper than the edge list),
-        # the Pregel trade.  The explicit hint matters because the
-        # checkpointed ranks frame has no size stats and would
-        # otherwise sort-merge.
+        # no edge-sized exchange per round.  On the default path
+        # (node-scale graphs, web-graph PageRank) ranks shuffle by src
+        # each round (node-sized — still far cheaper than the edge
+        # list), the Pregel trade; Catalyst/AQE may still pick a
+        # broadcast on its own under the threshold.  The explicit hint
+        # matters for bounded sets because the checkpointed ranks
+        # frame has no size stats and would otherwise sort-merge.
         maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
         contribs = (
             norm.join(maybe_bc(ranks), norm.src == ranks.node)
@@ -355,7 +358,7 @@ def label_propagation(
     weight: str | None = None,
     *,
     rounds: int = 5,
-    broadcast_labels: bool = True,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection):
     every node starts in its own community, and each round adopts the
@@ -370,13 +373,16 @@ def label_propagation(
 
     Scale shape — same Pregel economics as :func:`pagerank`: the
     symmetrized, parallel-edge-merged edge list is pre-partitioned by
-    ``dst`` ONCE and checkpointed; with ``broadcast_labels`` (bounded
-    node sets: types, states, entities) each round's join is map-side
-    against the broadcast model-sized label table, so a round costs
-    one vote aggregation over the static edge partitioning and NO
-    edge-sized exchange.  For unbounded node sets set
-    ``broadcast_labels=False`` and the round degrades to a sort-merge
-    join — still one shuffle per round, never quadratic."""
+    ``dst`` ONCE and checkpointed; with ``broadcast_labels`` — OPT-IN,
+    default False, because the label table is node-sized and a forced
+    hint bypasses ``autoBroadcastJoinThreshold`` at any size — each
+    round's join is map-side against the broadcast model-sized label
+    table, so a round costs one vote aggregation over the static edge
+    partitioning and NO edge-sized exchange.  Pass True only when the
+    caller KNOWS the node set is bounded (types, states, entities); on
+    the default path the round is a sort-merge join — still one
+    shuffle per round, never quadratic — and Catalyst/AQE may still
+    auto-broadcast under the threshold."""
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("w"))
     sym = (
@@ -417,7 +423,7 @@ def k_core(
     *,
     k: int = 3,
     rounds: int = 6,
-    broadcast_alive: bool = True,
+    broadcast_alive: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling (the crawl-curation centrality
     filter: keep only nodes embedded in a dense mutual neighborhood —
@@ -434,9 +440,15 @@ def k_core(
     the surviving subgraph.
 
     Scale shape: the symmetrized edge list is cut once; each round is
-    ONE degree aggregation plus two semi-joins against the alive set
-    (broadcast for bounded node sets, shuffle otherwise) — never
-    quadratic, and the edge frame only shrinks."""
+    ONE degree aggregation plus two semi-joins against the alive set —
+    never quadratic, and the edge frame only shrinks.
+    ``broadcast_alive`` is OPT-IN (default False): the alive set is
+    node-sized, and a forced hint bypasses
+    ``autoBroadcastJoinThreshold`` at any size, so on SF-scaling node
+    sets (e.g. the part-keyed co-purchase graph) the plain frame is
+    passed and Catalyst/AQE picks the strategy from its own stats.
+    Pass True only for bounded node sets the caller KNOWS are
+    model-sized."""
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     cur = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -399,3 +399,76 @@ def test_dehinted_dims_still_autobroadcast_at_test_sf(spark, sf_dir):
     p5 = tpch.QUERIES["q5_local_supplier_volume"](spark, sf_dir)
     plan5 = p5._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan5, plan5
+
+
+# Call sites in plans/ allowed to OPT IN to a node-sized broadcast via
+# an operator's broadcast_* keyword: each one is a bounded node set
+# (the ~8-value event-type vocabulary), documented at the call site.
+_BROADCAST_OPTIN_ALLOWLIST = {
+    ("events.py", "event_type_pagerank", "broadcast_ranks"),
+    ("events.py", "event_state_communities", "broadcast_labels"),
+}
+
+
+def _iter_module_functions(directory):
+    import ast
+
+    for path in sorted(directory.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            yield path, fn
+
+
+def test_operator_broadcast_knobs_default_off():
+    """VERDICT r9 #1 closure, part 1: no operator-library function may
+    DEFAULT a ``broadcast_*`` knob to True.  A node-sized broadcast
+    hint reached through a library default bypasses
+    ``autoBroadcastJoinThreshold`` invisibly at every call site, so
+    the policy (SCALE.md: no forced broadcast of SF-scaling frames)
+    must be closed under composition: broadcast knobs are opt-in,
+    bounded-set callers pass True explicitly."""
+    import ast
+    import pathlib
+
+    import gcp_cloudsql_airflow_bigquery_spark.operators as ops_pkg
+
+    ops_dir = pathlib.Path(ops_pkg.__file__).parent
+    offenders = []
+    for path, fn in _iter_module_functions(ops_dir):
+        args = fn.args
+        kwargs = list(args.args) + list(args.kwonlyargs)
+        defaults = (
+            [None] * (len(args.args) - len(args.defaults))
+            + list(args.defaults)
+            + list(args.kw_defaults)
+        )
+        for arg, default in zip(kwargs, defaults):
+            if not arg.arg.startswith("broadcast_"):
+                continue
+            if isinstance(default, ast.Constant) and default.value is True:
+                offenders.append(f"{path.name}:{fn.lineno} {fn.name}({arg.arg}=True)")
+    assert not offenders, offenders
+
+
+def test_broadcast_optin_callsites_are_allowlisted():
+    """VERDICT r9 #1 closure, part 2: every plans/ call site passing
+    ``broadcast_*=True`` into an operator must be on the bounded-set
+    allowlist above — so a new opt-in requires a deliberate test edit
+    stating why the node set is bounded."""
+    import ast
+    import pathlib
+
+    import gcp_cloudsql_airflow_bigquery_spark.plans as plans_pkg
+
+    plans_dir = pathlib.Path(plans_pkg.__file__).parent
+    offenders = []
+    for path, fn in _iter_module_functions(plans_dir):
+        for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+            for kw in call.keywords:
+                if kw.arg and kw.arg.startswith("broadcast_") and (
+                    isinstance(kw.value, ast.Constant) and kw.value.value is True
+                ):
+                    key = (path.name, fn.name, kw.arg)
+                    if key not in _BROADCAST_OPTIN_ALLOWLIST:
+                        offenders.append(f"{path.name}:{call.lineno} {fn.name} {kw.arg}=True")
+    assert not offenders, offenders
