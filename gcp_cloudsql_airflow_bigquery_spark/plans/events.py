@@ -360,8 +360,17 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convergence properties are additionally unit-tested against numpy
     power iteration in tests/test_quality_ops.py."""
     edges = events_transition_matrix(spark, sf_dir)
+    # broadcast_ranks=True is safe HERE ONLY because the node set is
+    # the bounded event-type vocabulary (~8 values at any SF), not an
+    # SF-scaling key space — the opt-in contract of graph.pagerank.
     ranks = graph.pagerank(
-        edges, src="from_type", dst="to_type", weight="n", tol=0.0, max_iter=20
+        edges,
+        src="from_type",
+        dst="to_type",
+        weight="n",
+        tol=0.0,
+        max_iter=20,
+        broadcast_ranks=True,
     )
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("rank")
@@ -903,7 +912,11 @@ def event_state_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return (
-        graph.label_propagation(edges, src="a", dst="b", weight="n", rounds=5)
+        # broadcast_labels=True: bounded node set (event-type states,
+        # ~8 values at any SF) — the opt-in contract of the operator.
+        graph.label_propagation(
+            edges, src="a", dst="b", weight="n", rounds=5, broadcast_labels=True
+        )
         .select(F.col("node").alias("state"), "community")
         .orderBy("state")
     )
@@ -2051,6 +2064,38 @@ JOIN last l ON s.user_id = l.user_id AND s.session_start <> l.last_start
 
 QUERIES["events_sessions_streamed"] = streams.events_sessions_streamed
 ORACLE["events_sessions_streamed"] = _SESSIONS_STREAMED_SQL
+
+
+# Registered end-to-end stream #6 (r10, VERDICT r9 #4): the foreachBatch
+# MERGE-upsert sink — the reference's daily incremental finalize
+# (`dags/cloudsql_to_bigquery.py:11`) as a streaming CDC merge.  The
+# event-time LWW condition makes the snapshot independent of
+# micro-batch slicing, so the oracle is the batch argmax over
+# (pre-Jan-16 seed window ∪ the Jan-16 feed): users active Jan 16 take
+# the incoming row, idle users survive from the seed.
+_UPSERT_STREAMED_SQL = """
+WITH pool AS (
+  -- seed window (ts < Jan 16) UNION the streamed feed (Jan 16 day)
+  -- is exactly everything before Jan 17
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-17'
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       value AS last_value,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM pool
+)
+WHERE rn = 1
+"""
+
+QUERIES["events_upsert_streamed"] = streams.events_upsert_streamed
+ORACLE["events_upsert_streamed"] = _UPSERT_STREAMED_SQL
 
 
 def events_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -550,3 +550,89 @@ def test_stream_misra_gries_guarantee_vs_exact_counts(spark, sf_dir, tmp_path):
                 assert it in tracked, (et, it, c, bound)
             if it in tracked:
                 assert c - bound <= est[(et, it)] <= c, (et, it)
+
+
+def test_stream_foreach_batch_merge_lww(spark, event_dir, tmp_path):
+    """Event-time LWW upsert sink (stream #6's engine): the final
+    snapshot equals the batch per-key argmax regardless of micro-batch
+    slicing (max_files_per_trigger=1 forces many batches), and a
+    second STALE feed (older event times) must not overwrite it."""
+    target = str(tmp_path / "snap")
+    stream = (
+        streams.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    streams.foreach_batch_merge_lww(
+        stream,
+        target,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    from pyspark.sql import Window
+
+    batch = (
+        spark.read.schema(streams.EVENT_SCHEMA)
+        .json(event_dir)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r.user_id, r.ts_us, r.event_id)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    got = {
+        (r.user_id, r.ts_us, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == want
+
+    # stale replay: shift every event 10 days into the PAST and feed it
+    # through a fresh stream — the conditional merge must drop all of it
+    stale_dir = str(tmp_path / "stale")
+    (
+        spark.read.schema(streams.EVENT_SCHEMA)
+        .json(event_dir)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 10 DAYS"))
+        .write.mode("overwrite")
+        .json(stale_dir)
+    )
+    stale_stream = (
+        spark.readStream.schema(streams.EVENT_SCHEMA)
+        .json(stale_dir)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    streams.foreach_batch_merge_lww(
+        stale_stream,
+        target,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    got2 = {
+        (r.user_id, r.ts_us, r.event_id)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got2 == want
