@@ -491,9 +491,11 @@ def budget_select(
     # totals collect and the final cum-sum job) — without the
     # materialization the two jobs can disagree on pid assignment and
     # silently corrupt cum_cost (same failure sorted_neighborhood_pairs
-    # documents in fuzzy.py).
+    # documents in fuzzy.py).  Lazy checkpoint: the totals collect is
+    # the first action, so one job materializes-and-pins the blocks
+    # (see global_rank for the mechanism).
     part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
     totals = {
         r["_pid"]: r["t"]
@@ -522,6 +524,7 @@ def global_rank(
     key: list,
     rank_col: str = "global_rank",
     num_partitions: int | None = None,
+    need_total: bool = True,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number`` over the total order ``key`` without
     a single-partition sort (the plan a bare ``Window.orderBy`` emits —
@@ -536,16 +539,53 @@ def global_rank(
     window runs per-partition.  The ``localCheckpoint`` pins the
     sampled range boundaries so the size collect and the rank job see
     the same partition assignment (the budget_select/fuzzy.py failure
-    mode).  Returns ``(ranked_df, total_rows)``; the total is free —
-    it is the sum of the partition counts already collected."""
+    mode).  The checkpoint is LAZY (``eager=False``): the size collect
+    below is the FIRST action on the frame, so one job materializes
+    the checkpoint and returns the counts — halving the constructor's
+    driver actions (the cold-process construction cost the r9 driver
+    flagged on ``customer_sorted_neighborhood``); boundary pinning is
+    unchanged because the rank job reads the checkpointed blocks the
+    collect produced.  Returns ``(ranked_df, total_rows)``; the total
+    is free — it is the sum of the partition counts already
+    collected.
+
+    With ``need_total=False`` the returned total is ``-1`` and the
+    offsets never touch the driver at all: the per-pid counts become a
+    cumulative-offset frame IN-PLAN (a window over the
+    partition-count-sized aggregate) broadcast-joined back, so
+    constructing the rank is fully lazy — no collect, no job.  This is
+    sound because ``localCheckpoint`` wraps the shuffle in a single
+    shared RDD at call time (range boundaries are sampled once when
+    the RDD DAG is built), so the counts branch and the rank branch of
+    the one final job read the same partition assignment."""
     d = (
         df.repartitionByRange(num_partitions, *key)
         if num_partitions
         else df.repartitionByRange(*key)
     ).sortWithinPartitions(*key)
     part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
+    if not need_total:
+        counts = part.groupBy("_pid").agg(F.count("*").alias("_c"))
+        w_off = (
+            Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = counts.select(
+            "_pid",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+        w = Window.partitionBy("_pid").orderBy(*key)
+        ranked = (
+            part.join(F.broadcast(off), "_pid")
+            .withColumn(
+                rank_col,
+                F.row_number().over(w).cast("long") + F.col("_off"),
+            )
+            .drop("_pid", "_off")
+        )
+        return ranked, -1
     sizes = {
         r["_pid"]: r["c"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -595,9 +635,11 @@ def global_cumsum(
     # localCheckpoint pins the sampled range boundaries — the frame is
     # evaluated twice (totals collect + cum-sum job) and
     # repartitionByRange is not documented as consistent across
-    # evaluations (the budget_select/fuzzy.py failure mode).
+    # evaluations (the budget_select/fuzzy.py failure mode).  Lazy
+    # checkpoint: the totals collect is the first action, so one job
+    # materializes-and-pins the blocks (see global_rank).
     part = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
     totals = {
         r["_pid"]: r["t"]

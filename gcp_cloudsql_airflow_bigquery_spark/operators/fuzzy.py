@@ -109,6 +109,10 @@ def sorted_neighborhood_pairs(
         [F.col("n").asc(), F.col("k").asc()],
         rank_col="r",
         num_partitions=num_partitions,
+        # the pairing join needs only the rank column, so keep the
+        # offsets in-plan: constructing this frame runs NO driver
+        # action (the cold-construction cost the r9 driver flagged)
+        need_total=False,
     )
     a = ranked.select(
         F.col("k").alias("key_a"),
