@@ -250,6 +250,30 @@ HEADLINE = [
     ("events_sessions_streamed", events.QUERIES),
     # r9 wave 7: resize path oracle-paired end-to-end (byte-exact hex)
     ("media_resized_hex", llmdata.QUERIES),
+    # r10: registered stream #6 — foreachBatch event-time LWW MERGE
+    # upsert (the reference's daily incremental finalize)
+    ("events_upsert_streamed", events.QUERIES),
+]
+
+# Headline inclusion rule (BASELINE.md "Bench headline selection
+# policy"): every registered query whose sf0.1 cost is dominated by
+# DISTRIBUTED work (shuffles, stateful streams, iterative joins, UDF
+# kernels) is in HEADLINE; excluded are (a) sub-0.3 s single-shape
+# relational/scalar-function slots whose timing is pure JVM overhead
+# at this SF and (b) oracle-only portability twins of benched queries.
+# So no registered query stays bench-blind forever, each round times a
+# small ROTATION_SAMPLE of unbenched registry slots once (single run,
+# after the same warmup; reported separately, no baseline gate).
+ROTATION_SAMPLE = [
+    # r10 sample: one per excluded family
+    ("agg_rollup", relational.QUERIES),
+    ("join_full", relational.QUERIES),
+    ("window_range_frame", relational.QUERIES),
+    ("doc_topic_clusters", llmdata.QUERIES),
+    ("knn_ivf", llmdata.QUERIES),
+    ("events_value_quantiles_rollup", events.QUERIES),
+    ("media_codec_features", llmdata.QUERIES),
+    ("scd2_customer_history", advanced.QUERIES),
 ]
 
 
@@ -610,6 +634,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # once-per-round visibility for unbenched registry slots: single
+    # timed run each (after the same sf0.001 warmup), reported
+    # separately — not part of the headline total or the regression
+    # gate (no standing baselines)
+    rotation: dict[str, float] = {}
+    for name, registry in ROTATION_SAMPLE:
+        registry[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rotation[name] = round(time.perf_counter() - t0, 3)
+
     # mechanical regression gate vs the standing per-query baseline
     # (bench_baseline.json, established r5 from min-of-4 runs): flag
     # anything 1.5x AND 0.3s over its baseline so regressions surface
@@ -634,6 +673,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions_vs_baseline": regressions,
+                "rotation_sample": rotation,
                 "scale_probe": scale_probe(spark, sf_dir),
                 "iterative_scale_probe": (
                     iterative_scale_probe(spark, sf_dir)

@@ -3228,3 +3228,105 @@ FROM agg ORDER BY n_name
 
 QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
 ORACLE["nation_supplier_hhi"] = _HHI_SQL
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (new r10) — the classic marketing cohort cut:
+    per customer, quintile scores on Recency (latest order date),
+    Frequency (order count), and Monetary (lifetime spend), combined
+    into a cell code and a named segment.  The reference's warehouse
+    users run exactly this class of query on the landed orders table.
+
+    Scores use ``curation.exact_ntile`` (distributed NTILE via
+    range-partitioned prefix-sum ranks — no single-partition window
+    over the customer dimension, which is SF-scaling), chained once
+    per measure; ties break on custkey so both engines assign
+    identical buckets.  Monetary sums DECIMAL(18,2) before scoring —
+    the cross-engine FP-parity rule.
+
+    Scale shape: one orders aggregation (customer-keyed shuffle), then
+    three customer-sized range shuffles for the quintile ranks; no
+    orders-sized window anywhere."""
+    from ..operators.curation import exact_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = exact_ntile(
+        base,
+        5,
+        [F.col("last_date").desc(), F.col("custkey").asc()],
+        bucket_col="r_score",
+    )
+    scored = exact_ntile(
+        scored,
+        5,
+        [F.col("n_orders").desc(), F.col("custkey").asc()],
+        bucket_col="f_score",
+    )
+    scored = exact_ntile(
+        scored,
+        5,
+        [F.col("monetary").desc(), F.col("custkey").asc()],
+        bucket_col="m_score",
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champions",
+        )
+        .when(F.col("f_score") <= 2, "loyal")
+        .when(F.col("m_score") <= 2, "big_spender")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 3), "at_risk")
+        .when(F.col("r_score") >= 4, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_cell"),
+        seg.alias("segment"),
+    )
+
+
+# NTILE(5) buckets: 1 = best (most recent / most orders / highest
+# spend), matching the DESC sort in the Spark path.
+_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_date,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT custkey,
+         NTILE(5) OVER (ORDER BY last_date DESC, custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+       CASE
+         WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+           THEN 'champions'
+         WHEN f_score <= 2 THEN 'loyal'
+         WHEN m_score <= 2 THEN 'big_spender'
+         WHEN r_score >= 4 AND f_score <= 3 THEN 'at_risk'
+         WHEN r_score >= 4 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM s
+"""
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+ORACLE["customer_rfm_segments"] = _RFM_SQL

@@ -3820,3 +3820,111 @@ FROM px GROUP BY mid ORDER BY media_id
 
 QUERIES["media_resized_hex"] = media_resized_hex
 ORACLE["media_resized_hex"] = _RESIZED_HEX_SQL
+
+
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of corpus vocabulary growth (new r10) — the
+    companion diagnostic to ``doc_zipf_fit``: V(n) = K * n^beta, with
+    beta well below 1 for natural language and near 1 for
+    template/ID-heavy corpora (vocabulary that never saturates is a
+    dedup/tokenizer smell before it is a modeling problem).
+
+    The corpus is swept in doc_id order, bucketed into 10 equal
+    doc_id RANGES (pure arithmetic on the ids — no rank job), and the
+    cumulative (tokens seen, distinct terms seen) curve is fit by OLS
+    on the log-log points via Spark's built-in ``regr_*`` aggregates.
+
+    Scale shape: one explode + one vocabulary-sized MIN(bucket)
+    aggregation (the open vocabulary stays distributed; same contract
+    as doc_zipf_fit), one 10-row bucket aggregate; the cumulative
+    window runs over the 10-row frame, never the corpus.  The 1-row
+    min/max bounds frame rides a broadcast cross join."""
+    t = F.trim(F.lower(F.col("text")))
+    d = (
+        _docs(spark, sf_dir)
+        .filter(t != "")
+        .select("doc_id", t.alias("t"))
+    )
+    bounds = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    tok = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(
+                10.0
+                * (F.col("doc_id") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("int")
+            .alias("b"),
+            F.explode(F.split(F.col("t"), r"\s+")).alias("term"),
+        )
+    )
+    per_bucket = tok.groupBy("b").agg(F.count("*").alias("nt"))
+    new_terms = (
+        tok.groupBy("term")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("nv"))
+    )
+    # 10-row frame: the unpartitioned running-sum window is bounded by
+    # the bucket count, not the corpus
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_bucket.join(new_terms, "b", "left")
+        .select(
+            "b",
+            F.sum("nt").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    lv = F.log(F.col("cum_vocab").cast("double"))
+    lt = F.log(F.col("cum_tokens").cast("double"))
+    return cum.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.max("cum_tokens").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(lv, lt), 6).alias("heaps_log_k"),
+        F.round(F.regr_r2(lv, lt), 6).alias("r2"),
+    )
+
+
+_HEAPS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, trim(lower(text)) AS t
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM d),
+tok AS (
+  SELECT CAST(FLOOR(10.0 * (doc_id - mn) / (mx - mn + 1)) AS INT) AS b,
+         unnest(regexp_split_to_array(t, '\s+')) AS term
+  FROM d, bounds
+),
+per_bucket AS (SELECT b, COUNT(*) AS nt FROM tok GROUP BY 1),
+new_terms AS (
+  SELECT fb AS b, COUNT(*) AS nv
+  FROM (SELECT term, MIN(b) AS fb FROM tok GROUP BY 1) GROUP BY 1
+),
+cum AS (
+  SELECT p.b,
+         SUM(p.nt) OVER (ORDER BY p.b) AS cum_tokens,
+         SUM(COALESCE(n.nv, 0)) OVER (ORDER BY p.b) AS cum_vocab
+  FROM per_bucket p LEFT JOIN new_terms n ON p.b = n.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+       ROUND(REGR_SLOPE(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6)
+         AS heaps_beta,
+       ROUND(REGR_INTERCEPT(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6)
+         AS heaps_log_k,
+       ROUND(REGR_R2(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6) AS r2
+FROM cum
+"""
+
+QUERIES["doc_heaps_law"] = doc_heaps_law
+ORACLE["doc_heaps_law"] = _HEAPS_SQL
