@@ -268,13 +268,18 @@ ROTATION_SAMPLE = [
     # r10 sample: one per excluded family
     ("agg_rollup", relational.QUERIES),
     ("join_full", relational.QUERIES),
-    ("window_range_frame", relational.QUERIES),
+    ("window_range_frame", advanced.QUERIES),
     ("doc_topic_clusters", llmdata.QUERIES),
     ("knn_ivf", llmdata.QUERIES),
-    ("events_value_quantiles_rollup", events.QUERIES),
+    ("events_value_quantiles_rollup", scale.QUERIES),
     ("media_codec_features", llmdata.QUERIES),
     ("scd2_customer_history", advanced.QUERIES),
 ]
+
+# fail at import, not 12 minutes into a timed run, if a name is wrong
+for _name, _reg in HEADLINE + ROTATION_SAMPLE:
+    if _name not in _reg:
+        raise KeyError(f"bench list references unregistered query {_name!r}")
 
 
 def env_info() -> dict:

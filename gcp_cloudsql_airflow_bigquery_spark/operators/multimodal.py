@@ -684,3 +684,63 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             " smax long, rms double"
         ),
     )
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics per IMAGE row: decode the PPM and
+    emit one row per (media_id, channel) with the exact integer sum /
+    min / max and the mean — the decode-path check that exercises
+    CHANNEL SEPARATION, where :func:`image_ahash` only sees the r+g+b
+    sum.  Integer semantics throughout (sums < 2^25), so a SQL engine
+    can replay the whole decode arithmetically for the synthetic blobs
+    (plans/llmdata.media_image_channel_stats) — the media family's
+    fourth oracle pair.
+
+    Arrow-batched ``mapInPandas`` like every media kernel; non-image
+    rows are dropped.  At 100 TB the kernel is embarrassingly parallel
+    per blob; nothing shuffles until the (media_id, channel) frame."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "image":
+                    continue
+                w, h, rgb = decode_ppm(bytes(content))
+                for ci, cname in enumerate(("r", "g", "b")):
+                    vals = [
+                        rgb[(y * w + x) * 3 + ci]
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    out.append(
+                        (
+                            int(mid),
+                            cname,
+                            sum(vals),
+                            min(vals),
+                            max(vals),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "channel", "c_sum", "c_min", "c_max"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "channel": "object",
+                    "c_sum": "int64",
+                    "c_min": "int64",
+                    "c_max": "int64",
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, channel string, c_sum long, c_min long,"
+            " c_max long"
+        ),
+    )

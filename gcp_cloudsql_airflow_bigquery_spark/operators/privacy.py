@@ -191,3 +191,50 @@ def t_closeness_report(
         .orderBy(F.col("t_emd").desc(), *[F.col(q).asc() for q in quasi])
         .limit(top_n)
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi: Sequence[str],
+    sensitive: str,
+    top_n: int = 25,
+) -> DataFrame:
+    """Entropy l-diversity per quasi-identifier equivalence class —
+    the gate between :func:`k_anonymity_report` (which only counts
+    class SIZE plus the worst distinct-l) and
+    :func:`t_closeness_report` (which needs an ordered sensitive
+    attribute): a class is safe when the sensitive attribute is not
+    just present in >1 value but well-SPREAD, measured by the Shannon
+    entropy of its within-class distribution.  Emits the ``top_n``
+    worst classes by (distinct_l ASC, entropy ASC, keys) — the rows a
+    release review reads first.
+
+    Cross-engine determinism: the entropy sum runs over at most
+    |sensitive domain| doubles per class and is rounded to 6 decimals
+    BEFORE it participates in the ordering, so tie-breaks cannot flip
+    between engines.
+
+    Scale shape: one (QI, sensitive) hash aggregation, one
+    QI-partitioned window for the class totals (partitioned — never a
+    global window), one QI aggregation; the top-n is a TakeOrdered
+    over the class frame (QI-cardinality-sized, not row-sized)."""
+    from pyspark.sql import Window
+
+    qcols = list(quasi)
+    cnts = df.groupBy(*qcols, sensitive).agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy(*qcols)
+    p = F.col("k") / F.sum("k").over(w)
+    per_class = (
+        cnts.withColumn("_h", -p * F.log(p))
+        .groupBy(*qcols)
+        .agg(
+            F.sum("k").cast("long").alias("class_n"),
+            F.count(F.lit(1)).cast("long").alias("distinct_l"),
+            F.round(F.sum("_h"), 6).alias("entropy_l"),
+        )
+    )
+    return per_class.orderBy(
+        F.col("distinct_l").asc(),
+        F.col("entropy_l").asc(),
+        *[F.col(q).asc() for q in qcols],
+    ).limit(top_n)

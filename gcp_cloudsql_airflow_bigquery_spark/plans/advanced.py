@@ -3330,3 +3330,194 @@ FROM s
 
 QUERIES["customer_rfm_segments"] = customer_rfm_segments
 ORACLE["customer_rfm_segments"] = _RFM_SQL
+
+
+def part_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (new r10) —
+    the fourth structural statistic on the graph family (with
+    connected components, PageRank/k-core, and triangles): the Pearson
+    correlation of endpoint degrees over all edges, positive when
+    popular parts co-occur with popular parts.
+
+    Cross-engine exactness by construction: every sum in the Pearson
+    formula (n, Σx, Σxy, Σx²) is a sum of INTEGER degree products —
+    bit-exact in any summation order — computed in DECIMAL(38,0) so
+    they stay exact past 2^53 at any SF; only the final closed-form
+    division/sqrt touches doubles, identically in both engines.
+
+    Scale shape: one edge-list distinct, one node-degree aggregation,
+    two degree joins (key-partitioned), one scalar aggregate.  The
+    edge symmetrization doubles the frame instead of running two
+    correlated aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    xy = (
+        sym.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("dy")),
+            "b",
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return s.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * sxy - sx * sx) / (n * sxx - sx * sx), 6
+        ).alias("assortativity"),
+    )
+
+
+# The symmetrized frame makes Σx = Σy and Σx² = Σy², so Pearson
+# reduces to (nΣxy − (Σx)²) / (nΣx² − (Σx)²); all sums are integer
+# (HUGEINT in DuckDB, DECIMAL(38,0) in Spark) so the doubles fed to
+# the final division are identical.
+_ASSORTATIVITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+xy AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM sym JOIN deg dx ON sym.u = dx.node JOIN deg dy ON sym.v = dy.node
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS assortativity
+FROM s
+"""
+
+QUERIES["part_graph_assortativity"] = part_graph_assortativity
+ORACLE["part_graph_assortativity"] = _ASSORTATIVITY_SQL
+
+
+def orders_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean order price per priority class
+    (new r10) — the robust-location companions to the MAD/weighted-
+    median family: the trimmed mean drops each tail's bottom/top
+    ``cnt div 10`` rows, the winsorized mean CLAMPS them to the
+    boundary order's price.  Rank-based (row_number over
+    (price, orderkey)), NOT percentile-interpolation-based, so both
+    engines pick identical boundary rows — no percentile_cont
+    interpolation drift.  The winsorized sum is derived arithmetically
+    as trimmed_sum + lo·low_boundary + lo·high_boundary, all in
+    DECIMAL(18,2), so only the final mean division touches doubles.
+
+    Scale shape: one priority-partitioned window (bounded partitions:
+    5 priority classes — acceptable because each class still spreads
+    over the orders shuffle; for open-keyed groups this would be
+    curation.global_rank per group), one aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("price", "o_orderkey")
+    wc = Window.partitionBy("priority")
+    r = (
+        o.withColumn("rk", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .withColumn("lo", F.expr("cnt div 10"))
+    )
+    agg = r.groupBy("priority").agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.max(F.when(F.col("rk") == F.col("lo") + 1, F.col("price"))).alias(
+            "lo_val"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.col("cnt") - F.col("lo"), F.col("price"))
+        ).alias("hi_val"),
+        F.sum(
+            F.when(
+                (F.col("rk") > F.col("lo"))
+                & (F.col("rk") <= F.col("cnt") - F.col("lo")),
+                F.col("price"),
+            )
+        ).alias("tsum"),
+        F.max("lo").cast("long").alias("lo_n"),
+    )
+    tn = F.col("n") - 2 * F.col("lo_n")
+    wsum = (
+        F.col("tsum")
+        + F.col("lo_n") * F.col("lo_val")
+        + F.col("lo_n") * F.col("hi_val")
+    )
+    return agg.select(
+        "priority",
+        "n",
+        F.round(F.col("tsum").cast("double") / tn, 4).alias("trimmed_mean"),
+        F.round(wsum.cast("double") / F.col("n"), 4).alias("winsor_mean"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY price, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY priority) AS cnt
+  FROM o
+),
+r2 AS (SELECT *, cnt // 10 AS lo FROM r),
+agg AS (
+  SELECT priority,
+         CAST(MAX(cnt) AS BIGINT) AS n,
+         MAX(CASE WHEN rk = lo + 1 THEN price END) AS lo_val,
+         MAX(CASE WHEN rk = cnt - lo THEN price END) AS hi_val,
+         SUM(CASE WHEN rk > lo AND rk <= cnt - lo THEN price END) AS tsum,
+         CAST(MAX(lo) AS BIGINT) AS lo_n
+  FROM r2 GROUP BY 1
+)
+SELECT priority, n,
+       ROUND(CAST(tsum AS DOUBLE) / (n - 2 * lo_n), 4) AS trimmed_mean,
+       ROUND(CAST(tsum + lo_n * lo_val + lo_n * hi_val AS DOUBLE) / n, 4)
+         AS winsor_mean
+FROM agg
+"""
+
+QUERIES["orders_trimmed_mean_price"] = orders_trimmed_mean_price
+ORACLE["orders_trimmed_mean_price"] = _TRIMMED_MEAN_SQL

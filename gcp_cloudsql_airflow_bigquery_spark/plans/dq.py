@@ -461,3 +461,52 @@ LIMIT 20
 
 QUERIES["customer_t_closeness"] = customer_t_closeness
 ORACLE["customer_t_closeness"] = _T_CLOSENESS_SQL
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity gate (new r10), completing the privacy
+    ladder next to ``customer_k_anonymity`` (class size) and
+    ``customer_t_closeness`` (ordered-attribute EMD): QI = (nation,
+    balance band — the same IEEE-floor banding), sensitive =
+    ``c_mktsegment``; the 25 worst equivalence classes by
+    (distinct_l, within-class entropy).  A class can pass k-anonymity
+    with 30 members and still leak "everyone here buys AUTOMOBILE" —
+    this is the gate that sees it.  Mechanics and determinism notes in
+    :func:`operators.privacy.l_diversity_report`."""
+    from ..operators import privacy
+
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    )
+    return privacy.l_diversity_report(
+        banded, ["c_nationkey", "bal_band"], "c_mktsegment", top_n=25
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH cnts AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment, COUNT(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+),
+withp AS (
+  SELECT c_nationkey, bal_band, k,
+         k * 1.0 / SUM(k) OVER (PARTITION BY c_nationkey, bal_band) AS p
+  FROM cnts
+),
+cls AS (
+  SELECT c_nationkey, bal_band,
+         CAST(SUM(k) AS BIGINT) AS class_n,
+         CAST(COUNT(*) AS BIGINT) AS distinct_l,
+         ROUND(SUM(-p * LN(p)), 6) AS entropy_l
+  FROM withp GROUP BY 1, 2
+)
+SELECT * FROM cls
+ORDER BY distinct_l ASC, entropy_l ASC, c_nationkey ASC, bal_band ASC
+LIMIT 25
+"""
+
+QUERIES["customer_l_diversity"] = customer_l_diversity
+ORACLE["customer_l_diversity"] = _L_DIVERSITY_SQL

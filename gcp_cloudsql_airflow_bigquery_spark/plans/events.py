@@ -3078,3 +3078,226 @@ FROM head, tot
 
 QUERIES["events_power_users_pareto"] = events_power_users_pareto
 ORACLE["events_power_users_pareto"] = _PARETO_SQL
+
+
+def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit flow matrix (new r10): sessionize with the same
+    5-minute gap rule as ``events_session``, take each session's FIRST
+    and LAST event type, and roll up to the (entry_type, exit_type)
+    matrix with session counts, average depth, average duration, and
+    single-event bounces — the "where do journeys start and die"
+    readout product analytics runs daily.
+
+    Determinism: first/last are row_number picks over the total order
+    (ts, event_id) inside each session; averages divide exact integer
+    sums (event counts, epoch-microsecond durations), so both engines
+    compute the identical doubles before the 4-decimal round.
+
+    Scale shape: the three windows are all user- or session-PARTITIONED
+    (never global); the final matrix is |event_type|^2-bounded."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w_u)
+    new_s = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            >= 300_000_000
+        ),
+        1,
+    ).otherwise(0)
+    g = e.withColumn("new_s", new_s).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    w_sd = Window.partitionBy("user_id", "sid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per = (
+        g.withColumn("rf", F.row_number().over(w_s))
+        .withColumn("rl", F.row_number().over(w_sd))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+            F.count(F.lit(1)).alias("n_ev"),
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            ).alias("dur_us"),
+        )
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.sum("n_ev") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "avg_events"
+        ),
+        F.round(
+            F.sum("dur_us") / F.lit(1e6) / F.count(F.lit(1)), 4
+        ).alias("avg_duration_s"),
+        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+
+
+_ENTRY_EXIT_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '5 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM g
+), per AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+         COUNT(*) AS n_ev,
+         MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+  FROM r GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(n_ev) * 1.0 / COUNT(*), 4) AS avg_events,
+       ROUND(SUM(dur_us) / 1e6 / COUNT(*), 4) AS avg_duration_s,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM per GROUP BY 1, 2
+"""
+
+QUERIES["events_session_entry_exit"] = events_session_entry_exit
+ORACLE["events_session_entry_exit"] = _ENTRY_EXIT_SQL
+
+
+def events_brown_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (new r10) of daily event
+    counts per type — the TREND-aware member of the forecasting family
+    next to ``events_ewma_daily`` (level only): smooth the series
+    twice (alpha = 0.3, s1_1 = s2_1 = y_1), then level = 2*s1 - s2,
+    trend = alpha/(1-alpha)*(s1 - s2), one-step forecast = level +
+    trend.
+
+    Both smoothing passes are evaluated in CLOSED FORM as one weighted
+    window sum each — the recurrence unrolls to per-day coefficients
+    (for the second pass, w_i = alpha^2*(T-i+1)*(1-alpha)^(T-i) for
+    i >= 2 and (1-alpha)^(T-1)*(1+(T-1)*alpha) for the init day), so
+    the fact scan is aggregated ONCE and each day contributes one
+    DECIMAL-cast term per pass (the events_ewma_daily /
+    events_decay_value parity pattern — decimal sums are
+    order-independent, POWER on identical doubles is bit-identical).
+
+    Scale shape: one (type, day) count aggregation; everything after
+    is keyed on the bounded type x calendar grain.  No iteration, no
+    sequential kernel."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    idx = daily.withColumn("t", F.row_number().over(w)).withColumn(
+        "tmax", F.max("t").over(wall)
+    )
+    k = (F.col("tmax") - F.col("t")).cast("double")
+    decay = F.pow(F.lit(0.7), k)
+    term1 = (
+        F.when(F.col("t") == 1, decay * F.col("x"))
+        .otherwise(F.lit(0.3) * decay * F.col("x"))
+        .cast("decimal(28,12)")
+    )
+    term2 = (
+        F.when(
+            F.col("t") == 1,
+            decay * (F.lit(1.0) + F.lit(0.3) * (F.col("tmax") - 1)) * F.col("x"),
+        )
+        .otherwise(F.lit(0.09) * (k + F.lit(1.0)) * decay * F.col("x"))
+        .cast("decimal(28,12)")
+    )
+    out = idx.groupBy("event_type").agg(
+        F.max("tmax").cast("long").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.sum(term1).cast("double").alias("s1"),
+        F.sum(term2).cast("double").alias("s2"),
+    )
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = (F.lit(0.3) / F.lit(0.7)) * (F.col("s1") - F.col("s2"))
+    return out.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + trend, 6).alias("forecast_next"),
+    )
+
+
+_BROWN_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS tmax
+  FROM daily
+),
+terms AS (
+  SELECT event_type, day, x, t, tmax,
+         CAST(CASE WHEN t = 1
+                   THEN POWER(0.7, tmax - t) * x
+                   ELSE 0.3 * POWER(0.7, tmax - t) * x END
+              AS DECIMAL(28,12)) AS term1,
+         CAST(CASE WHEN t = 1
+                   THEN POWER(0.7, tmax - t) * (1.0 + 0.3 * (tmax - 1)) * x
+                   ELSE 0.09 * ((tmax - t) + 1.0) * POWER(0.7, tmax - t) * x
+              END AS DECIMAL(28,12)) AS term2
+  FROM idx
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(tmax) AS BIGINT) AS n_days,
+         MAX(day) AS last_day,
+         CAST(SUM(term1) AS DOUBLE) AS s1,
+         CAST(SUM(term2) AS DOUBLE) AS s2
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_days, last_day,
+       ROUND(s1, 6) AS s1,
+       ROUND(s2, 6) AS s2,
+       ROUND(2.0 * s1 - s2, 6) AS level,
+       ROUND((0.3 / 0.7) * (s1 - s2), 6) AS trend,
+       ROUND((2.0 * s1 - s2) + (0.3 / 0.7) * (s1 - s2), 6) AS forecast_next
+FROM agg
+"""
+
+QUERIES["events_brown_trend_daily"] = events_brown_trend_daily
+ORACLE["events_brown_trend_daily"] = _BROWN_TREND_SQL

@@ -3928,3 +3928,111 @@ FROM cum
 
 QUERIES["doc_heaps_law"] = doc_heaps_law
 ORACLE["doc_heaps_law"] = _HEAPS_SQL
+
+
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction (new r10): top-3 cosine neighbors for
+    EVERY vector, IVF-cell-bounded — the all-pairs companion of
+    ``knn_ivf`` (which probes 5 pinned queries) and the graph SemDeDup,
+    hubness audits, and graph-based label propagation start from.
+
+    Same deterministic codebook as ``knn_ivf`` (init = 16 smallest
+    ids, 2 Lloyd rounds) so the DuckDB oracle replays training,
+    assignment, probing (nprobe=4), and the exact cosine rerank.
+
+    Scale shape: every vector probes its 4 nearest of 16 cells, so the
+    candidate space is N * (nprobe/n_centroids) * N — cell-bounded,
+    never the N^2 cross join (plan-test-banned); at 100 TB the
+    inverted file is the ``partitionBy(cluster)`` layout of
+    ``ivf_build_index`` and each probe is a partition-pruned scan."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, emb, k=3, n_centroids=16, nprobe=4)
+
+
+_KNN_GRAPH_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+{_kmeans_ctes(16, 2)},
+corpus AS MATERIALIZED (
+  SELECT vn.id AS neighbor_id, vn.vec AS vec_n, a.cluster
+  FROM vn JOIN (
+    SELECT id, cluster FROM (
+      SELECT vn.id, c.cluster,
+             ROW_NUMBER() OVER (PARTITION BY vn.id
+                                ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                         c.cluster) AS rn
+      FROM vn, c2 c) WHERE rn = 1) a USING (id)
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, vec AS vec_q, cluster FROM (
+    SELECT vn.id, vn.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY vn.id
+                              ORDER BY list_dot_product(vn.nv, c.c) DESC,
+                                       c.cluster) AS pr
+    FROM vn, c2 c) WHERE pr <= 4
+),
+scored AS (
+  SELECT p.query_id, co.neighbor_id,
+         ROUND(list_dot_product(p.vec_q, co.vec_n) /
+               (SQRT(list_dot_product(p.vec_q, p.vec_q)) *
+                SQRT(list_dot_product(co.vec_n, co.vec_n))), 6) AS cosine
+  FROM corpus co JOIN probes p USING (cluster)
+  WHERE p.query_id <> co.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+QUERIES["embedding_knn_graph"] = embedding_knn_graph
+ORACLE["embedding_knn_graph"] = _KNN_GRAPH_SQL
+
+
+def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel image statistics (new r10) — the media family's
+    FOURTH oracle pair, checking channel SEPARATION through the real
+    encode→decode loop where ``media_image_ahash`` only sees channel
+    sums: one row per (image, channel) with exact integer sum/min/max
+    and the double mean (sum/64 — identical division both engines).
+    Mechanics in :func:`..operators.multimodal.image_channel_stats`;
+    the synthetic pixel law is
+    ``(x*31 + y*17 + (c+1)*mid) % 256`` (``attach_codec_media``), so
+    DuckDB replays the decode arithmetically."""
+    from ..operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.attach_codec_media(docs)
+    stats = multimodal.image_channel_stats(media)
+    return stats.select(
+        "media_id",
+        "channel",
+        "c_sum",
+        "c_min",
+        "c_max",
+        F.round(F.col("c_sum") / F.lit(64.0), 4).alias("c_mean"),
+    ).orderBy("media_id", "channel")
+
+
+_IMAGE_CHANNEL_SQL = """
+WITH ids AS (
+  SELECT doc_id AS mid FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 0
+),
+px AS (
+  SELECT mid, c.range AS c,
+         ((gx.range * 31 + gy.range * 17 + (c.range + 1) * mid) % 256) AS v
+  FROM ids, range(8) gy, range(8) gx, range(3) c
+)
+SELECT mid AS media_id,
+       CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+       CAST(SUM(v) AS BIGINT) AS c_sum,
+       CAST(MIN(v) AS BIGINT) AS c_min,
+       CAST(MAX(v) AS BIGINT) AS c_max,
+       ROUND(SUM(v) / 64.0, 4) AS c_mean
+FROM px GROUP BY 1, 2
+ORDER BY media_id, channel
+"""
+
+QUERIES["media_image_channel_stats"] = media_image_channel_stats
+ORACLE["media_image_channel_stats"] = _IMAGE_CHANNEL_SQL

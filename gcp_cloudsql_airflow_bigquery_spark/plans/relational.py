@@ -954,3 +954,36 @@ ORACLE: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_last_write_wins": _DEDUP_LWW_SQL,
 }
+
+
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST (new r10) — the two relative-position
+    window functions missing from the ranking family (window_rank
+    covers rank/dense_rank/row_number, window_ntile the bucketing):
+    account-balance percentile position within each nation.  Both are
+    exact rational doubles ((rank-1)/(n-1), peers/n) computed from the
+    same integers in both engines, rounded to 6 like every double
+    output."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_WINDOW_PCT_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+QUERIES["window_percent_rank_cume"] = window_percent_rank_cume
+ORACLE["window_percent_rank_cume"] = _WINDOW_PCT_SQL
