@@ -253,6 +253,17 @@ HEADLINE = [
     # r10: registered stream #6 — foreachBatch event-time LWW MERGE
     # upsert (the reference's daily incremental finalize)
     ("events_upsert_streamed", events.QUERIES),
+    # r10 waves 1-3: the distributed-work-dominated additions (policy
+    # paragraph in BASELINE.md; the sub-0.3 s window/privacy slots stay
+    # rotation-sampled)
+    ("doc_heaps_law", llmdata.QUERIES),
+    ("customer_rfm_segments", advanced.QUERIES),
+    ("embedding_knn_graph", llmdata.QUERIES),
+    ("events_session_entry_exit", events.QUERIES),
+    ("part_graph_assortativity", advanced.QUERIES),
+    ("orders_trimmed_mean_price", advanced.QUERIES),
+    ("events_brown_trend_daily", events.QUERIES),
+    ("media_image_channel_stats", llmdata.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection
