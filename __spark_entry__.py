@@ -115,8 +115,19 @@ _MODULES = (
 # already re-greened in the r9 window), then (c) the first 8 of the
 # r5 rotation oldest-first (CORRECTNESS_r05.json insertion order).
 #
-# ROUND 11 PLAN: (a) any r10-wave additions that land after this
-# window freezes (first driver signal), then (b) the remaining 40
+# ROUND 11 PLAN: (a) the r10-wave additions (zero driver signal —
+# every one oracle-paired and builder-replica-green at sf0.01 this
+# round): customer_l_diversity, window_percent_rank_cume,
+# events_upsert_streamed (stream #6), doc_heaps_law,
+# customer_rfm_segments, embedding_knn_graph,
+# events_session_entry_exit, part_graph_assortativity,
+# orders_trimmed_mean_price, events_brown_trend_daily,
+# media_image_channel_stats, events_welch_ttest,
+# events_cuped_adjusted, events_anova_value_by_type, event_type_hits,
+# part_clustering_coefficient, part_item_cf_recs,
+# brand_price_elasticity, events_enriched_streamed (stream #7),
+# events_attribution_position, brand_als_factors — then (b) the
+# remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

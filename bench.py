@@ -264,6 +264,20 @@ HEADLINE = [
     ("orders_trimmed_mean_price", advanced.QUERIES),
     ("events_brown_trend_daily", events.QUERIES),
     ("media_image_channel_stats", llmdata.QUERIES),
+    # r10 wave 4: HITS (16 lineage-cut half-steps), degree-ordered
+    # per-node triangles, basket-bounded item-item CF, brand-month
+    # elasticity OLS; the 1-row inference rollups (welch/cuped/anova)
+    # stay rotation-sampled per the policy
+    ("event_type_hits", events.QUERIES),
+    ("part_clustering_coefficient", advanced.QUERIES),
+    ("part_item_cf_recs", advanced.QUERIES),
+    ("brand_price_elasticity", advanced.QUERIES),
+    # r10 wave 5: registered stream #7 (broadcast enrichment),
+    # U-shaped attribution (time-band join), rank-2 ALS (6 unrolled
+    # in-plan ridge solves)
+    ("events_enriched_streamed", events.QUERIES),
+    ("events_attribution_position", temporal.QUERIES),
+    ("brand_als_factors", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

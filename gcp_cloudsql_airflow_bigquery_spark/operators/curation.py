@@ -568,13 +568,19 @@ def global_rank(
     )
     if not need_total:
         counts = part.groupBy("_pid").agg(F.count("*").alias("_c"))
-        w_off = (
-            Window.orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        # cumulative offsets via a strict-lower-pid self-join aggregate
+        # over the partition-count-sized counts frame — NOT a bare
+        # Window.orderBy, so the registry-wide no-unpartitioned-Window
+        # plan guard holds with zero allowlist entries even for this
+        # deliberately tiny frame (it plans as a broadcast NLJ over
+        # n_partitions² pairs, i.e. nothing)
+        lower = counts.select(
+            F.col("_pid").alias("_pid2"), F.col("_c").alias("_c2")
         )
-        off = counts.select(
-            "_pid",
-            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        off = (
+            counts.join(lower, F.col("_pid2") < F.col("_pid"), "left")
+            .groupBy("_pid")
+            .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
         )
         w = Window.partitionBy("_pid").orderBy(*key)
         ranked = (

@@ -3521,3 +3521,545 @@ FROM agg
 
 QUERIES["orders_trimmed_mean_price"] = orders_trimmed_mean_price
 ORACLE["orders_trimmed_mean_price"] = _TRIMMED_MEAN_SQL
+
+
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand (new r10): the
+    slope of ln(monthly quantity) on ln(monthly mean unit price) —
+    the economics companion of ``brand_price_qty_corr`` (direction
+    only) and ``part_price_index`` (price level only): HOW MUCH does
+    volume move per 1% price move.
+
+    Cross-engine exactness: the monthly unit price is ROUNDED on the
+    double quotient of exact decimal sums before LN, so both engines
+    take logs of identical doubles; each per-month OLS term
+    (x, y, xy, x²) is DECIMAL-cast before the per-brand sum (the
+    weekday-chi² per-cell idiom) and the slope is the closed form on
+    those exact sums.
+
+    Scale shape: one fact⋈part join on the partkey shuffle key, one
+    (brand, month) aggregation; the OLS runs on the bounded
+    brand×calendar frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "rev"
+            ),
+        )
+        .select(
+            "p_brand",
+            F.log(
+                F.round(
+                    F.col("rev").cast("double") / F.col("qty").cast("double"),
+                    6,
+                )
+            ).alias("x"),
+            F.log(F.col("qty").cast("double")).alias("y"),
+        )
+    )
+    terms = m.select(
+        "p_brand",
+        F.col("x").cast("decimal(28,12)").alias("cx"),
+        F.col("y").cast("decimal(28,12)").alias("cy"),
+        (F.col("x") * F.col("y")).cast("decimal(28,12)").alias("cxy"),
+        (F.col("x") * F.col("x")).cast("decimal(28,12)").alias("cxx"),
+    )
+    s = terms.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum("cy").alias("sy"),
+        F.sum("cxy").alias("sxy"),
+        F.sum("cxx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").cast("long").alias("n_months"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("elasticity"),
+    ).orderBy("brand")
+
+
+_ELASTICITY_SQL = """
+WITH m AS (
+  SELECT p.p_brand,
+         date_trunc('month', l.l_shipdate) AS month,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS qty,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+xy AS (
+  SELECT p_brand,
+         LN(ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6)) AS x,
+         LN(CAST(qty AS DOUBLE)) AS y
+  FROM m
+),
+terms AS (
+  SELECT p_brand,
+         CAST(x AS DECIMAL(28,12)) AS cx, CAST(y AS DECIMAL(28,12)) AS cy,
+         CAST(x * y AS DECIMAL(28,12)) AS cxy,
+         CAST(x * x AS DECIMAL(28,12)) AS cxx
+  FROM xy
+),
+s AS (
+  SELECT p_brand, COUNT(*) AS n, SUM(cx) AS sx, SUM(cy) AS sy,
+         SUM(cxy) AS sxy, SUM(cxx) AS sxx
+  FROM terms GROUP BY 1
+)
+SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_months,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS elasticity
+FROM s ORDER BY 1
+"""
+
+QUERIES["brand_price_elasticity"] = brand_price_elasticity
+ORACLE["brand_price_elasticity"] = _ELASTICITY_SQL
+
+
+def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (new r10): ``2·triangles(v) / (deg(v)·(deg(v)−1))`` — how
+    clique-like each part's neighborhood is, the NODE-level refinement
+    of the global ``part_cooccurrence_triangles`` count and the local
+    companion of ``part_graph_assortativity``.
+
+    Triangle enumeration uses DEGREE-ORDERED orientation (each
+    undirected edge points from the lexicographically smaller
+    ``(deg, node)`` endpoint), so every triangle is emitted exactly
+    once from a wedge whose center's out-degree is O(√E) — the
+    hub-skew-proof bound of ``operators/graph.triangle_count``, kept
+    in-plan here because each of the triangle's three nodes needs the
+    credit.  All arithmetic is integer until the final rounded ratio.
+
+    Scale shape: one per-order self-join (bounded by items-per-order²
+    per order), one degree aggregation, one wedge join capped by the
+    orientation bound, one closing semi-join, one credit aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = F.col("da") <= F.col("db")  # tie → a (a < b by construction)
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dt"),
+    )
+    e1 = o.select(
+        F.col("s"), F.col("t").alias("v"), F.col("dt").alias("dv")
+    )
+    e2 = o.select(
+        F.col("s"), F.col("t").alias("w"), F.col("dt").alias("dw")
+    )
+    wedges = e1.join(e2, "s").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    credits = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(credits, "node", "left")
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("d").cast("double") * (F.col("d") - 1)),
+                    6,
+                ),
+            ).alias("lcc"),
+        )
+    )
+
+
+_LCC_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN da.d <= db.d THEN e.u ELSE e.v END AS s,
+         CASE WHEN da.d <= db.d THEN e.v ELSE e.u END AS t,
+         CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dt
+  FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node
+),
+tri AS (
+  SELECT e1.s, e1.t AS v, e2.t AS w
+  FROM o e1 JOIN o e2
+    ON e1.s = e2.s
+   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.s = e1.t AND e3.t = e2.t)
+),
+credits AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT s AS node FROM tri
+    UNION ALL SELECT v AS node FROM tri
+    UNION ALL SELECT w AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.node AS partkey,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(2.0 * COALESCE(c.triangles, 0)
+                       / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6)
+       END AS lcc
+FROM deg LEFT JOIN credits c ON deg.node = c.node
+"""
+
+QUERIES["part_clustering_coefficient"] = part_clustering_coefficient
+ORACLE["part_clustering_coefficient"] = _LCC_SQL
+
+
+def part_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering recommendations (new r10):
+    cosine similarity between parts over their CUSTOMER purchase sets
+    (``co/√(n_i·n_j)``), top-5 recommendations for each of the 20
+    most-purchased parts — the classic "customers who bought this
+    also bought" recommender, the personalization complement of the
+    global ``part_affinity_pmi``/``part_association_rules`` rules.
+
+    Cross-engine exactness: every input to the cosine is an exact
+    integer customer count, so the doubles are identical; ranking is
+    by ``(ROUND(cos,6) DESC, co DESC, partkey)`` — the rounded-score
+    tie-break idiom of the retrieval family.
+
+    Scale shape: one fact⋈orders join on the orderkey shuffle key,
+    one distinct, one per-customer self-join bounded by each
+    customer's item count (linear in customers at fixed basket
+    width), the focus set via TakeOrdered (never a global window),
+    and a row_number over the 20 bounded candidate lists."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ui = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    cnt = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    x = ui.select("c", F.col("i").alias("ia"))
+    y = ui.select("c", F.col("i").alias("ib"))
+    co = (
+        x.join(y, "c")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.unionAll(
+        co.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"), "co")
+    )
+    focus = cnt.orderBy(F.col("n").desc(), F.col("i").asc()).limit(20)
+    cand = (
+        sym.join(focus.select(F.col("i").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(cnt.select(F.col("i").alias("ib"), F.col("n").alias("nb")), "ib")
+        .filter(F.col("co") >= 2)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("co")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.col("cosine").desc(), F.col("co").desc(), F.col("ib").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("na").cast("long").alias("item_users"),
+            F.col("ib").alias("rec"),
+            F.col("nb").cast("long").alias("rec_users"),
+            F.col("co").cast("long").alias("co_users"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_ITEM_CF_SQL = """
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cnt AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY 1),
+co AS (
+  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS co
+  FROM ui a JOIN ui b ON a.c = b.c AND a.i < b.i
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT ia, ib, co FROM co
+  UNION ALL SELECT ib AS ia, ia AS ib, co FROM co
+),
+focus AS (SELECT i, n FROM cnt ORDER BY n DESC, i LIMIT 20),
+cand AS (
+  SELECT s.ia, f.n AS na, s.ib, c2.n AS nb, s.co,
+         ROUND(s.co / SQRT(CAST(f.n AS DOUBLE) * c2.n), 6) AS cosine
+  FROM sym s
+  JOIN focus f ON s.ia = f.i
+  JOIN cnt c2 ON s.ib = c2.i
+  WHERE s.co >= 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY cosine DESC, co DESC, ib) AS rank
+  FROM cand
+)
+SELECT ia AS item, CAST(na AS BIGINT) AS item_users,
+       ib AS rec, CAST(nb AS BIGINT) AS rec_users,
+       CAST(co AS BIGINT) AS co_users, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["part_item_cf_recs"] = part_item_cf_recs
+ORACLE["part_item_cf_recs"] = _ITEM_CF_SQL
+
+
+_ALS_ROUNDS = 3
+_ALS_LAMBDA = 0.1
+
+
+def _als_solve(joined: DataFrame, key: str, f1: str, f2: str) -> DataFrame:
+    """One ALS half-step: per-``key`` ridge solve of the 2×2 normal
+    equations ``(FᵀF + λI)x = Fᵀr`` in closed form.  Every moment is a
+    DECIMAL-cast term sum (order-independent) and the solved factors
+    are ROUND(12)-pinned, so both engines iterate identical doubles."""
+    d = F.col
+    terms = joined.select(
+        key,
+        (d(f1) * d(f1)).cast("decimal(28,12)").alias("t11"),
+        (d(f1) * d(f2)).cast("decimal(28,12)").alias("t12"),
+        (d(f2) * d(f2)).cast("decimal(28,12)").alias("t22"),
+        (d(f1) * d("r")).cast("decimal(28,12)").alias("tb1"),
+        (d(f2) * d("r")).cast("decimal(28,12)").alias("tb2"),
+    )
+    m = terms.groupBy(key).agg(
+        (F.sum("t11").cast("double") + _ALS_LAMBDA).alias("a11"),
+        F.sum("t12").cast("double").alias("a12"),
+        (F.sum("t22").cast("double") + _ALS_LAMBDA).alias("a22"),
+        F.sum("tb1").cast("double").alias("b1"),
+        F.sum("tb2").cast("double").alias("b2"),
+    )
+    det = d("a11") * d("a22") - d("a12") * d("a12")
+    return m.select(
+        key,
+        F.round((d("a22") * d("b1") - d("a12") * d("b2")) / det, 12).alias("x1"),
+        F.round((d("a11") * d("b2") - d("a12") * d("b1")) / det, 12).alias("x2"),
+    )
+
+
+def brand_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ALS matrix factorization of the customer×brand quantity
+    matrix (new r10) — the MODEL-BASED recommender next to the
+    memory-based ``part_item_cf_recs``: alternating ridge solves of
+    the 2×2 normal equations per entity, the collaborative-filtering
+    shape of Koren/Hu-style implicit-feedback factorization at the
+    smallest honest rank.  Output: per-brand latent factors and
+    training RMSE after 3 unrolled rounds.
+
+    Fixed-round determinism (the Markov/HITS/Lloyd unroll convention):
+    brand factors init from the portable md5→[−0.5,0.5) hash, every
+    half-step's moments are DECIMAL-cast term sums, each solve is the
+    closed-form 2×2 inverse on identical doubles, and factors are
+    ROUND(12)-pinned per half-step — the oracle replays all 6 solves
+    as CTEs.
+
+    Scale shape: the ratings frame (one fact⋈orders⋈part aggregation)
+    is lineage-cut once (the PageRank edge-frame economics); each
+    half-step is ONE key-partitioned join+agg — user solves shuffle on
+    custkey, brand solves on brand; factor frames are entity-sized,
+    never collected (the 2×2 algebra runs IN-PLAN — no driver-side
+    linear algebra, unlike MLlib's ALS blocks at this rank)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("r")
+        )
+        .localCheckpoint(eager=True)  # re-scanned by all 6 half-steps
+    )
+    q = ratings.select("brand").distinct().select(
+        "brand",
+        F.lit(1.0).alias("q1"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("als#"), F.col("brand"))), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ).alias("q2"),
+    )
+    pfac = None
+    for _ in range(_ALS_ROUNDS):
+        pfac = _als_solve(
+            ratings.join(q, "brand"), "custkey", "q1", "q2"
+        ).select(
+            "custkey", F.col("x1").alias("p1"), F.col("x2").alias("p2")
+        ).localCheckpoint(eager=True)
+        q = _als_solve(
+            ratings.join(pfac, "custkey"), "brand", "p1", "p2"
+        ).select(
+            "brand", F.col("x1").alias("q1"), F.col("x2").alias("q2")
+        ).localCheckpoint(eager=True)
+    scored = (
+        ratings.join(pfac, "custkey")
+        .join(q, "brand")
+        .select(
+            "brand",
+            (
+                (F.col("r") - (F.col("p1") * F.col("q1") + F.col("p2") * F.col("q2")))
+                * (F.col("r") - (F.col("p1") * F.col("q1") + F.col("p2") * F.col("q2")))
+            )
+            .cast("decimal(28,12)")
+            .alias("se"),
+        )
+    )
+    return (
+        scored.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raters"),
+            F.round(
+                F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 6
+            ).alias("rmse"),
+        )
+        .join(q, "brand")
+        .select(
+            "brand",
+            "n_raters",
+            F.round("q1", 6).alias("q1"),
+            F.round("q2", 6).alias("q2"),
+            "rmse",
+        )
+        .orderBy("brand")
+    )
+
+
+def _als_sql() -> str:
+    solve = """
+{out} AS MATERIALIZED (
+  SELECT {key},
+         ROUND((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 12) AS x1,
+         ROUND((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 12) AS x2
+  FROM (
+    SELECT {key},
+           CAST(SUM(CAST({f1} * {f1} AS DECIMAL(28,12))) AS DOUBLE)
+             + CAST(0.1 AS DOUBLE) AS a11,
+           CAST(SUM(CAST({f1} * {f2} AS DECIMAL(28,12))) AS DOUBLE) AS a12,
+           CAST(SUM(CAST({f2} * {f2} AS DECIMAL(28,12))) AS DOUBLE)
+             + CAST(0.1 AS DOUBLE) AS a22,
+           CAST(SUM(CAST({f1} * r AS DECIMAL(28,12))) AS DOUBLE) AS b1,
+           CAST(SUM(CAST({f2} * r AS DECIMAL(28,12))) AS DOUBLE) AS b2
+    FROM ratings JOIN {factors} USING ({joinkey})
+    GROUP BY {key}
+  )
+)"""
+    parts = ["""
+WITH ratings AS MATERIALIZED (
+  SELECT o.o_custkey AS custkey, p.p_brand AS brand,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+q0 AS MATERIALIZED (
+  SELECT brand, CAST(1.0 AS DOUBLE) AS q1,
+         CAST(concat('0x', substr(md5('als#' || brand), 1, 8)) AS UBIGINT)
+           / 4294967296.0 - CAST(0.5 AS DOUBLE) AS q2
+  FROM (SELECT DISTINCT brand FROM ratings)
+)"""]
+    for i in range(1, _ALS_ROUNDS + 1):
+        parts.append("," + solve.format(
+            out=f"praw{i}", key="custkey", f1="q1", f2="q2",
+            factors=(
+                f"(SELECT brand, x1 AS q1, x2 AS q2 FROM qraw{i - 1})"
+                if i > 1 else "q0"
+            ),
+            joinkey="brand",
+        ))
+        parts.append("," + solve.format(
+            out=f"qraw{i}", key="brand", f1="p1", f2="p2",
+            factors=f"(SELECT custkey, x1 AS p1, x2 AS p2 FROM praw{i})",
+            joinkey="custkey",
+        ))
+    parts.append(f"""
+SELECT q.brand,
+       CAST(COUNT(*) AS BIGINT) AS n_raters,
+       ROUND(q.x1, 6) AS q1,
+       ROUND(q.x2, 6) AS q2,
+       ROUND(SQRT(CAST(SUM(CAST((rt.r - (pf.x1 * q.x1 + pf.x2 * q.x2))
+                                * (rt.r - (pf.x1 * q.x1 + pf.x2 * q.x2))
+                                AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)), 6) AS rmse
+FROM ratings rt
+JOIN praw{_ALS_ROUNDS} pf ON rt.custkey = pf.custkey
+JOIN qraw{_ALS_ROUNDS} q ON rt.brand = q.brand
+GROUP BY q.brand, q.x1, q.x2
+ORDER BY 1
+""")
+    return "".join(parts)
+
+
+QUERIES["brand_als_factors"] = brand_als_factors
+ORACLE["brand_als_factors"] = _als_sql()

@@ -3301,3 +3301,548 @@ FROM agg
 
 QUERIES["events_brown_trend_daily"] = events_brown_trend_daily
 ORACLE["events_brown_trend_daily"] = _BROWN_TREND_SQL
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user total event value
+    between the hash-assigned A/B variants (new r10) — the continuous-
+    metric companion of the two-proportion ``events_ab_significance``:
+    conversion RATES get the pooled z, revenue-like MEANS get Welch,
+    whose separate variance terms stay honest when the split sizes or
+    spreads differ.
+
+    Cross-engine exactness: the per-user metric and both variants'
+    Σm / Σm² are DECIMAL-exact (order-independent sums of
+    ``decimal(18,6)`` casts and their exact products), so the doubles
+    entering the t / Welch-Satterthwaite expressions are identical;
+    the significance flag compares the ROUNDED |t| (the
+    boundary-tie rule).
+
+    Scale shape: one per-user aggregation on the fact scan, one 1-row
+    conditional rollup, scalar arithmetic."""
+    e = _events(spark, sf_dir)
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("m"))
+        .withColumn("variant", variant)
+    )
+    a = F.col("variant") == "A"
+    agg = per_user.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(~a, 1)).alias("n_b"),
+        F.sum(F.when(a, F.col("m"))).alias("sa"),
+        F.sum(F.when(~a, F.col("m"))).alias("sb"),
+        F.sum(F.when(a, F.col("m") * F.col("m"))).alias("qa"),
+        F.sum(F.when(~a, F.col("m") * F.col("m"))).alias("qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = F.round((ma - mb) / F.sqrt(se2), 4)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(va, 4).alias("var_a"),
+        F.round(vb, 4).alias("var_b"),
+        t.alias("tstat"),
+        F.round(dof, 2).alias("welch_dof"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+_WELCH_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         SUM(CAST(value AS DECIMAL(18,6))) AS m
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+         SUM(CASE WHEN variant = 'A' THEN m END) AS sa,
+         SUM(CASE WHEN variant = 'B' THEN m END) AS sb,
+         SUM(CASE WHEN variant = 'A' THEN m * m END) AS qa,
+         SUM(CASE WHEN variant = 'B' THEN m * m END) AS qb
+  FROM per_user
+),
+d AS (
+  SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+         CAST(qa AS DOUBLE) AS qa, CAST(qb AS DOUBLE) AS qb,
+         n_a AS n_a_l, n_b AS n_b_l
+  FROM agg
+),
+v AS (
+  SELECT na, nb, n_a_l, n_b_l,
+         sa / na AS ma, sb / nb AS mb,
+         (qa - sa * sa / na) / (na - 1) AS va,
+         (qb - sb * sb / nb) / (nb - 1) AS vb
+  FROM d
+),
+s AS (
+  SELECT *, va / na + vb / nb AS se2 FROM v
+)
+SELECT CAST(n_a_l AS BIGINT) AS n_a, CAST(n_b_l AS BIGINT) AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND(va, 4) AS var_a, ROUND(vb, 4) AS var_b,
+       ROUND((ma - mb) / SQRT(se2), 4) AS tstat,
+       ROUND((se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 2)
+         AS welch_dof,
+       ABS(ROUND((ma - mb) / SQRT(se2), 4)) > 1.96 AS significant
+FROM s
+"""
+
+QUERIES["events_welch_ttest"] = events_welch_ttest
+ORACLE["events_welch_ttest"] = _WELCH_SQL
+
+
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B metric (new r10): each user's
+    post-period value is adjusted by their own PRE-period value
+    (``Y − θ(X − E[X])`` with ``θ = cov(X,Y)/var(X)`` fit on ALL
+    users), the standard experimentation trick that removes the
+    between-user variance a randomized split cannot — the
+    variance-reduction companion of ``events_welch_ttest``.
+
+    The calendar midpoint splits pre/post (data-derived, like the
+    drift queries' calendar halves).  Cross-engine exactness: X/Y and
+    every moment (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL-exact, so θ,
+    the grand pre-mean, and both variants' adjusted means are
+    identical doubles; outputs rounded.
+
+    Scale shape: one per-user conditional aggregation over the fact
+    scan (1-row bounds broadcast), one 1-row moment rollup broadcast
+    back over the 2-row variant frame."""
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    withcut = e.crossJoin(
+        bounds.select(
+            F.date_add(
+                F.col("d0"),
+                F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+            ).alias("cutoff")
+        )
+    )
+    pre = F.to_date("ts") < F.col("cutoff")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    per_user = withcut.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(pre, F.col("value").cast("decimal(18,6)"))),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(~pre, F.col("value").cast("decimal(18,6)"))),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("y"),
+    ).withColumn("variant", variant)
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    model = mom.select(
+        (cov_n / varx_n).alias("theta"),
+        (sx / n).alias("mean_x"),
+        ((cov_n * cov_n) / (varx_n * vary_n)).alias("rho2"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").alias("vsx"),
+        F.sum("y").alias("vsy"),
+    )
+    nv = F.col("n_users").cast("double")
+    return (
+        per_variant.crossJoin(model)
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("vsy").cast("double") / nv, 6).alias("mean_post"),
+            F.round(
+                F.col("vsy").cast("double") / nv
+                - F.col("theta")
+                * (F.col("vsx").cast("double") / nv - F.col("mean_x")),
+                6,
+            ).alias("mean_post_adjusted"),
+            F.round("theta", 6).alias("theta"),
+            F.round(F.col("rho2") * 100, 4).alias("var_reduction_pct"),
+        )
+        .orderBy("variant")
+    )
+
+
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events WHERE ts IS NOT NULL
+),
+cut AS (
+  SELECT d0 + CAST(FLOOR(DATE_DIFF('day', d0, d1) / 2) AS INT) AS cutoff
+  FROM bounds
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < cutoff
+                           THEN CAST(value AS DECIMAL(18,6)) END),
+                  CAST(0 AS DECIMAL(18,6))) AS x,
+         COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= cutoff
+                           THEN CAST(value AS DECIMAL(18,6)) END),
+                  CAST(0 AS DECIMAL(18,6))) AS y
+  FROM events, cut WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM per_user
+),
+model AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         sx / n AS mean_x,
+         ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2
+  FROM mom
+),
+pv AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(x) AS vsx, SUM(y) AS vsy
+  FROM per_user GROUP BY 1
+)
+SELECT variant, n_users,
+       ROUND(CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_post,
+       ROUND(CAST(vsy AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - theta * (CAST(vsx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                        - mean_x), 6) AS mean_post_adjusted,
+       ROUND(theta, 6) AS theta,
+       ROUND(rho2 * 100, 4) AS var_reduction_pct
+FROM pv, model
+ORDER BY variant
+"""
+
+QUERIES["events_cuped_adjusted"] = events_cuped_adjusted
+ORACLE["events_cuped_adjusted"] = _CUPED_SQL
+
+
+def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of event value across event types (new
+    r10): does the value distribution differ BY TYPE at all — the
+    k-group omnibus companion of the two-group Welch test.  SSB/SSW
+    are computed from per-group exact sums; each group's ``(Σv)²/n``
+    term is DECIMAL-cast before the cross-group sum (the weekday-chi²
+    per-cell idiom) so the 1-row reduce is order-independent.
+
+    The significance flag compares the ROUNDED F to 3.32, the
+    F(4, ∞) 1% critical value — right for the fixtures' 5 event
+    types; the emitted dof columns let any other k re-derive it.
+
+    Scale shape: one per-type aggregation over the fact scan, one
+    |types|-row decimal rollup, scalar arithmetic."""
+    e = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    term = (
+        (F.col("s").cast("double") * F.col("s").cast("double"))
+        / F.col("n").cast("double")
+    ).cast("decimal(38,12)")
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(term).alias("tt"),
+    )
+    k = F.col("k").cast("double")
+    nn = F.col("nn").cast("double")
+    ss = F.col("ss").cast("double")
+    qq = F.col("qq").cast("double")
+    tt = F.col("tt").cast("double")
+    ssb = tt - ss * ss / nn
+    ssw = qq - tt
+    fstat = F.round((ssb / (k - 1)) / (ssw / (nn - k)), 4)
+    return tot.select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("dof_within"),
+        fstat.alias("f_stat"),
+        (fstat > 3.32).alias("significant"),
+    )
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS q
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS DECIMAL(38,12))) AS tt
+  FROM g
+),
+d AS (
+  SELECT CAST(k AS DOUBLE) AS k, CAST(nn AS DOUBLE) AS nn,
+         CAST(ss AS DOUBLE) AS ss, CAST(qq AS DOUBLE) AS qq,
+         CAST(tt AS DOUBLE) AS tt, k AS k_l, nn AS nn_l
+  FROM tot
+),
+f AS (
+  SELECT *, tt - ss * ss / nn AS ssb, qq - tt AS ssw FROM d
+)
+SELECT CAST(nn_l AS BIGINT) AS n_total, CAST(k_l AS BIGINT) AS k_groups,
+       ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
+       CAST(k_l - 1 AS BIGINT) AS dof_between,
+       CAST(nn_l - k_l AS BIGINT) AS dof_within,
+       ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
+       ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 4) > 3.32 AS significant
+FROM f
+"""
+
+QUERIES["events_anova_value_by_type"] = events_anova_value_by_type
+ORACLE["events_anova_value_by_type"] = _ANOVA_SQL
+
+
+_HITS_ROUNDS = 8
+
+
+def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the directed event-type
+    transition graph (new r10) — the mutually-recursive centrality
+    completing the graph family (connected components, PageRank, LPA,
+    k-core, triangles, Adamic-Adar, assortativity): a type is a strong
+    HUB when it leads into strong authorities, a strong AUTHORITY when
+    strong hubs lead into it, weighted by observed transition counts.
+    Where PageRank answers "where does a random session end up", HITS
+    separates the feeder states from the destination states.
+
+    Fixed-round determinism (the Markov/BPE/Lloyd unroll convention):
+    8 rounds of the alternating update from the all-ones hub vector,
+    L1-normalized each half-step.  Every ``score·weight`` product is
+    DECIMAL-cast before the exact per-node and total sums
+    (order-independent), and each half-step's decimal→double→ROUND(12)
+    round-trip pins both engines to identical IEEE values.
+
+    Scale shape: one user-keyed LEAD shuffle over the fact scan; the
+    graph is a |types|² frame (localCheckpointed once), so all 16
+    half-steps are model-sized joins."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    edges = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # model-sized (|types|²)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            edges.join(hub, edges.src == hub.node)
+            .select(
+                F.col("dst"),
+                (F.col("hub") * F.col("n")).cast("decimal(28,12)").alias("t"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("t").alias("raw"))
+        )
+        atot = araw.agg(F.sum("raw").cast("double").alias("tot"))
+        auth = (
+            nodes.join(araw, nodes.node == araw.dst, "left")
+            .crossJoin(atot)
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.col("tot"),
+                    12,
+                ).alias("auth"),
+            )
+            # each half-step references the raw frame TWICE (per-node
+            # join + total); without a lineage cut the plan doubles
+            # twice per round — 4^rounds analysis blowup.  The frame
+            # is |types|-sized, so the eager cut is free.
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(auth, edges.dst == auth.node)
+            .select(
+                F.col("src"),
+                (F.col("auth") * F.col("n")).cast("decimal(28,12)").alias("t"),
+            )
+            .groupBy("src")
+            .agg(F.sum("t").alias("raw"))
+        )
+        htot = hraw.agg(F.sum("raw").cast("double").alias("tot"))
+        hub = (
+            nodes.join(hraw, nodes.node == hraw.src, "left")
+            .crossJoin(htot)
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
+                    .cast("double")
+                    / F.col("tot"),
+                    12,
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)  # same double-reference cut
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            F.col("node").alias("event_type"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("authority"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hits_sql() -> str:
+    head = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY date_trunc('ms', ts), event_id)
+           AS dst
+  FROM events
+),
+E AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS n
+  FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM E UNION ALL SELECT dst AS node FROM E
+  )
+),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    rounds = []
+    for i in range(1, _HITS_ROUNDS + 1):
+        rounds.append(f""",
+a{i}raw AS MATERIALIZED (
+  SELECT E.dst AS node, SUM(CAST(h.hub * E.n AS DECIMAL(28,12))) AS raw
+  FROM E JOIN h{i - 1} h ON E.src = h.node GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         ROUND(CAST(COALESCE(r.raw, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               / t.tot, 12) AS auth
+  FROM nodes n
+  LEFT JOIN a{i}raw r ON n.node = r.node,
+       (SELECT CAST(SUM(raw) AS DOUBLE) AS tot FROM a{i}raw) t
+),
+h{i}raw AS MATERIALIZED (
+  SELECT E.src AS node, SUM(CAST(a.auth * E.n AS DECIMAL(28,12))) AS raw
+  FROM E JOIN a{i} a ON E.dst = a.node GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         ROUND(CAST(COALESCE(r.raw, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+               / t.tot, 12) AS hub
+  FROM nodes n
+  LEFT JOIN h{i}raw r ON n.node = r.node,
+       (SELECT CAST(SUM(raw) AS DOUBLE) AS tot FROM h{i}raw) t
+)""")
+    tail = f"""
+SELECT h.node AS event_type,
+       ROUND(h.hub, 6) AS hub,
+       ROUND(a.auth, 6) AS authority
+FROM h{_HITS_ROUNDS} h JOIN a{_HITS_ROUNDS} a ON h.node = a.node
+ORDER BY 1
+"""
+    return head + "".join(rounds) + tail
+
+
+QUERIES["event_type_hits"] = event_type_hits
+ORACLE["event_type_hits"] = _hits_sql()
+
+
+# Registered end-to-end stream #7 (r10): stream-static broadcast
+# enrichment — every micro-batch joins the batch-computed user cohort
+# dim (epoch-aligned 7-day bucket of the user's first event), then a
+# complete-mode cohort×type rollup.  The oracle replays the join+agg in
+# plain SQL; cohort buckets use the integer-microsecond arithmetic of
+# the weekly-stream oracle.
+_ENRICHED_STREAMED_SQL = """
+WITH dim AS (
+  SELECT user_id,
+         make_timestamp(MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % 604800000000)
+           AS cohort_wk
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT d.cohort_wk,
+       e.event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["events_enriched_streamed"] = streams.events_enriched_streamed
+ORACLE["events_enriched_streamed"] = _ENRICHED_STREAMED_SQL

@@ -510,3 +510,104 @@ FROM framed WHERE event_type = 'purchase'
 
 QUERIES["events_attribution_linear"] = events_attribution_linear
 ORACLE["events_attribution_linear"] = _ATTRIBUTION_LINEAR_SQL
+
+
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution (new r10) —
+    the third member of the attribution family: where last-touch gives
+    the final click everything and linear splits evenly, the U-shape
+    credits DISCOVERY and CLOSING — 40% to the first click in the
+    24-hour lookback, 40% to the last, the middle 20% split across
+    interior clicks (1 touch → 100%, 2 touches → 50/50).  Output is
+    per-CLICK attributed revenue across all purchases it influenced —
+    the channel-level rollup marketers actually consume.
+
+    Cross-engine exactness: positions rank on the exact integer
+    microsecond timestamp with event-id tie-breaks; per-click credits
+    are DECIMAL-cast before the cross-purchase sum (order-independent)
+    and the weight arithmetic is identical literal doubles.
+
+    Scale shape: one time-band purchases×clicks join on the user_id
+    shuffle key (pair frame bounded by clicks-per-user within the
+    24 h lookback — the stream-stream join envelope), two
+    purchase-partitioned windows over those bounded frames, one
+    click-keyed credit aggregation."""
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("c_us"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("b_us"),
+        F.col("value"),
+    )
+    pairs = buys.join(clicks, "user_id").filter(
+        (F.col("c_us") >= F.col("b_us") - 86_400_000_000)
+        & (F.col("c_us") <= F.col("b_us") - 1)
+    )
+    wb = Window.partitionBy("buy_id")
+    wo = wb.orderBy(F.col("c_us").asc(), F.col("click_id").asc())
+    pos = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(wb)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(pos == 1, F.lit(0.4))
+        .when(pos == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = pairs.select(
+        "click_id",
+        "user_id",
+        (F.col("value") * weight).cast("decimal(28,12)").alias("credit"),
+    )
+    return credited.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("credit").cast("double"), 6).alias("attributed_revenue"),
+    )
+
+
+_ATTRIBUTION_POSITION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+pairs AS (
+  SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id,
+         c.ts_us AS c_us, b.value
+  FROM ev b JOIN ev c
+    ON b.user_id = c.user_id
+   AND b.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.ts_us >= b.ts_us - 86400000000 AND c.ts_us <= b.ts_us - 1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY buy_id
+                            ORDER BY c_us, click_id) AS pos,
+         COUNT(*) OVER (PARTITION BY buy_id) AS n
+  FROM pairs
+),
+credited AS (
+  SELECT click_id, user_id,
+         -- every branch CAST to DOUBLE: DuckDB parses 0.4 as DECIMAL
+         -- and would divide 0.2/(n-2) in decimal arithmetic, diverging
+         -- from Spark's double path
+         CAST(value * (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                            WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                            WHEN pos = 1 THEN CAST(0.4 AS DOUBLE)
+                            WHEN pos = n THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.2 AS DOUBLE) / (n - 2) END)
+              AS DECIMAL(28,12)) AS credit
+  FROM ranked
+)
+SELECT click_id, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS attributed_revenue
+FROM credited GROUP BY 1, 2
+"""
+
+QUERIES["events_attribution_position"] = events_attribution_position
+ORACLE["events_attribution_position"] = _ATTRIBUTION_POSITION_SQL

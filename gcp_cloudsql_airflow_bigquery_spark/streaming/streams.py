@@ -1089,3 +1089,66 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("last_ts_us"),
         F.col("event_id").alias("last_event_id"),
     )
+
+
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh REGISTERED end-to-end streaming query: the STREAM-STATIC
+    BROADCAST ENRICHMENT shape — the streaming face of the reference's
+    star-schema Dim⋈Fact model (``stage_final_query`` joins staged dims
+    into the fact, reference ``dags/cloudsql_to_bigquery.py:11``) and
+    the last micro-batch mechanism the registered family lacked
+    (tumbling agg #1, stateful dedup #2, stream-stream join #3,
+    exactly-once sink #4, GroupState #5, MERGE upsert #6).
+
+    A static user dimension (signup cohort week = epoch-aligned 7-day
+    bucket of the user's first event) is computed batch-side BEFORE the
+    stream starts — the warehouse-dim-table stand-in — then every
+    micro-batch of the event feed joins it via :func:`enriched_stream`
+    (an explicit broadcast: no stream-side shuffle, no state), feeding
+    a complete-mode cohort×type aggregation.  ``availableNow`` over the
+    static fixture makes the result deterministic and equal to the
+    batch join+agg, so the driver hash-checks the broadcast-join
+    mechanism inside the streaming engine itself.
+
+    Scale shape: the dim is user-cardinality (broadcast here; at real
+    scale feed it from the warehouse and let AQE strategy-pick, or key
+    both sides for a shuffle join — the stream pipeline is unchanged);
+    the agg state is one row per cohort-week×type."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    batch = raw
+    if dict(batch.dtypes).get("ts") == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    dim = (
+        batch.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("us0"))
+        .select(
+            "user_id",
+            F.timestamp_micros(
+                (F.col("us0") - F.col("us0") % week_us)
+            ).alias("cohort_wk"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    agg = (
+        enriched_stream(stream, dim, on="user_id")
+        .groupBy("cohort_wk", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    name = f"events_enriched_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

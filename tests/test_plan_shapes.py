@@ -269,6 +269,9 @@ def test_analyze_table_feeds_cost_based_optimizer(spark, sf_dir):
 #                            max-duration/7 rows (plans/advanced.py)
 #   doc_quality_auc_eval   — score-group grain rank pass, bounded by
 #                            the 1e-6 score quantization (plans/quality.py)
+#   doc_heaps_law          — cumulative token/vocab window over the
+#                            post-aggregation 10-row decile-bucket
+#                            frame (plans/llmdata.py, r10)
 _GLOBAL_WINDOW_ALLOWLIST = {
     "weekly_revenue_growth",
     "events_error_rate_sli",
@@ -276,6 +279,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "doc_mix_resampled",
     "customer_survival_km",
     "doc_quality_auc_eval",
+    "doc_heaps_law",
 }
 
 
