@@ -126,7 +126,8 @@ _MODULES = (
 # events_cuped_adjusted, events_anova_value_by_type, event_type_hits,
 # part_clustering_coefficient, part_item_cf_recs,
 # brand_price_elasticity, events_enriched_streamed (stream #7),
-# events_attribution_position, brand_als_factors — then (b) the
+# events_attribution_position, brand_als_factors, customer_hazard_na,
+# event_state_modularity, doc_chunk_dedup — then (b) the
 # remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,

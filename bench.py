@@ -278,6 +278,11 @@ HEADLINE = [
     ("events_enriched_streamed", events.QUERIES),
     ("events_attribution_position", temporal.QUERIES),
     ("brand_als_factors", advanced.QUERIES),
+    # r10 wave 6: Nelson-Aalen hazard, LPA modularity, chunk-level
+    # dedup (RAG-granularity fingerprint groupBy)
+    ("customer_hazard_na", advanced.QUERIES),
+    ("event_state_modularity", events.QUERIES),
+    ("doc_chunk_dedup", curation.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

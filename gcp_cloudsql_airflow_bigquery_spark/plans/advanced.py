@@ -4063,3 +4063,126 @@ ORDER BY 1
 
 QUERIES["brand_als_factors"] = brand_als_factors
 ORACLE["brand_als_factors"] = _als_sql()
+
+
+def customer_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over customer inter-order gaps
+    (new r10) — the estimator TWIN of ``customer_survival_km``: where
+    KM multiplies survival factors, Nelson-Aalen SUMS the per-bin
+    hazard increments ``d_i/n_i``, is defined even when a bin empties
+    the risk set, and ``exp(−H)`` gives the Fleming-Harrington
+    survival estimate that should track the KM curve.
+
+    Same duration/censoring machinery as KM (LEAD per customer,
+    right-censor at the corpus max date, week bins); the per-bin
+    increment is DECIMAL-cast before the ordered cumulative window so
+    DuckDB's segment-tree and Spark's sequential window sums agree
+    bit-for-bit (the t-closeness cumsum lesson).
+
+    Scale shape: one customer-partitioned window + one bin groupBy;
+    the ordered hazard pass runs over the BIN-GRAIN frame (bounded by
+    max-duration/7 rows at any SF — the documented KM tiny-frame
+    exception to the no-unpartitioned-window rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    dur = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lead("o_orderdate").over(w).alias("nxt"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("maxd", "o_orderdate"))
+            .alias("dur"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    b = dur.groupBy(
+        F.floor(F.col("dur") / F.lit(7.0)).cast("bigint").alias("t_week")
+    ).agg(
+        F.sum("event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("event")).alias("n_censored"),
+    )
+    wall = Window.orderBy("t_week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprev = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, 0)
+    r = b.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wall)
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "inc",
+        (F.col("n_events").cast("double") / F.col("n_risk"))
+        .cast("decimal(28,12)"),
+    )
+    out = r.withColumn("ch", F.sum("inc").over(wc).cast("double"))
+    return out.select(
+        "t_week",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.round("ch", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("ch")), 6).alias("surv_na"),
+    ).orderBy("t_week")
+
+
+_HAZARD_NA_SQL = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+dur AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN DATE_DIFF('day', o_orderdate, nxt)
+              ELSE DATE_DIFF('day', o_orderdate, maxd) END AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders
+  ), maxd
+),
+b AS (
+  SELECT CAST(FLOOR(dur / 7.0) AS BIGINT) AS t_week,
+         SUM(event) AS n_events,
+         SUM(1 - event) AS n_censored
+  FROM dur GROUP BY 1
+),
+r AS (
+  SELECT *,
+         SUM(n_events + n_censored) OVER ()
+           - COALESCE(SUM(n_events + n_censored)
+                        OVER (ORDER BY t_week
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk
+  FROM b
+),
+h AS (
+  SELECT *,
+         CAST(SUM(CAST(CAST(n_events AS DOUBLE) / n_risk
+                       AS DECIMAL(28,12)))
+                OVER (ORDER BY t_week
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS ch
+  FROM r
+)
+SELECT t_week,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       ROUND(ch, 6) AS cum_hazard,
+       ROUND(EXP(-ch), 6) AS surv_na
+FROM h ORDER BY 1
+"""
+
+QUERIES["customer_hazard_na"] = customer_hazard_na
+ORACLE["customer_hazard_na"] = _HAZARD_NA_SQL

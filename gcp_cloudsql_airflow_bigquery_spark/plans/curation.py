@@ -537,3 +537,59 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["doc_context_fit_report"] = doc_context_fit_report
 ORACLE["doc_context_fit_report"] = _CONTEXT_FIT_SQL
+
+
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup report (new r10) — the RAG-index
+    granularity of the dedup family: document-level dedup misses
+    boilerplate that repeats ACROSS distinct documents, but a retrieval
+    index built on 120-char chunks serves the same passage twice unless
+    chunk-level duplicates are collapsed.  Composes the verified
+    ``chunk_text`` window (120/100, the ``doc_chunks`` shape) with an
+    md5 fingerprint groupBy: every chunk text occurring in ≥2 DISTINCT
+    documents is reported with its spread.
+
+    Scale shape: the chunk explode is a narrow per-row transform; the
+    only shuffle keys on the uniform md5 fingerprint (the exact-dedup
+    economics — no all-pairs anything); output is bounded by the
+    duplicated-chunk vocabulary."""
+    chunks = curation.chunk_text(_docs(spark, sf_dir), size=120, stride=100)
+    return (
+        chunks.select(
+            "doc_id", F.md5(F.col("chunk")).alias("chunk_md5")
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_CHUNK_DEDUP_SQL = """
+WITH chunks AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(start AS INT) + 1, 120)) AS chunk_md5
+  FROM documents,
+       UNNEST(generate_series(
+           0,
+           CASE WHEN length(text) <= 120 THEN 0
+                ELSE length(text) - 120 + 99 END,
+           100)) AS t(start)
+  WHERE length(substr(text, CAST(start AS INT) + 1, 120)) > 0
+)
+SELECT chunk_md5,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+QUERIES["doc_chunk_dedup"] = doc_chunk_dedup
+ORACLE["doc_chunk_dedup"] = _CHUNK_DEDUP_SQL

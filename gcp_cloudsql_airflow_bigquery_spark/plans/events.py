@@ -3846,3 +3846,138 @@ GROUP BY 1, 2
 
 QUERIES["events_enriched_streamed"] = streams.events_enriched_streamed
 ORACLE["events_enriched_streamed"] = _ENRICHED_STREAMED_SQL
+
+
+def event_state_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted modularity of the LPA communities (new r10) — the
+    QUALITY metric for the community detection the graph family
+    already runs: per community ``Q_c = w_in/W − (w_deg/W)²`` over the
+    symmetrized (event_type, hour) state-transition graph, where W is
+    the total symmetrized weight, ``w_in`` the weight inside the
+    community and ``w_deg`` its total incident weight — Newman's Q by
+    community, summable to the global score.  Communities come from
+    the same deterministic 5-round LPA as ``event_state_communities``,
+    so the oracle replays rounds AND the Q arithmetic.
+
+    Cross-engine exactness: every weight is an exact integer count;
+    the two Q terms are computed from integer sums cast to double in
+    identical expression order and rounded.
+
+    Scale shape: one LEAD shuffle over the fact scan; the state graph
+    is bounded (|types|×24 nodes), so the LPA rounds, the label joins,
+    and the community rollup are all model-sized."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    state = F.concat(
+        F.col("event_type"),
+        F.lit("@"),
+        F.lpad(F.hour("ts").cast("string"), 2, "0"),
+    )
+    he = (
+        e.withColumn("state", state)
+        .withColumn("next_state", F.lead("state").over(w))
+        .filter(F.col("next_state").isNotNull())
+        .groupBy(F.col("state").alias("a"), F.col("next_state").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # model-sized; feeds LPA AND the
+        # symmetrized Q frame without re-deriving the LEAD shuffle
+    )
+    sym = (
+        he.select("a", "b", "n")
+        .unionAll(he.select(F.col("b").alias("a"), F.col("a").alias("b"), "n"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("w"))
+    )
+    # raw directed edges: label_propagation symmetrizes internally
+    # (the event_state_communities contract), so labels here equal the
+    # oracle's rounds over `sym` exactly
+    labels = graph.label_propagation(
+        he, src="a", dst="b", weight="n", rounds=5, broadcast_labels=True
+    ).select(F.col("node"), F.col("community"))
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    tagged = sym.join(la, "a").join(lb, "b")
+    tot = tagged.agg(F.sum("w").alias("W"))
+    per_c = (
+        tagged.groupBy("ca")
+        .agg(
+            F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w"))).alias("w_in"),
+            F.sum("w").alias("w_deg"),
+        )
+        .join(
+            labels.groupBy("community").agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes")
+            ),
+            F.col("ca") == F.col("community"),
+        )
+    )
+    return per_c.crossJoin(F.broadcast(tot)).select(
+        F.col("community"),
+        "n_nodes",
+        F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
+        F.col("w_deg").cast("long").alias("w_deg"),
+        F.round(
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("double") / F.col("W")
+            - (F.col("w_deg").cast("double") / F.col("W"))
+            * (F.col("w_deg").cast("double") / F.col("W")),
+            6,
+        ).alias("q_contribution"),
+    ).orderBy("community")
+
+
+_STATE_MODULARITY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         event_type || '@' ||
+         lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') AS state
+  FROM events
+),
+seq AS (
+  SELECT state,
+         LEAD(state) OVER (PARTITION BY user_id
+                           ORDER BY date_trunc('ms', ts), event_id)
+           AS next_state
+  FROM ev
+),
+he AS (
+  SELECT state AS u, next_state AS v, COUNT(*) AS w
+  FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT u, v, SUM(w) AS w FROM (
+    SELECT u, v, w FROM he
+    UNION ALL
+    SELECT v AS u, u AS v, w FROM he
+  ) WHERE u <> v GROUP BY 1, 2
+),
+{_lpa_unrolled_sql(5)},
+tagged AS (
+  SELECT s.u, s.v, s.w, la.label AS ca, lb.label AS cb
+  FROM sym s JOIN l5 la ON s.u = la.node JOIN l5 lb ON s.v = lb.node
+),
+tot AS (SELECT SUM(w) AS W FROM tagged),
+sizes AS (SELECT label AS community, COUNT(*) AS n_nodes FROM l5 GROUP BY 1),
+per_c AS (
+  SELECT ca AS community,
+         COALESCE(SUM(CASE WHEN ca = cb THEN w END), 0) AS w_in,
+         SUM(w) AS w_deg
+  FROM tagged GROUP BY 1
+)
+SELECT p.community,
+       CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       CAST(p.w_in AS BIGINT) AS w_in,
+       CAST(p.w_deg AS BIGINT) AS w_deg,
+       ROUND(CAST(p.w_in AS DOUBLE) / t.W
+             - (CAST(p.w_deg AS DOUBLE) / t.W)
+               * (CAST(p.w_deg AS DOUBLE) / t.W), 6) AS q_contribution
+FROM per_c p JOIN sizes s ON p.community = s.community, tot t
+ORDER BY 1
+"""
+
+QUERIES["event_state_modularity"] = event_state_modularity
+ORACLE["event_state_modularity"] = _STATE_MODULARITY_SQL

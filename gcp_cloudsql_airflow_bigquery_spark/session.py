@@ -45,6 +45,15 @@ def get_spark(
         # Python DataSource V2 filter pushdown (sources/pysource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage-codegen class cache (static conf, default 100
+        # entries).  A long-lived session running the full registry
+        # (300+ plans; the 150-query bench runs each twice) EVICTS and
+        # RECOMPILES hot generated classes once the distinct-plan count
+        # passes the cache size — measured 2-2.6x slowdowns on the
+        # codegen-heavy unrolled queries (pagerank 5.1->13.2 s,
+        # kcenter 3.7->12.6 s) in a 150-query session vs solo.  2000
+        # entries ≈ tens of MB of class metadata — cheap on any driver.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -280,6 +280,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "customer_survival_km",
     "doc_quality_auc_eval",
     "doc_heaps_law",
+    # customer_hazard_na — same bin-grain frame as customer_survival_km
+    "customer_hazard_na",
 }
 
 
