@@ -283,6 +283,10 @@ HEADLINE = [
     ("customer_hazard_na", advanced.QUERIES),
     ("event_state_modularity", events.QUERIES),
     ("doc_chunk_dedup", curation.QUERIES),
+    # r10 wave 7: 2-D skyline (range-partitioned prefix-max) and the
+    # array HOF surface (zip_with/aggregate fold over lineitem)
+    ("part_skyline_price_size", advanced.QUERIES),
+    ("array_zip_funcs", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

@@ -60,3 +60,79 @@ def geomean_udaf():
         return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
 
     return geomean
+
+
+def skyline_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other —
+    no other row has ``cost ≤`` AND ``gain ≥`` with one strict.  The
+    multi-objective "best trade-offs" operator (cheapest-for-its-size
+    parts, fastest-for-its-recall ANN configs, …).
+
+    Scale-correct formulation — never a bare ``Window.orderBy`` over
+    the SF-scaling input:
+
+    1. one aggregation to the COST-GRAIN frame (max gain per distinct
+       cost);
+    2. a range-partitioned prefix-max over that frame: per-partition
+       running max (``Window.partitionBy(_pid)``), plus each
+       partition's max broadcast back as "all earlier partitions" via
+       the strict-lower-pid self-join aggregate (the lazy
+       ``global_rank`` offsets idiom — partition-count² pairs, i.e.
+       nothing);
+    3. a survivor test joined back to the data: keep a row iff its
+       gain exceeds every STRICTLY-cheaper cost's best gain and ties
+       the best gain AT its own cost (equal cost+gain rows are
+       mutually non-dominating and all survive).
+
+    Works for any orderable cost/gain; comparisons are exact on the
+    input values (no floats introduced)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    best = df.groupBy(F.col(cost_col).alias("_cost")).agg(
+        F.max(F.col(gain_col)).alias("_best")
+    )
+    ranged = (
+        best.repartitionByRange(num_partitions, "_cost")
+        if num_partitions
+        else best.repartitionByRange("_cost")
+    ).sortWithinPartitions("_cost")
+    part = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    pmax = part.groupBy("_pid").agg(F.max("_best").alias("_pmax"))
+    lower = pmax.select(
+        F.col("_pid").alias("_pid2"), F.col("_pmax").alias("_pmax2")
+    )
+    off = (
+        pmax.join(lower, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_pmax2").alias("_off"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_cost")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn(
+            "_prev",
+            F.greatest(
+                F.coalesce(F.max("_best").over(w), F.col("_off")),
+                F.col("_off"),
+            ),
+        )
+        .filter(F.col("_prev").isNull() | (F.col("_best") > F.col("_prev")))
+        .select("_cost", "_best")
+    )
+    return df.join(
+        frontier,
+        (df[cost_col] == frontier["_cost"]) & (df[gain_col] == frontier["_best"]),
+        "inner",
+    ).drop("_cost", "_best")

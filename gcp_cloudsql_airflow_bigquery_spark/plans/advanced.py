@@ -3935,7 +3935,8 @@ def brand_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("r")
         )
-        .localCheckpoint(eager=True)  # re-scanned by all 6 half-steps
+        .localCheckpoint(eager=False)  # re-scanned by all 6 half-steps
+        # (lazy cut: one materialization inside the output job)
     )
     q = ratings.select("brand").distinct().select(
         "brand",
@@ -3956,12 +3957,12 @@ def brand_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratings.join(q, "brand"), "custkey", "q1", "q2"
         ).select(
             "custkey", F.col("x1").alias("p1"), F.col("x2").alias("p2")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         q = _als_solve(
             ratings.join(pfac, "custkey"), "brand", "p1", "p2"
         ).select(
             "brand", F.col("x1").alias("q1"), F.col("x2").alias("q2")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     scored = (
         ratings.join(pfac, "custkey")
         .join(q, "brand")
@@ -4186,3 +4187,112 @@ FROM h ORDER BY 1
 
 QUERIES["customer_hazard_na"] = customer_hazard_na
 ORACLE["customer_hazard_na"] = _HAZARD_NA_SQL
+
+
+def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier of the part catalog (new r10):
+    the parts no buyer can strictly improve on — no other part is both
+    cheaper (retail price) and larger (size).  The multi-objective
+    complement of the single-axis top-k family, via
+    ``operators/stats.skyline_2d``'s range-partitioned prefix-max (the
+    scale-correct formulation — the cost-grain frame never lands on
+    one task).
+
+    Exactness: price is DECIMAL-cast once on both engines before any
+    comparison, so dominance tests are exact; no floats are produced.
+
+    Scale shape: one cost-grain aggregation + one range shuffle of
+    that frame + a partition-count² offsets self-join + one equi-join
+    back to the catalog scan."""
+    from ..operators.stats import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    return skyline_2d(p, "price", "size").select(
+        "p_partkey",
+        "p_brand",
+        # dominance compares ran on the exact decimal; the OUTPUT cell
+        # goes out as double (a Spark Decimal cell pandas-lands as
+        # object vs DuckDB's float64 — the json_funcs dtype lesson)
+        F.col("price").cast("double").alias("price"),
+        F.col("size").cast("int").alias("size"),
+    )
+
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+         p_size AS size
+  FROM part
+)
+SELECT p_partkey, p_brand, CAST(price AS DOUBLE) AS price,
+       CAST(size AS INT) AS size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+"""
+
+QUERIES["part_skyline_price_size"] = part_skyline_price_size
+ORACLE["part_skyline_price_size"] = _SKYLINE_SQL
+
+
+def array_zip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (new r10): per order, the
+    line quantities and prices are collected into ``l_linenumber``-
+    sorted arrays, combined with ``zip_with`` (elementwise product),
+    folded with ``aggregate`` into a DECIMAL-exact total, and probed
+    with ``array_max``/``size``/``exists`` — the arrays-of-structs
+    HOF row next to ``map_struct_funcs``'s map HOFs.  All HOFs are
+    whole-stage-codegen expressions; the fold accumulates DECIMAL so
+    Spark's in-array order and DuckDB's aggregate order agree exactly.
+
+    Scale shape: one orderkey aggregation; arrays are bounded by lines
+    per order (≤7 in TPC-H at any SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("lines")
+    )
+    qty = F.transform(F.col("lines"), lambda s: s["l_quantity"])
+    price = F.transform(F.col("lines"), lambda s: s["l_extendedprice"])
+    prods = F.zip_with(
+        qty, price, lambda q, p: (q * p).cast("decimal(28,6)")
+    )
+    total = F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(28,6)"),
+        # aggregate() requires merge-out type == zero type; decimal
+        # addition widens (28,6)+(28,6) -> (29,6), so re-pin the scale
+        lambda acc, x: (acc + x).cast("decimal(28,6)"),
+    )
+    return per_order.select(
+        "orderkey",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.array_max(qty).alias("max_qty"),
+        F.exists(qty, lambda q: q >= 50).alias("has_bulk_line"),
+        F.round(total.cast("double"), 2).alias("qty_weighted_total"),
+    )
+
+
+_ARRAY_ZIP_SQL = """
+SELECT l_orderkey AS orderkey,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       MAX(l_quantity) AS max_qty,
+       BOOL_OR(l_quantity >= 50) AS has_bulk_line,
+       ROUND(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE), 2) AS qty_weighted_total
+FROM lineitem
+GROUP BY 1
+"""
+
+QUERIES["array_zip_funcs"] = array_zip_funcs
+ORACLE["array_zip_funcs"] = _ARRAY_ZIP_SQL

@@ -3689,7 +3689,9 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # model-sized (|types|²)
+        .localCheckpoint(eager=False)  # model-sized (|types|²); LAZY:
+        # the logical-plan cut (what prevents lineage blowup) happens
+        # at call time, materialization folds into the one output job
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -3723,9 +3725,12 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # each half-step references the raw frame TWICE (per-node
             # join + total); without a lineage cut the plan doubles
-            # twice per round — 4^rounds analysis blowup.  The frame
-            # is |types|-sized, so the eager cut is free.
-            .localCheckpoint(eager=True)
+            # twice per round — 4^rounds analysis blowup.  The cut is
+            # the LOGICAL-plan truncation, which lazy localCheckpoint
+            # performs at call time; eager=False folds all 16
+            # half-step materializations into the single output job
+            # instead of paying 16 construction-time driver jobs.
+            .localCheckpoint(eager=False)
         )
         hraw = (
             edges.join(auth, edges.dst == auth.node)
@@ -3749,7 +3754,7 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("hub"),
             )
-            .localCheckpoint(eager=True)  # same double-reference cut
+            .localCheckpoint(eager=False)  # same double-reference cut, lazy
         )
     return (
         hub.join(auth, "node")
@@ -3883,8 +3888,9 @@ def event_state_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_state").isNotNull())
         .groupBy(F.col("state").alias("a"), F.col("next_state").alias("b"))
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)  # model-sized; feeds LPA AND the
+        .localCheckpoint(eager=False)  # model-sized; feeds LPA AND the
         # symmetrized Q frame without re-deriving the LEAD shuffle
+        # (lazy: cut at call time, materialized by the output job)
     )
     sym = (
         he.select("a", "b", "n")

@@ -144,3 +144,77 @@ def test_chunk_dedup_matches_python_replay(spark, sf_dir):
         if len(set(ds)) >= 2
     }
     assert got == expect
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    got = {
+        r.p_partkey
+        for r in advanced.QUERIES["part_skyline_price_size"](
+            spark, sf_dir
+        ).collect()
+    }
+    parts = [
+        (r.p_partkey, round(r.p_retailprice, 2), r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    expect = {
+        k
+        for k, c, g in parts
+        if not any(
+            c2 <= c and g2 >= g and (c2 < c or g2 > g)
+            for _k2, c2, g2 in parts
+        )
+    }
+    assert got == expect
+    assert expect  # fixture produces a nonempty frontier
+    # frontier is an antichain: strictly increasing size as price rises
+    front = sorted((c, g) for k, c, g in parts if k in expect)
+    for (c1, g1), (c2, g2) in zip(front, front[1:]):
+        assert c1 < c2 or (c1 == c2 and g1 == g2)
+        if c1 < c2:
+            assert g2 > g1
+
+
+def test_skyline_operator_multipartition_equivalence(spark):
+    """skyline_2d over a forced multi-partition range layout equals the
+    brute-force dominance set, including cost and gain ties."""
+    from gcp_cloudsql_airflow_bigquery_spark.operators.stats import skyline_2d
+
+    rows = [
+        (1, 10, 5), (2, 10, 9), (3, 10, 9), (4, 11, 9), (5, 12, 10),
+        (6, 12, 10), (7, 13, 1), (8, 9, 2), (9, 9, 2), (10, 20, 11),
+        (11, 20, 12), (12, 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "id int, cost int, gain int")
+    got = {r.id for r in skyline_2d(df, "cost", "gain", num_partitions=5).collect()}
+    expect = {
+        i
+        for i, c, g in rows
+        if not any(
+            c2 <= c and g2 >= g and (c2 < c or g2 > g) for _i, c2, g2 in rows
+        )
+    }
+    assert got == expect
+
+
+def test_array_zip_funcs_matches_python(spark, sf_dir):
+    from gcp_cloudsql_airflow_bigquery_spark.plans import advanced
+
+    got = {
+        r.orderkey: (r.n_lines, r.max_qty, r.has_bulk_line, r.qty_weighted_total)
+        for r in advanced.QUERIES["array_zip_funcs"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    per: dict[int, list] = defaultdict(list)
+    for r in li:
+        per[r.l_orderkey].append((r.l_quantity, r.l_extendedprice))
+    assert set(got) == set(per)
+    for ok, lines in per.items():
+        n = len(lines)
+        mq = max(q for q, _ in lines)
+        bulk = any(q >= 50 for q, _ in lines)
+        tot = round(sum(round(q * p, 6) for q, p in lines), 2)
+        assert got[ok][0] == n and got[ok][1] == mq and got[ok][2] == bulk, ok
+        assert abs(got[ok][3] - tot) < 1e-6, ok
