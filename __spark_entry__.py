@@ -128,7 +128,10 @@ _MODULES = (
 # brand_price_elasticity, events_enriched_streamed (stream #7),
 # events_attribution_position, brand_als_factors, customer_hazard_na,
 # event_state_modularity, doc_chunk_dedup, part_skyline_price_size,
-# array_zip_funcs — then (b) the remaining 40
+# array_zip_funcs, customer_logrank_test, nation_weekly_spearman,
+# events_mann_whitney, event_type_reachability,
+# events_interarrival_burstiness, events_heavy_hitters_streamed
+# (stream #8) — then (b) the remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

@@ -287,6 +287,14 @@ HEADLINE = [
     # array HOF surface (zip_with/aggregate fold over lineitem)
     ("part_skyline_price_size", advanced.QUERIES),
     ("array_zip_funcs", advanced.QUERIES),
+    # r10 wave 8: survival comparison, rank statistics, recursive
+    # closure, burstiness census, and registered stream #8
+    ("customer_logrank_test", advanced.QUERIES),
+    ("nation_weekly_spearman", advanced.QUERIES),
+    ("events_mann_whitney", events.QUERIES),
+    ("event_type_reachability", events.QUERIES),
+    ("events_interarrival_burstiness", events.QUERIES),
+    ("events_heavy_hitters_streamed", events.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

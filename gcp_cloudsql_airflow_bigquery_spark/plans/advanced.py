@@ -4296,3 +4296,261 @@ GROUP BY 1
 
 QUERIES["array_zip_funcs"] = array_zip_funcs
 ORACLE["array_zip_funcs"] = _ARRAY_ZIP_SQL
+
+
+def customer_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (new r10): does the BUILDING market segment
+    re-order at a different tempo than everyone else?  Runs the
+    standard two-group log-rank over the same right-censored
+    inter-order gap frame as ``customer_survival_km`` — per week bin
+    the observed group-1 events are compared to their hypergeometric
+    expectation ``d_j * n1_j / n_j`` and the Mantel-Haenszel variance
+    accumulates ``d_j (n1_j/n_j)(1-n1_j/n_j)(n_j-d_j)/(n_j-1)``; the
+    chi-square is ``U^2/V`` with 1 dof compared to 3.8415 (both sides
+    ROUNDED, the boundary-tie rule).  The survival-curve COMPARISON
+    member of the survival family (KM estimates one curve,
+    Nelson-Aalen its hazard; log-rank decides whether two differ).
+
+    Scale shape: one per-customer LEAD window, one bin-grain groupBy
+    pivoted to per-group columns, then ordered windows over the
+    BIN-GRAIN frame (bounded by the calendar span / 7 regardless of
+    SF — the documented KM bound) and a 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    dur = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lead("o_orderdate").over(w).alias("nxt"),
+        )
+        .join(c, "o_custkey")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(), F.datediff("nxt", "o_orderdate")
+            )
+            .otherwise(F.datediff("maxd", "o_orderdate"))
+            .alias("dur"),
+            F.col("nxt").isNotNull().cast("int").alias("event"),
+            "g1",
+        )
+    )
+    b = dur.groupBy(
+        F.floor(F.col("dur") / F.lit(7.0)).cast("bigint").alias("t_week")
+    ).agg(
+        F.sum(F.col("event") * F.col("g1")).alias("d1"),
+        F.sum("event").alias("d"),
+        F.sum("g1").alias("x1"),
+        F.count(F.lit(1)).alias("x"),
+    )
+    wprev = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("t_week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = b.select(
+        "t_week",
+        "d1",
+        "d",
+        (
+            F.sum("x1").over(wall) - F.coalesce(F.sum("x1").over(wprev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("x").over(wall) - F.coalesce(F.sum("x").over(wprev), F.lit(0))
+        ).alias("n"),
+    ).filter(F.col("d") > 0)
+    term_u = F.col("d1") - F.col("d") * F.col("n1") / F.col("n")
+    term_v = (
+        F.col("d")
+        * (F.col("n1") / F.col("n"))
+        * (1 - F.col("n1") / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+    )
+    agg = r.agg(
+        F.sum("d1").cast("bigint").alias("events_g1"),
+        (F.sum("d") - F.sum("d1")).cast("bigint").alias("events_g0"),
+        F.sum(term_u).alias("u"),
+        F.sum(term_v).alias("v"),
+    )
+    chi2 = F.round(F.col("u") * F.col("u") / F.nullif(F.col("v"), F.lit(0.0)), 4)
+    return agg.select(
+        "events_g1",
+        "events_g0",
+        F.round("u", 4).alias("observed_minus_expected"),
+        F.round("v", 4).alias("variance"),
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > 3.8415, F.lit(False)).alias("significant"),
+    )
+
+
+_LOGRANK_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+m AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+dur AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, maxd) END AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+  FROM o JOIN customer ON c_custkey = o_custkey, m
+),
+b AS (
+  SELECT CAST(FLOOR(dur / 7.0) AS BIGINT) AS t_week,
+         SUM(event * g1) AS d1, SUM(event) AS d,
+         SUM(g1) AS x1, COUNT(*) AS x
+  FROM dur GROUP BY 1
+),
+r AS (
+  SELECT t_week, d1, d,
+         SUM(x1) OVER () - COALESCE(SUM(x1) OVER (
+           ORDER BY t_week ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n1,
+         SUM(x) OVER () - COALESCE(SUM(x) OVER (
+           ORDER BY t_week ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n
+  FROM b
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS events_g1,
+         CAST(SUM(d) - SUM(d1) AS BIGINT) AS events_g0,
+         SUM(d1 - d * n1 * 1.0 / n) AS u,
+         SUM(d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d)
+             / NULLIF(CAST(n - 1 AS DOUBLE), 0)) AS v
+  FROM r WHERE d > 0
+)
+SELECT events_g1, events_g0,
+       ROUND(u, 4) AS observed_minus_expected,
+       ROUND(v, 4) AS variance,
+       ROUND(u * u / NULLIF(v, 0), 4) AS chi2,
+       COALESCE(ROUND(u * u / NULLIF(v, 0), 4) > 3.8415, FALSE)
+         AS significant
+FROM agg
+"""
+
+QUERIES["customer_logrank_test"] = customer_logrank_test
+ORACLE["customer_logrank_test"] = _LOGRANK_SQL
+
+
+def nation_weekly_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (new r10): per nation, does weekly
+    order VOLUME move with weekly revenue?  The rank-based
+    (monotone-association) member of the correlation family next to
+    Pearson ``brand_price_qty_corr`` — robust to the heavy-tailed
+    revenue distribution because only ranks enter the estimate.
+    Tied weeks take AVERAGE (midrank) fractional ranks via
+    ``RANK() + (tie_count - 1)/2`` — identical arithmetic on both
+    engines — and revenue ties are made exact by ranking the
+    DECIMAL-cast weekly sum (never a float).  Spearman rho is then
+    Pearson ``corr`` of the two midrank columns.
+
+    Scale shape: one (nation, week) aggregation over the orders ⨝
+    customer ⨝ nation star; the rank windows partition BY NATION over
+    week-grain frames (bounded by the calendar span, ~25 × ~400 rows
+    at any SF); one per-nation corr aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    wk = (
+        o.join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy(
+            "n_name",
+            F.weekofyear("o_orderdate").alias("_wk"),
+            F.year("o_orderdate").alias("_yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    wn = Window.partitionBy("n_name")
+    # DOUBLED midranks stay integral (rank + (ties-1)/2 halves), so all
+    # correlation sums below are exact bigints; rho is scale-invariant.
+    ranked = wk.select(
+        "n_name",
+        (
+            2 * F.rank().over(wn.orderBy("n_orders"))
+            + F.count(F.lit(1)).over(wn.partitionBy("n_name", "n_orders"))
+            - 1
+        ).alias("x"),
+        (
+            2 * F.rank().over(wn.orderBy("rev"))
+            + F.count(F.lit(1)).over(wn.partitionBy("n_name", "rev"))
+            - 1
+        ).alias("y"),
+    )
+    s = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_weeks") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n_weeks") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "n_name",
+        "n_weeks",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+    ).orderBy("n_name")
+
+
+_SPEARMAN_SQL = """
+WITH wk AS (
+  SELECT n_name, week(o_orderdate) AS _wk, year(o_orderdate) AS _yr,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT n_name,
+         2 * RANK() OVER (PARTITION BY n_name ORDER BY n_orders)
+           + COUNT(*) OVER (PARTITION BY n_name, n_orders) - 1 AS x,
+         2 * RANK() OVER (PARTITION BY n_name ORDER BY rev)
+           + COUNT(*) OVER (PARTITION BY n_name, rev) - 1 AS y
+  FROM wk
+),
+s AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n_weeks,
+       ROUND(CAST(n_weeks * sxy - sx * sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(n_weeks * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n_weeks * syy - sy * sy AS DOUBLE)), 0), 6)
+         AS spearman_rho
+FROM s ORDER BY 1
+"""
+
+QUERIES["nation_weekly_spearman"] = nation_weekly_spearman
+ORACLE["nation_weekly_spearman"] = _SPEARMAN_SQL

@@ -3987,3 +3987,353 @@ ORDER BY 1
 
 QUERIES["event_state_modularity"] = event_state_modularity
 ORACLE["event_state_modularity"] = _STATE_MODULARITY_SQL
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (new r10): do the md5-assigned A/B
+    user cohorts see different VALUE distributions?  The
+    nonparametric complement of ``events_welch_ttest`` — rank-based,
+    so heavy tails and outliers cannot dominate the statistic.  Values
+    are quantized onto the fixed 256-bin grid (the ``events_ks_drift``
+    idiom), ties take midranks, and the normal approximation applies
+    the standard tie-corrected variance.  All rank sums run in EXACT
+    integer/decimal arithmetic (doubled ranks keep the ±0.5 midranks
+    integral); only the final z division is floating point, so both
+    engines see bit-identical inputs.
+
+    Scale shape: vmax is a 1-row broadcast; one (bin, variant) count
+    aggregation; the rank windows run over the FIXED 256-bin grid
+    (bounded by construction); one 1-row final aggregate.  Grid
+    quantization is the documented approximation — exact midranks
+    need a global value sort that the grid statistic converges to."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    vmax = ev.agg(F.max("value").alias("vmax"))
+    binned = (
+        ev.crossJoin(F.broadcast(vmax))
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.col("vmax") * 256), F.lit(255)
+            )
+            .cast("int")
+            .alias("bin"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 1
+                ).isin(*"01234567"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").cast("long").alias("na"),
+            F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("nb"),
+        )
+        .withColumn("n", F.col("na") + F.col("nb"))
+    )
+    wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    r = binned.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(wprev), F.lit(0))
+    )
+    # doubled midrank of every row in this bin: 2*cum_before + n + 1
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = r.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(
+            dec(F.col("na")) * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).alias("ra2"),
+        F.sum(dec(F.col("n")) * F.col("n") * F.col("n") - F.col("n")).alias(
+            "ties"
+        ),
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    u2 = F.col("ra2") - dec(F.col("n_a")) * (F.col("n_a") + 1)  # 2*U_A
+    mean2 = dec(F.col("n_a")) * F.col("n_b")  # 2*mean(U)
+    var = (
+        (dec(F.col("n_a")) * F.col("n_b")).cast("double")
+        / 12.0
+        * (
+            (n_tot + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (dec(n_tot) * (n_tot - 1)).cast("double")
+        )
+    )
+    z = F.round(
+        (u2 - mean2).cast("double") / 2.0 / F.nullif(F.sqrt(var), F.lit(0.0)),
+        4,
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2 / 2).cast("double").alias("u_stat"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH ev AS (
+  SELECT value,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END
+           AS is_a
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT MAX(value) AS vmax FROM ev),
+b AS (
+  SELECT CAST(LEAST(FLOOR(value / vmax * 256), 255) AS INT) AS bin,
+         CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev, m GROUP BY 1
+),
+r AS (
+  SELECT *, COALESCE(SUM(n) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+  FROM b
+),
+agg AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nb) AS BIGINT) AS n_b,
+         SUM(CAST(na AS DECIMAL(38,0)) * (2 * cum_before + n + 1)) AS ra2,
+         SUM(CAST(n AS DECIMAL(38,0)) * n * n - n) AS ties
+  FROM r
+)
+SELECT n_a, n_b,
+       CAST((ra2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) / 2 AS DOUBLE)
+         AS u_stat,
+       ROUND(CAST(ra2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+                  - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) / 2.0
+             / NULLIF(SQRT(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+                 / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST(CAST(n_a + n_b AS DECIMAL(38,0))
+                             * (n_a + n_b - 1) AS DOUBLE))), 0), 4)
+         AS zscore,
+       COALESCE(ABS(ROUND(CAST(ra2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+                  - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) / 2.0
+             / NULLIF(SQRT(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+                 / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST(CAST(n_a + n_b AS DECIMAL(38,0))
+                             * (n_a + n_b - 1) AS DOUBLE))), 0), 4)) > 1.96,
+                FALSE) AS significant
+FROM agg
+"""
+
+QUERIES["events_mann_whitney"] = events_mann_whitney
+ORACLE["events_mann_whitney"] = _MANN_WHITNEY_SQL
+
+
+def event_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with minimum hop counts (new r10): which
+    event types can REACH which others through observed consecutive
+    transitions, and in how few steps — the recursive-query surface
+    (DuckDB replays it as ``WITH RECURSIVE`` BFS) expressed Spark-side
+    as a semi-naive frontier loop over the MODEL-SIZED type graph.
+    Each round extends only the newest frontier by one edge hop and
+    anti-joins against everything already reached, so a pair's first
+    appearance IS its minimum hop count; hops are capped at 6 on both
+    engines (every pair of this |types|-node graph is settled well
+    before that — the cap just bounds the recursion).
+
+    Scale shape: the LEAD window shuffles on user_id once; every graph
+    frame after the distinct is |types|²-bounded (≤ tens of rows at
+    any SF), each loop round lazily checkpoints the |types|²-sized
+    accumulator to keep the plan linear in rounds."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    edges = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # |types|²-sized; reused 6×
+    )
+    dist = edges.withColumn("hops", F.lit(1))
+    frontier = dist
+    for h in range(2, 7):
+        cand = (
+            frontier.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(
+                edges.select(F.col("src").alias("mid"), "dst"), "mid"
+            )
+            .select("src", "dst")
+            .distinct()
+        )
+        new = cand.join(dist.select("src", "dst"), ["src", "dst"], "left_anti")
+        frontier = new.withColumn("hops", F.lit(h)).localCheckpoint(
+            eager=False
+        )
+        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
+    return dist.select(
+        "src", "dst", F.col("hops").cast("int").alias("hops")
+    ).orderBy("src", "dst")
+
+
+_REACHABILITY_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY date_trunc('ms', ts), event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+),
+walk(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.hops < 6
+)
+SELECT src, dst, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["event_type_reachability"] = event_type_reachability
+ORACLE["event_type_reachability"] = _REACHABILITY_SQL
+
+
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness census (new r10): per user the gaps
+    between consecutive events, summarized as the Goh-Barabási
+    burstiness coefficient ``B = (σ−μ)/(σ+μ)`` (−1 = metronome, 0 =
+    Poisson, →1 = bursty) and the coefficient of variation, reported
+    per activity band.  The human-vs-machine timing profile that
+    complements ``events_bot_regularity``'s entropy screen.
+
+    Numeric determinism: per-user Σgap and Σgap² accumulate EXACTLY
+    (bigint / decimal(38,0) — a µs gap squared overflows bigint), so
+    the per-user σ/μ doubles are bit-identical on both engines; the
+    per-band averages then sum the ROUNDED per-user coefficients as
+    decimals (the plans/relational.py FP-parity pattern).
+
+    Scale shape: one LAG window partitioned by user, one per-user
+    aggregation, one band-grain rollup — no global windows, no
+    collects."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    t = F.unix_micros(F.date_trunc("millisecond", F.col("ts")))
+    gaps = (
+        e.select(
+            "user_id", (t - F.lag(t).over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("sx"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")).alias(
+            "sxx"
+        ),
+    )
+    mu = F.col("sx").cast("double") / F.col("n_gaps")
+    var = F.col("sxx").cast("double") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    stats = per_user.filter(F.col("n_gaps") >= 2).select(
+        "n_gaps",
+        F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6)
+        .cast("decimal(12,6)")
+        .alias("b"),
+        F.round(sigma / F.nullif(mu, F.lit(0.0)), 6)
+        .cast("decimal(12,6)")
+        .alias("cv"),
+    )
+    band = (
+        F.when(F.col("n_gaps") < 10, F.lit("02-09"))
+        .when(F.col("n_gaps") < 100, F.lit("10-99"))
+        .otherwise(F.lit("100+"))
+    )
+    return (
+        stats.groupBy(band.alias("activity_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                (F.sum("b") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("avg_burstiness"),
+            F.round((F.sum("cv") / F.count(F.lit(1))).cast("double"), 6).alias(
+                "avg_cv"
+            ),
+        )
+        .orderBy("activity_band")
+    )
+
+
+_BURSTINESS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(date_trunc('ms', ts))
+           - LAG(epoch_us(date_trunc('ms', ts))) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('ms', ts), event_id) AS gap_us
+  FROM events
+),
+pu AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(gap_us) AS BIGINT) AS sx,
+         SUM(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS sxx
+  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+),
+st AS (
+  SELECT n_gaps,
+         CAST(ROUND((SQRT(GREATEST(CAST(sxx AS DOUBLE) / n_gaps
+                  - (CAST(sx AS DOUBLE) / n_gaps) * (CAST(sx AS DOUBLE) / n_gaps), 0))
+               - CAST(sx AS DOUBLE) / n_gaps)
+              / NULLIF(SQRT(GREATEST(CAST(sxx AS DOUBLE) / n_gaps
+                  - (CAST(sx AS DOUBLE) / n_gaps) * (CAST(sx AS DOUBLE) / n_gaps), 0))
+               + CAST(sx AS DOUBLE) / n_gaps, 0), 6) AS DECIMAL(12,6)) AS b,
+         CAST(ROUND(SQRT(GREATEST(CAST(sxx AS DOUBLE) / n_gaps
+                  - (CAST(sx AS DOUBLE) / n_gaps) * (CAST(sx AS DOUBLE) / n_gaps), 0))
+              / NULLIF(CAST(sx AS DOUBLE) / n_gaps, 0), 6) AS DECIMAL(12,6))
+           AS cv
+  FROM pu WHERE n_gaps >= 2
+)
+SELECT CASE WHEN n_gaps < 10 THEN '02-09'
+            WHEN n_gaps < 100 THEN '10-99' ELSE '100+' END AS activity_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(b) / COUNT(*) AS DOUBLE), 6) AS avg_burstiness,
+       ROUND(CAST(SUM(cv) / COUNT(*) AS DOUBLE), 6) AS avg_cv
+FROM st GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_interarrival_burstiness"] = events_interarrival_burstiness
+ORACLE["events_interarrival_burstiness"] = _BURSTINESS_SQL
+
+
+# Registered end-to-end stream #8 (r10): the bounded-memory sketch
+# shape.  k=8 covers all 8 user_id%8 slots per type, so the MG summary
+# is exact (decrement never fires) and the oracle is the plain batch
+# GROUP BY; n_processed is the per-type feed length.
+_HEAVY_HITTERS_STREAMED_SQL = """
+WITH c AS (
+  SELECT event_type, user_id % 8 AS item, COUNT(*) AS est_count
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(est_count) AS n_processed FROM c GROUP BY 1)
+SELECT c.event_type, CAST(c.item AS BIGINT) AS item,
+       CAST(c.est_count AS BIGINT) AS est_count,
+       CAST(t.n_processed AS BIGINT) AS n_processed
+FROM c JOIN t ON c.event_type = t.event_type
+ORDER BY 1, 2
+"""
+
+QUERIES["events_heavy_hitters_streamed"] = streams.events_heavy_hitters_streamed
+ORACLE["events_heavy_hitters_streamed"] = _HEAVY_HITTERS_STREAMED_SQL

@@ -1152,3 +1152,51 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"events_enriched_streamed_{next(_MEMSINK_SEQ)}"
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth REGISTERED end-to-end streaming query (r10): the
+    BOUNDED-MEMORY SKETCH shape — :func:`misra_gries_stream`'s k-counter
+    GroupState summary driven over the event feed, per event_type, with
+    the item space folded to ``user_id % 8`` cohort slots.  With the
+    counter budget k=8 covering every distinct slot the MG summary is
+    provably EXACT (the decrement branch never fires), which is the
+    same exact-below-capacity contract the repo's HLL/Theta/KLL oracles
+    rely on — so the driver hash-checks the GroupState sketch mechanism
+    itself against a plain batch GROUP BY; the decrement/undercount
+    regime is property-tested in tests/test_streaming.py.
+
+    Scale shape: state is k entries per event_type regardless of feed
+    size — the whole point of the sketch; a single Arrow-batched
+    stateful operator, no shuffle beyond the groupBy key.
+    ``availableNow`` over the static fixture is a single micro-batch,
+    so the one emitted snapshot per key is the final summary."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    feed = stream.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("millisecond", F.col("ts"))).alias(
+            "order_us"
+        ),
+        (F.col("user_id") % 8).alias("item"),
+    )
+    name = f"events_heavy_hitters_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(misra_gries_stream(feed, k=8), name, output_mode="update")
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            F.col("item").cast("bigint").alias("item"),
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("n_processed").cast("bigint").alias("n_processed"),
+        )
+        .orderBy("event_type", "item")
+    )
