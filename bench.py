@@ -295,6 +295,13 @@ HEADLINE = [
     ("event_type_reachability", events.QUERIES),
     ("events_interarrival_burstiness", events.QUERIES),
     ("events_heavy_hitters_streamed", events.QUERIES),
+    # r10 wave 9: stratified/rank tests, CMS sketch, Wasserstein,
+    # LATERAL decorrelation
+    ("orders_cmh_returns", advanced.QUERIES),
+    ("events_kruskal_wallis", events.QUERIES),
+    ("events_user_cms", events.QUERIES),
+    ("events_wasserstein_drift", events.QUERIES),
+    ("lateral_topk_orders", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

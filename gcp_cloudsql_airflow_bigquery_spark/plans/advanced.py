@@ -4554,3 +4554,148 @@ FROM s ORDER BY 1
 
 QUERIES["nation_weekly_spearman"] = nation_weekly_spearman
 ORACLE["nation_weekly_spearman"] = _SPEARMAN_SQL
+
+
+def orders_cmh_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test (new r10): does URGENT/HIGH order
+    priority associate with RETURNED lines (l_returnflag = 'R'),
+    CONTROLLING for ship year?  The stratified 2×2 member of the
+    hypothesis-test family — the calendar confounds both priority mix
+    and returns, so the marginal chi-square (``events_weekday_chi2``'s
+    shape) would be Simpson-vulnerable; CMH pools the per-stratum
+    evidence instead.  Continuity-corrected ``(|U|-0.5)²/V`` against
+    the 1-dof 3.8415 critical value, both sides ROUNDED (the
+    boundary-tie rule).  All margins are exact integers; only the
+    final ratio is floating point.
+
+    Scale shape: one lineitem⨝orders join (both SF-scaling — the join
+    shuffles on orderkey and Catalyst/AQE picks the strategy, no
+    hints), one stratum-grain aggregation (|ship years| = 7 rows), one
+    1-row rollup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.year("l_shipdate").alias("ship_year"),
+        (F.col("l_returnflag") == "R").cast("int").alias("late"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("exposed"),
+    )
+    strata = (
+        li.join(o, "l_orderkey")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("exposed").alias("r1"),
+            F.sum("late").alias("c1"),
+            F.sum(F.col("exposed") * F.col("late")).alias("a"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    u_term = F.col("a") - F.col("r1") * F.col("c1") / F.col("n")
+    v_term = (
+        F.col("r1")
+        * (F.col("n") - F.col("r1"))
+        * F.col("c1")
+        * (F.col("n") - F.col("c1"))
+        / (
+            F.col("n").cast("double")
+            * F.col("n")
+            * (F.col("n") - 1)
+        )
+    )
+    agg = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("exposed_late"),
+        F.sum(u_term).alias("u"),
+        F.sum(v_term).alias("v"),
+    )
+    chi2 = F.round(
+        (F.abs(F.col("u")) - 0.5)
+        * (F.abs(F.col("u")) - 0.5)
+        / F.nullif(F.col("v"), F.lit(0.0)),
+        4,
+    )
+    return agg.select(
+        "n_strata",
+        "exposed_late",
+        F.round("u", 4).alias("observed_minus_expected"),
+        F.round("v", 4).alias("variance"),
+        chi2.alias("chi2_cmh"),
+        F.coalesce(chi2 > 3.8415, F.lit(False)).alias("significant"),
+    )
+
+
+_CMH_SQL = """
+WITH s AS (
+  SELECT year(l_shipdate) AS ship_year, COUNT(*) AS n,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS r1,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                   AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS a
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1 HAVING COUNT(*) > 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(a) AS BIGINT) AS exposed_late,
+         SUM(a - r1 * c1 * 1.0 / n) AS u,
+         SUM(r1 * (n - r1) * c1 * (n - c1)
+             / (CAST(n AS DOUBLE) * n * (n - 1))) AS v
+  FROM s
+)
+SELECT n_strata, exposed_late,
+       ROUND(u, 4) AS observed_minus_expected,
+       ROUND(v, 4) AS variance,
+       ROUND((ABS(u) - 0.5) * (ABS(u) - 0.5) / NULLIF(v, 0), 4) AS chi2_cmh,
+       COALESCE(ROUND((ABS(u) - 0.5) * (ABS(u) - 0.5) / NULLIF(v, 0), 4)
+                > 3.8415, FALSE) AS significant
+FROM agg
+"""
+
+QUERIES["orders_cmh_returns"] = orders_cmh_returns
+ORACLE["orders_cmh_returns"] = _CMH_SQL
+
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (new r10):
+    each high-balance customer's three priciest orders, through the
+    ``spark.sql`` surface — the LATERAL row of the subquery family
+    (EXISTS/IN/scalar already covered).  Catalyst decorrelates the
+    per-row limit into a ranked window under a DomainJoin, so the
+    declarative form compiles to the same shuffle shape as the manual
+    ``topk_per_group`` window — asserted by the unit test comparing
+    both formulations row-for-row.
+
+    Scale shape: one customer-filtered join against orders (AQE picks
+    the strategy), one per-customer top-3 — no driver loops, no
+    collects; the filter prunes the probe side before the join."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+WHERE c.c_acctbal > 9000
+"""
+
+QUERIES["lateral_topk_orders"] = lateral_topk_orders
+ORACLE["lateral_topk_orders"] = _LATERAL_TOPK_SQL

@@ -4337,3 +4337,373 @@ ORDER BY 1, 2
 
 QUERIES["events_heavy_hitters_streamed"] = streams.events_heavy_hitters_streamed
 ORACLE["events_heavy_hitters_streamed"] = _HEAVY_HITTERS_STREAMED_SQL
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (new r10): do the five event types draw
+    VALUE from the same distribution?  The k-group nonparametric
+    companion to ``events_anova_value_by_type`` (parametric F) and
+    ``events_mann_whitney`` (two groups), on the same fixed 256-bin
+    grid with midrank ties.  Rank sums accumulate as exact decimals
+    (doubled midranks stay integral); the tie-corrected statistic
+    ``H/C`` is judged against the Wilson-Hilferty 95th-percentile
+    chi-square with DERIVED dof = groups−1 (the r9 chi² lesson — never
+    a hard-coded table row for a data-dependent dof).
+
+    Scale shape: 1-row vmax broadcast; one (bin, type) aggregation;
+    windows over the FIXED 256-bin grid; a groups-grain rollup and a
+    1-row final aggregate."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    vmax = ev.agg(F.max("value").alias("vmax"))
+    binned = (
+        ev.crossJoin(F.broadcast(vmax))
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / F.col("vmax") * 256), F.lit(255))
+            .cast("int")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("ng"))
+    )
+    bins = binned.groupBy("bin").agg(F.sum("ng").alias("n"))
+    wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    bins = bins.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(wprev), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_group = (
+        binned.join(bins, "bin")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ng").alias("n_g"),
+            F.sum(
+                dec(F.col("ng")) * (2 * F.col("cum_before") + F.col("n") + 1)
+            ).alias("r2"),
+        )
+    )
+    ties = bins.agg(
+        F.sum(dec(F.col("n")) * F.col("n") * F.col("n") - F.col("n")).alias(
+            "ties"
+        )
+    )
+    agg = (
+        per_group.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_g").cast("bigint").alias("n_total"),
+            F.sum(
+                (dec(F.col("r2")) * F.col("r2")).cast("double")
+                / 4.0
+                / F.col("n_g")
+            ).alias("rsum"),
+        )
+        .crossJoin(ties)
+    )
+    n = F.col("n_total")
+    h = 12.0 / (n * (n + 1)).cast("double") * F.col("rsum") - 3.0 * (
+        n + 1
+    ).cast("double")
+    c = 1.0 - F.col("ties").cast("double") / (
+        dec(n) * n * n - n
+    ).cast("double")
+    hc = F.round(h / F.nullif(c, F.lit(0.0)), 4)
+    dof = (F.col("n_groups") - 1).cast("double")
+    crit = F.round(
+        dof
+        * F.pow(
+            1.0 - 2.0 / (9.0 * dof) + 1.6449 * F.sqrt(2.0 / (9.0 * dof)), 3.0
+        ),
+        4,
+    )
+    return agg.select(
+        "n_groups",
+        "n_total",
+        F.round(h, 4).alias("h_stat"),
+        hc.alias("h_corrected"),
+        crit.alias("crit_95"),
+        F.coalesce(hc > crit, F.lit(False)).alias("significant"),
+    )
+
+
+_KRUSKAL_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT MAX(value) AS vmax FROM ev),
+binned AS (
+  SELECT event_type,
+         CAST(LEAST(FLOOR(value / vmax * 256), 255) AS INT) AS bin,
+         COUNT(*) AS ng
+  FROM ev, m GROUP BY 1, 2
+),
+bins AS (
+  SELECT bin, SUM(ng) AS n,
+         COALESCE(SUM(SUM(ng)) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM binned GROUP BY bin
+),
+pg AS (
+  SELECT event_type, SUM(ng) AS n_g,
+         SUM(CAST(ng AS DECIMAL(38,0)) * (2 * cum_before + n + 1)) AS r2
+  FROM binned JOIN bins USING (bin) GROUP BY 1
+),
+t AS (
+  SELECT SUM(CAST(n AS DECIMAL(38,0)) * n * n - n) AS ties FROM bins
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n_total,
+         SUM(CAST(CAST(r2 AS DECIMAL(38,0)) * r2 AS DOUBLE) / 4.0 / n_g)
+           AS rsum,
+         MAX(ties) AS ties
+  FROM pg, t
+)
+SELECT n_groups, n_total,
+       ROUND(12.0 / CAST(n_total * (n_total + 1) AS DOUBLE) * rsum
+             - 3.0 * (n_total + 1), 4) AS h_stat,
+       ROUND((12.0 / CAST(n_total * (n_total + 1) AS DOUBLE) * rsum
+             - 3.0 * (n_total + 1))
+             / NULLIF(1.0 - CAST(ties AS DOUBLE)
+               / CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
+                      - n_total AS DOUBLE), 0), 4) AS h_corrected,
+       ROUND((n_groups - 1) * POW(1.0 - 2.0 / (9.0 * (n_groups - 1))
+             + 1.6449 * SQRT(2.0 / (9.0 * (n_groups - 1))), 3), 4)
+         AS crit_95,
+       COALESCE(
+         ROUND((12.0 / CAST(n_total * (n_total + 1) AS DOUBLE) * rsum
+               - 3.0 * (n_total + 1))
+               / NULLIF(1.0 - CAST(ties AS DOUBLE)
+                 / CAST(CAST(n_total AS DECIMAL(38,0)) * n_total * n_total
+                        - n_total AS DOUBLE), 0), 4)
+         > ROUND((n_groups - 1) * POW(1.0 - 2.0 / (9.0 * (n_groups - 1))
+               + 1.6449 * SQRT(2.0 / (9.0 * (n_groups - 1))), 3), 4),
+         FALSE) AS significant
+FROM agg
+"""
+
+QUERIES["events_kruskal_wallis"] = events_kruskal_wallis
+ORACLE["events_kruskal_wallis"] = _KRUSKAL_SQL
+
+
+def events_user_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (new r10): per-user event counts summarized in
+    a fixed 4×256 counter grid — the POINT-QUERY member of the sketch
+    family (HLL/Theta count distincts, KLL quantiles, Bloom members,
+    Misra-Gries top-k; CMS answers "how many times did THIS key
+    occur" in O(1) space with a one-sided overcount).  Row r hashes a
+    user to hex pair r of md5(user) (4 independent 8-bit slices of
+    one digest — the standard multi-row trick); the estimate is the
+    MIN across rows.  Reported for the ten heaviest users against
+    their exact counts, so the overcount bias is measured, not
+    assumed.
+
+    Scale shape: one per-user aggregation, a 4× posexplode of the
+    USER-GRAIN frame into the bounded 1024-cell counter grid, a
+    deterministic top-10 probe (TakeOrdered — no global sort
+    materialization), and a 40-row probe⨝counter join."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def col_r(key, r):
+        d1 = F.expr(
+            f"instr('0123456789abcdef', substr(md5(cast(user_id as string)), {2*r+1}, 1))"
+        )
+        d2 = F.expr(
+            f"instr('0123456789abcdef', substr(md5(cast(user_id as string)), {2*r+2}, 1))"
+        )
+        return (16 * (d1 - 1) + (d2 - 1)).cast("int")
+
+    cells = per_user.select(
+        "user_id",
+        "n",
+        F.posexplode(
+            F.array(*[col_r(F.col("user_id"), r) for r in range(4)])
+        ).alias("row", "col"),
+    )
+    counters = cells.groupBy("row", "col").agg(F.sum("n").alias("c"))
+    probes = per_user.orderBy(F.desc("n"), "user_id").limit(10)
+    probe_cells = probes.select(
+        "user_id",
+        "n",
+        F.posexplode(
+            F.array(*[col_r(F.col("user_id"), r) for r in range(4)])
+        ).alias("row", "col"),
+    )
+    return (
+        probe_cells.join(counters, ["row", "col"])
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cms_n"),
+        )
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias(
+                "overcount"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CMS_SQL = """
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+cells AS (
+  SELECT user_id, n, r.r AS row,
+         16 * (strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 2 * r.r + 1, 1)) - 1)
+         + strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 2 * r.r + 2, 1)) - 1
+           AS col
+  FROM pu, (SELECT UNNEST([0, 1, 2, 3]) AS r) r
+),
+counters AS (
+  SELECT row, col, SUM(n) AS c FROM cells GROUP BY 1, 2
+),
+probes AS (
+  SELECT user_id, n FROM pu ORDER BY n DESC, user_id LIMIT 10
+),
+pc AS (
+  SELECT user_id, n, r.r AS row,
+         16 * (strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 2 * r.r + 1, 1)) - 1)
+         + strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 2 * r.r + 2, 1)) - 1
+           AS col
+  FROM probes, (SELECT UNNEST([0, 1, 2, 3]) AS r) r
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS exact_n,
+       CAST(MIN(c) AS BIGINT) AS cms_n,
+       CAST(MIN(c) - MAX(n) AS BIGINT) AS overcount
+FROM pc JOIN counters USING (row, col)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_user_cms"] = events_user_cms
+ORACLE["events_user_cms"] = _CMS_SQL
+
+
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) drift (new r10): per event_type,
+    the W₁ distance between the VALUE distributions of the earlier and
+    later calendar halves on the fixed 256-bin grid — the
+    MAGNITUDE-sensitive member of the drift family (KS reports the
+    single worst CDF gap; W₁ integrates ALL of it, so a small shift of
+    a lot of mass and a large shift of a little mass are told apart).
+    ``W₁ = Σ_bins |CDF_early − CDF_late|`` in bin units, also scaled
+    by vmax/256 into value units.
+
+    Scale shape: identical economics to ``events_ks_drift`` — 1-row
+    consts broadcast, one (type, bin, half) aggregation, CDF windows
+    over the fixed grid, one per-type rollup."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    consts = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t1"),
+        F.max("value").alias("vmax"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(consts))
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / F.col("vmax") * 256), F.lit(255))
+            .cast("int")
+            .alias("bin"),
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) * 2
+                <= F.col("t0") + F.col("t1"),
+                1,
+            )
+            .otherwise(0)
+            .alias("early"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("vmax").alias("vmax"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("early") == 1, F.col("n")).otherwise(0)).alias(
+                "ne"
+            ),
+            F.sum(F.when(F.col("early") == 0, F.col("n")).otherwise(0)).alias(
+                "nl"
+            ),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    r = binned.select(
+        "event_type",
+        "bin",
+        "vmax",
+        F.sum("ne").over(wcum).alias("cume"),
+        F.sum("nl").over(wcum).alias("cuml"),
+        F.sum("ne").over(wt).alias("te"),
+        F.sum("nl").over(wt).alias("tl"),
+    )
+    gap = F.abs(
+        F.col("cume") / F.nullif(F.col("te"), F.lit(0))
+        - F.col("cuml") / F.nullif(F.col("tl"), F.lit(0))
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("te").cast("bigint").alias("n_early"),
+            F.max("tl").cast("bigint").alias("n_late"),
+            F.round(F.sum(gap), 6).alias("w1_bins"),
+            F.round(F.sum(gap) * F.max("vmax") / 256.0, 4).alias("w1_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WASSERSTEIN_SQL = """
+WITH ev AS (
+  SELECT event_type, value, ts FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+         MAX(value) AS vmax
+  FROM ev
+),
+b AS (
+  SELECT event_type,
+         CAST(LEAST(FLOOR(value / vmax * 256), 255) AS INT) AS bin,
+         SUM(CASE WHEN epoch_us(ts) * 2 <= t0 + t1 THEN 1 ELSE 0 END) AS ne,
+         SUM(CASE WHEN epoch_us(ts) * 2 <= t0 + t1 THEN 0 ELSE 1 END) AS nl,
+         MAX(vmax) AS vmax
+  FROM ev, c GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bin, vmax,
+         SUM(ne) OVER (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
+         SUM(nl) OVER (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuml,
+         SUM(ne) OVER (PARTITION BY event_type) AS te,
+         SUM(nl) OVER (PARTITION BY event_type) AS tl
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(te) AS BIGINT) AS n_early,
+       CAST(MAX(tl) AS BIGINT) AS n_late,
+       ROUND(SUM(ABS(cume * 1.0 / NULLIF(te, 0)
+                     - cuml * 1.0 / NULLIF(tl, 0))), 6) AS w1_bins,
+       ROUND(SUM(ABS(cume * 1.0 / NULLIF(te, 0)
+                     - cuml * 1.0 / NULLIF(tl, 0))) * MAX(vmax) / 256.0, 4)
+         AS w1_value
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_wasserstein_drift"] = events_wasserstein_drift
+ORACLE["events_wasserstein_drift"] = _WASSERSTEIN_SQL
