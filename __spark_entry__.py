@@ -132,8 +132,9 @@ _MODULES = (
 # events_mann_whitney, event_type_reachability,
 # events_interarrival_burstiness, events_heavy_hitters_streamed
 # (stream #8), orders_cmh_returns, lateral_topk_orders,
-# events_kruskal_wallis, events_user_cms, events_wasserstein_drift
-# — then (b) the remaining 40
+# events_kruskal_wallis, events_user_cms, events_wasserstein_drift,
+# embedding_cluster_separation, doc_source_diversity,
+# events_dp_noisy_counts — then (b) the remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

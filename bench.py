@@ -302,6 +302,10 @@ HEADLINE = [
     ("events_user_cms", events.QUERIES),
     ("events_wasserstein_drift", events.QUERIES),
     ("lateral_topk_orders", advanced.QUERIES),
+    # r10 wave 10: cluster separation, lexical diversity, DP release
+    ("embedding_cluster_separation", llmdata.QUERIES),
+    ("doc_source_diversity", llmdata.QUERIES),
+    ("events_dp_noisy_counts", events.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

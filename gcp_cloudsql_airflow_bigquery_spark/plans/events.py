@@ -4707,3 +4707,72 @@ FROM r GROUP BY 1 ORDER BY 1
 
 QUERIES["events_wasserstein_drift"] = events_wasserstein_drift
 ORACLE["events_wasserstein_drift"] = _WASSERSTEIN_SQL
+
+
+def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts (new r10): per-event-type counts
+    released with additive Laplace(1/ε) noise, ε = 1 — the
+    differential-privacy release shape next to the k-anonymity /
+    l-diversity / t-closeness suppression family (those gate rows;
+    DP perturbs aggregates).  The noise draw is DERANDOMIZED for the
+    oracle contract: the uniform comes from the first 4 hex digits of
+    ``md5(event_type)`` (identical on both engines), pushed through
+    the standard inverse-CDF ``−b·sign(u−½)·ln(1−2|u−½|)``.  A
+    production release swaps the hash-uniform for a real RNG — the
+    mechanism, sensitivity bookkeeping, and plan shape are unchanged;
+    determinism is what makes the arithmetic hash-checkable.
+
+    Scale shape: one count aggregation to the |types| grain; noise is
+    scalar arithmetic on the bounded frame."""
+    c = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    hexv = "0123456789abcdef"
+    digits = [
+        F.expr(f"instr('{hexv}', substr(md5(event_type), {i}, 1)) - 1")
+        for i in range(1, 5)
+    ]
+    v = digits[0] * 4096 + digits[1] * 256 + digits[2] * 16 + digits[3]
+    u = (v + 0.5) / 65536.0
+    eps = 1.0
+    noise = (
+        -(1.0 / eps)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return c.select(
+        "event_type",
+        "exact_n",
+        F.lit(eps).alias("epsilon"),
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("exact_n") + noise, 4).alias("noisy_n"),
+    ).orderBy("event_type")
+
+
+_DP_NOISY_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1
+),
+n AS (
+  SELECT event_type, exact_n,
+         ((strpos('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1)
+            * 4096
+          + (strpos('0123456789abcdef', substr(md5(event_type), 2, 1)) - 1)
+            * 256
+          + (strpos('0123456789abcdef', substr(md5(event_type), 3, 1)) - 1)
+            * 16
+          + strpos('0123456789abcdef', substr(md5(event_type), 4, 1)) - 1
+          + 0.5) / 65536.0 AS u
+  FROM c
+)
+SELECT event_type, exact_n,
+       1.0 AS epsilon,
+       ROUND(-SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 4) AS noise,
+       ROUND(exact_n + (-SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5))), 4)
+         AS noisy_n
+FROM n ORDER BY event_type
+"""
+
+QUERIES["events_dp_noisy_counts"] = events_dp_noisy_counts
+ORACLE["events_dp_noisy_counts"] = _DP_NOISY_SQL

@@ -4036,3 +4036,200 @@ ORDER BY media_id, channel
 
 QUERIES["media_image_channel_stats"] = media_image_channel_stats
 ORACLE["media_image_channel_stats"] = _IMAGE_CHANNEL_SQL
+
+
+def embedding_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation report (new r10): per label, the RMS
+    distance of members to their centroid (intra) against the distance
+    to the NEAREST other centroid (inter) — the Dunn/Davies-Bouldin-
+    style quality read on the labeled embedding space, closing the
+    eval loop around ``embedding_centroids`` (the model) and
+    ``embedding_cluster_balance`` (the census).  Intra needs no
+    per-pair work: ``E||x−c||² = E||x||² − ||c||²`` from one-pass
+    sufficient statistics.  The nearest-centroid argmin orders by
+    (rounded distance, label) so an exact tie cannot flip the row.
+
+    Scale shape: one per-row codegen fold for ||x||², one (label, dim)
+    aggregation (the centroids shape), then everything is
+    |labels|-bounded — the pairwise centroid frame is |labels|² rows
+    by construction."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+    per_label = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.aggregate(
+                F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("ssq"),
+    )
+    cent = (
+        e.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).alias("cnorm2")
+    )
+    pair = (
+        cent.alias("a")
+        .join(
+            cent.select(
+                F.col("label").alias("lb"), "dim", F.col("c").alias("cb")
+            ).alias("b"),
+            "dim",
+        )
+        .filter(F.col("label") != F.col("lb"))
+        .groupBy("label", "lb")
+        .agg(
+            F.sqrt(F.sum((F.col("c") - F.col("cb")) ** 2)).alias("dist")
+        )
+    )
+    wnear = Window.partitionBy("label").orderBy(
+        F.round("dist", 9), "lb"
+    )
+    nearest = (
+        pair.withColumn("rn", F.row_number().over(wnear))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("lb").alias("nearest_label"), "dist")
+    )
+    intra = F.sqrt(
+        F.greatest(
+            F.col("ssq") / F.col("n") - F.col("cnorm2"), F.lit(0.0)
+        )
+    )
+    return (
+        per_label.join(cnorm, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.round(intra, 6).alias("intra_rms"),
+            "nearest_label",
+            F.round("dist", 6).alias("nearest_dist"),
+            F.round(F.col("dist") / F.nullif(intra, F.lit(0.0)), 6).alias(
+                "separation"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_CLUSTER_SEP_SQL = """
+WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+pl AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS ssq
+  FROM v GROUP BY 1
+),
+cent AS (
+  SELECT label, i AS dim, AVG(e[i]) AS c FROM v, idx GROUP BY 1, 2
+),
+cn AS (SELECT label, SUM(c * c) AS cnorm2 FROM cent GROUP BY 1),
+pair AS (
+  SELECT a.label AS label, b.label AS lb,
+         SQRT(SUM((a.c - b.c) * (a.c - b.c))) AS dist
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2
+),
+nearest AS (
+  SELECT label, lb AS nearest_label, dist,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY ROUND(dist, 9), lb) AS rn
+  FROM pair
+)
+SELECT pl.label, CAST(pl.n AS BIGINT) AS n_vecs,
+       ROUND(SQRT(GREATEST(pl.ssq / pl.n - cn.cnorm2, 0)), 6) AS intra_rms,
+       nearest.nearest_label,
+       ROUND(nearest.dist, 6) AS nearest_dist,
+       ROUND(nearest.dist
+             / NULLIF(SQRT(GREATEST(pl.ssq / pl.n - cn.cnorm2, 0)), 0), 6)
+         AS separation
+FROM pl JOIN cn USING (label)
+JOIN nearest ON nearest.label = pl.label AND nearest.rn = 1
+ORDER BY pl.label
+"""
+
+QUERIES["embedding_cluster_separation"] = embedding_cluster_separation
+ORACLE["embedding_cluster_separation"] = _CLUSTER_SEP_SQL
+
+
+def doc_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity census (new r10): per source, the Shannon
+    entropy (bits/token), Simpson concentration, vocabulary size, and
+    type-token ratio of the token distribution — the corpus-health
+    read that tells a template-stamped source (low entropy, high
+    Simpson) from organic text BEFORE mixing weights are chosen;
+    complements ``doc_source_token_drift`` (between-source movement)
+    with a within-source shape summary.  Simpson is computed from
+    EXACT integer sums ``Σ n_w(n_w−1) / N(N−1)``; entropy's log sum is
+    the one FP reduction, absorbed by the 6-decimal rounding (the
+    covariance-cell precedent).
+
+    Scale shape: one (source, token) aggregation over the exploded
+    corpus (the BM25/token-drift shuffle), one source-grain rollup."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(textstats.normalize_text(F.col("text")), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("nw"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = wc.groupBy("source").agg(
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(dec(F.col("nw")) * (F.col("nw") - 1)).alias("rep2"),
+        F.sum(F.col("nw") * F.log2("nw")).alias("nlogn"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.log2(n) - F.col("nlogn") / n, 6
+        ).alias("shannon_bits"),
+        F.round(
+            F.col("rep2").cast("double")
+            / F.nullif((dec(n) * (n - 1)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("simpson"),
+        F.round(F.col("vocab") / n, 6).alias("type_token_ratio"),
+    ).orderBy("source")
+
+
+_SOURCE_DIVERSITY_SQL = rf"""
+WITH words AS (
+  SELECT source, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT source, w, COUNT(*) AS nw FROM words WHERE w <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(nw) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         SUM(CAST(nw AS DECIMAL(38,0)) * (nw - 1)) AS rep2,
+         SUM(nw * log2(nw)) AS nlogn
+  FROM wc GROUP BY 1
+)
+SELECT source, n_tokens, vocab,
+       ROUND(log2(n_tokens) - nlogn / n_tokens, 6) AS shannon_bits,
+       ROUND(CAST(rep2 AS DOUBLE)
+             / NULLIF(CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)
+                           AS DOUBLE), 0), 6) AS simpson,
+       ROUND(vocab * 1.0 / n_tokens, 6) AS type_token_ratio
+FROM agg ORDER BY source
+"""
+
+QUERIES["doc_source_diversity"] = doc_source_diversity
+ORACLE["doc_source_diversity"] = _SOURCE_DIVERSITY_SQL
