@@ -134,7 +134,9 @@ _MODULES = (
 # (stream #8), orders_cmh_returns, lateral_topk_orders,
 # events_kruskal_wallis, events_user_cms, events_wasserstein_drift,
 # embedding_cluster_separation, doc_source_diversity,
-# events_dp_noisy_counts — then (b) the remaining 40
+# events_dp_noisy_counts, events_value_hill_tail,
+# events_runs_test_daily, events_time_to_convert,
+# nation_weekly_kendall — then (b) the remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

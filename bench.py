@@ -306,6 +306,11 @@ HEADLINE = [
     ("embedding_cluster_separation", llmdata.QUERIES),
     ("doc_source_diversity", llmdata.QUERIES),
     ("events_dp_noisy_counts", events.QUERIES),
+    # r10 wave 11: tail index, runs test, conversion latency, tau-b
+    ("events_value_hill_tail", events.QUERIES),
+    ("events_runs_test_daily", events.QUERIES),
+    ("events_time_to_convert", events.QUERIES),
+    ("nation_weekly_kendall", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

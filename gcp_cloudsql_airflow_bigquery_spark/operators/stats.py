@@ -102,8 +102,11 @@ def skyline_2d(
         if num_partitions
         else best.repartitionByRange("_cost")
     ).sortWithinPartitions("_cost")
+    # EAGER: pmax, the prefix-max window, and the survivor join all
+    # consume this frame concurrently — a lazy cut lets 32 tasks race
+    # into recomputing unmaterialized partitions (the r10 ALS lesson)
     part = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=False
+        eager=True
     )
     pmax = part.groupBy("_pid").agg(F.max("_best").alias("_pmax"))
     lower = pmax.select(

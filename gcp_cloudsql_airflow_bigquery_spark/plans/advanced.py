@@ -3935,8 +3935,9 @@ def brand_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("r")
         )
-        .localCheckpoint(eager=False)  # re-scanned by all 6 half-steps
-        # (lazy cut: one materialization inside the output job)
+        .localCheckpoint(eager=True)  # re-scanned by all 6 half-steps;
+        # EAGER on purpose: lazy checkpoints race 32 tasks into
+        # recomputing unmaterialized partitions (measured 2.8x solo)
     )
     q = ratings.select("brand").distinct().select(
         "brand",
@@ -3957,12 +3958,12 @@ def brand_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratings.join(q, "brand"), "custkey", "q1", "q2"
         ).select(
             "custkey", F.col("x1").alias("p1"), F.col("x2").alias("p2")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         q = _als_solve(
             ratings.join(pfac, "custkey"), "brand", "p1", "p2"
         ).select(
             "brand", F.col("x1").alias("q1"), F.col("x2").alias("q2")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     scored = (
         ratings.join(pfac, "custkey")
         .join(q, "brand")
@@ -4699,3 +4700,108 @@ WHERE c.c_acctbal > 9000
 
 QUERIES["lateral_topk_orders"] = lateral_topk_orders
 ORACLE["lateral_topk_orders"] = _LATERAL_TOPK_SQL
+
+
+def nation_weekly_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (new r10): the pairwise-concordance member of the
+    correlation family, per nation over the same (week, year) grain as
+    ``nation_weekly_spearman`` — tau counts agreeing vs disagreeing
+    week PAIRS, so a single blowout week moves it by at most 1/n0
+    (Spearman squares its rank gap).  Tie-corrected tau-b with the
+    concordant/discordant/tie counts all EXACT integers; only the
+    final ratio is floating point.
+
+    Scale shape: the pair space is the per-nation self-join of the
+    CALENDAR-BOUNDED week-grain frame (~400² / 2 pairs per nation at
+    any SF — bounded by construction, the Theil-Sen precedent), never
+    a pair join over raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    wk = (
+        o.join(c, "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy(
+            "n_name",
+            F.weekofyear("o_orderdate").alias("wk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"),
+        )
+        .withColumn(
+            "i", F.col("yr") * 100 + F.col("wk")
+        )
+    )
+    a = wk.select("n_name", F.col("i").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = wk.select("n_name", F.col("i").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "n_name").filter(F.col("ia") < F.col("ib"))
+    dx = F.signum(F.col("xb") - F.col("xa"))
+    dy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    agg = pairs.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum((dx * dy > 0).cast("long")).cast("bigint").alias("concordant"),
+        F.sum((dx * dy < 0).cast("long")).cast("bigint").alias("discordant"),
+        F.sum(((dx == 0) & (dy != 0)).cast("long")).alias("tx"),
+        F.sum(((dy == 0) & (dx != 0)).cast("long")).alias("ty"),
+        F.sum(((dx == 0) & (dy == 0)).cast("long")).alias("txy"),
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx") - F.col("txy")).cast("double")
+        * (F.col("n0") - F.col("ty") - F.col("txy")).cast("double")
+    )
+    return agg.select(
+        "n_name",
+        "n0",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.nullif(den, F.lit(0.0)),
+            6,
+        ).alias("tau_b"),
+    ).orderBy("n_name")
+
+
+_KENDALL_SQL = """
+WITH wk AS (
+  SELECT n_name, year(o_orderdate) * 100 + week(o_orderdate) AS i,
+         COUNT(*) AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.n_name,
+         SIGN(b.x - a.x) AS dx,
+         SIGN(CAST(b.y - a.y AS DOUBLE)) AS dy
+  FROM wk a JOIN wk b ON a.n_name = b.n_name AND a.i < b.i
+),
+agg AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS ty,
+         SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS txy
+  FROM pairs GROUP BY 1
+)
+SELECT n_name, n0, concordant, discordant,
+       ROUND((concordant - discordant)
+             / NULLIF(SQRT(CAST(n0 - tx - txy AS DOUBLE)
+                           * CAST(n0 - ty - txy AS DOUBLE)), 0), 6) AS tau_b
+FROM agg ORDER BY 1
+"""
+
+QUERIES["nation_weekly_kendall"] = nation_weekly_kendall
+ORACLE["nation_weekly_kendall"] = _KENDALL_SQL

@@ -3689,9 +3689,9 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)  # model-sized (|types|²); LAZY:
-        # the logical-plan cut (what prevents lineage blowup) happens
-        # at call time, materialization folds into the one output job
+        .localCheckpoint(eager=True)  # model-sized (|types|²); EAGER:
+        # lazy cuts race concurrent tasks into duplicate recompute of
+        # the unmaterialized frame (measured 3.1x on this query)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -3725,12 +3725,9 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # each half-step references the raw frame TWICE (per-node
             # join + total); without a lineage cut the plan doubles
-            # twice per round — 4^rounds analysis blowup.  The cut is
-            # the LOGICAL-plan truncation, which lazy localCheckpoint
-            # performs at call time; eager=False folds all 16
-            # half-step materializations into the single output job
-            # instead of paying 16 construction-time driver jobs.
-            .localCheckpoint(eager=False)
+            # twice per round — 4^rounds analysis blowup.  The frame
+            # is |types|-sized, so the eager cut is free.
+            .localCheckpoint(eager=True)
         )
         hraw = (
             edges.join(auth, edges.dst == auth.node)
@@ -3754,7 +3751,7 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("hub"),
             )
-            .localCheckpoint(eager=False)  # same double-reference cut, lazy
+            .localCheckpoint(eager=True)  # same double-reference cut
         )
     return (
         hub.join(auth, "node")
@@ -3888,9 +3885,8 @@ def event_state_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_state").isNotNull())
         .groupBy(F.col("state").alias("a"), F.col("next_state").alias("b"))
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)  # model-sized; feeds LPA AND the
+        .localCheckpoint(eager=True)  # model-sized; feeds LPA AND the
         # symmetrized Q frame without re-deriving the LEAD shuffle
-        # (lazy: cut at call time, materialized by the output job)
     )
     sym = (
         he.select("a", "b", "n")
@@ -4776,3 +4772,246 @@ FROM n ORDER BY event_type
 
 QUERIES["events_dp_noisy_counts"] = events_dp_noisy_counts
 ORACLE["events_dp_noisy_counts"] = _DP_NOISY_SQL
+
+
+def events_value_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (new r10): how heavy is the upper
+    tail of the event VALUE distribution?  The classic order-statistic
+    estimator over the top k = 200 values — ``α = 1 / mean(ln(x_i /
+    x_k))`` for the k−1 largest observations against the k-th — the
+    parametric tail read next to the shape-free drift family (Zipf
+    fits token frequencies; Hill fits the VALUE tail a pricing or
+    abuse screen actually thresholds on).  Ordering is (value DESC,
+    event_id) so the boundary row is engine-independent.
+
+    Scale shape: a fixed-k TakeOrdered (no global sort
+    materialization), then scalar arithmetic on the 200-row frame."""
+    k = 200
+    top = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("value", "event_id")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(k)
+    )
+    xk = top.agg(F.min("value").alias("xk"))
+    agg = (
+        top.crossJoin(F.broadcast(xk))
+        .filter(F.col("value") > F.col("xk"))
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.log(F.col("value") / F.col("xk"))).alias("slog"),
+            F.max("xk").alias("xk"),
+        )
+    )
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.round("xk", 6).alias("x_k"),
+        F.round(F.col("m") / F.nullif(F.col("slog"), F.lit(0.0)), 6).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+_HILL_SQL = """
+WITH top AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND value > 0
+  ORDER BY value DESC, event_id LIMIT 200
+),
+m AS (SELECT MIN(value) AS xk FROM top),
+agg AS (
+  SELECT COUNT(*) AS m, SUM(LN(value / xk)) AS slog, MAX(xk) AS xk
+  FROM top, m WHERE value > xk
+)
+SELECT CAST(200 AS BIGINT) AS k,
+       ROUND(xk, 6) AS x_k,
+       ROUND(m / NULLIF(slog, 0), 6) AS hill_alpha
+FROM agg
+"""
+
+QUERIES["events_value_hill_tail"] = events_value_hill_tail
+ORACLE["events_value_hill_tail"] = _HILL_SQL
+
+
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (new r10): are the daily up/down moves
+    of total event value RANDOM, or do they streak?  Day-over-day
+    signs come from DECIMAL-exact daily sums (no FP sign flips); runs
+    are counted as sign changes + 1; the normal approximation
+    ``z = (R − μ)/σ`` with the standard two-sample moments.  The
+    sequence-randomness member of the time-series family (autocorr
+    measures linear memory; the runs test is distribution-free).
+
+    Scale shape: one (day) aggregation; the LAG/compare windows run
+    over the calendar-bounded day-grain frame; a 1-row rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    w = Window.orderBy("day")
+    signs = (
+        daily.withColumn("prev", F.lag("v").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("v") != F.col("prev")))
+        .select("day", (F.col("v") > F.col("prev")).cast("int").alias("up"))
+    )
+    runs = signs.withColumn("prev_up", F.lag("up").over(w)).select(
+        "up",
+        F.when(
+            F.col("prev_up").isNull() | (F.col("up") != F.col("prev_up")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum(F.lit(1) - F.col("up")).cast("bigint").alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("runs")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = F.round((r - mu) / F.nullif(F.sqrt(var), F.lit(0.0)), 4)
+    return agg.select(
+        "n_up",
+        "n_down",
+        "runs",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) <= 1.96, F.lit(False)).alias("looks_random"),
+    )
+
+
+_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+signs AS (
+  SELECT day, CAST(v > prev AS INT) AS up
+  FROM (SELECT day, v, LAG(v) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND v <> prev
+),
+runs AS (
+  SELECT up,
+         CASE WHEN prev_up IS NULL OR up <> prev_up THEN 1 ELSE 0 END
+           AS new_run
+  FROM (SELECT day, up, LAG(up) OVER (ORDER BY day) AS prev_up FROM signs)
+),
+agg AS (
+  SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+         CAST(SUM(1 - up) AS BIGINT) AS n_down,
+         CAST(SUM(new_run) AS BIGINT) AS runs
+  FROM runs
+)
+SELECT n_up, n_down, runs,
+       ROUND((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / NULLIF(SQRT(2.0 * n_up * n_down
+                 * (2.0 * n_up * n_down - n_up - n_down)
+                 / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+                    * (n_up + n_down - 1))), 0), 4) AS zscore,
+       COALESCE(ABS(ROUND((runs - (2.0 * n_up * n_down / (n_up + n_down)
+             + 1.0))
+             / NULLIF(SQRT(2.0 * n_up * n_down
+                 * (2.0 * n_up * n_down - n_up - n_down)
+                 / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+                    * (n_up + n_down - 1))), 0), 4)) <= 1.96, FALSE)
+         AS looks_random
+FROM agg
+"""
+
+QUERIES["events_runs_test_daily"] = events_runs_test_daily
+ORACLE["events_runs_test_daily"] = _RUNS_TEST_SQL
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (new r10): for every user whose
+    stream contains a signup, the days from FIRST signup to FIRST
+    purchase at or after it, day-binned with the cumulative converted
+    share — the onboarding-latency census that the funnel family's
+    step COUNTS don't expose.  All timestamps reduce to exact µs
+    minima, so the bins are integer-exact on both engines.
+
+    Scale shape: one per-user conditional-min aggregation (signup µs,
+    then purchase-after-signup µs via min of a guarded expression —
+    needs the signup min first, so two chained user-grain aggs), one
+    day-bin rollup, a cumulative window over the calendar-bounded bin
+    frame."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.date_trunc("millisecond", F.col("ts")))
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("su_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(su, "user_id")
+        .filter(F.col("p_us") >= F.col("su_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("p_us").alias("p_us"),
+            F.max("su_us").alias("su_us"),
+        )
+    )
+    bins = pu.groupBy(
+        F.floor((F.col("p_us") - F.col("su_us")) / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("days")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    wcum = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bins.select(
+        "days",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("n_users").over(wcum) / F.sum("n_users").over(wall), 6
+        ).alias("cum_share"),
+    ).orderBy("days")
+
+
+_TIME_TO_CONVERT_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(date_trunc('ms', ts))) AS su_us
+  FROM events WHERE ts IS NOT NULL AND event_type = 'signup'
+  GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, MIN(epoch_us(date_trunc('ms', e.ts))) AS p_us,
+         MAX(su.su_us) AS su_us
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+    AND epoch_us(date_trunc('ms', e.ts)) >= su.su_us
+  GROUP BY 1
+),
+bins AS (
+  SELECT CAST(FLOOR((p_us - su_us) / 86400000000.0) AS BIGINT) AS days,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pu GROUP BY 1
+)
+SELECT days, n_users,
+       ROUND(SUM(n_users) OVER (ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+             / SUM(n_users) OVER (), 6) AS cum_share
+FROM bins ORDER BY days
+"""
+
+QUERIES["events_time_to_convert"] = events_time_to_convert
+ORACLE["events_time_to_convert"] = _TIME_TO_CONVERT_SQL
