@@ -311,6 +311,11 @@ HEADLINE = [
     ("events_runs_test_daily", events.QUERIES),
     ("events_time_to_convert", events.QUERIES),
     ("nation_weekly_kendall", advanced.QUERIES),
+    # r10 wave 12: HW forecast kernel, DiD, conversion paths, GROUP BY ALL
+    ("events_holt_winters_daily", events.QUERIES),
+    ("events_diff_in_diff", events.QUERIES),
+    ("events_conversion_paths", events.QUERIES),
+    ("groupby_all_revenue", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

@@ -139,3 +139,90 @@ def skyline_2d(
         (df[cost_col] == frontier["_cost"]) & (df[gain_col] == frontier["_best"]),
         "inner",
     ).drop("_cost", "_best")
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_col: str,
+    y_col: str,
+    t_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) per key — the
+    triple-exponential member of the forecasting family (EWMA: level;
+    Brown: level+trend; HW adds the seasonal recurrence, which does
+    NOT unroll to closed-form window weights because level and
+    seasonal feed each other).  Runs as an Arrow-batched
+    ``applyInPandas`` kernel per key over the BOUNDED series frame
+    (day-grain — the sequential-recurrence pattern of
+    ``operators/temporal.sessionize_capped``).
+
+    Init: level = mean of the first ``period`` points, trend =
+    (mean of the second period − mean of the first)/period, seasonal
+    phase p = y_p − level.  Steps t ≥ period (literal-coefficient
+    arithmetic, replayable verbatim by a recursive-CTE oracle):
+
+        l' = α(y − s_old) + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)b
+        s' = γ(y − l') + (1−γ)s_old
+        one-step error = |y − (l + b + s_old)|
+
+    Emits per key: n_points, final level/trend, next-step forecast,
+    and the one-step MAE.  Keys with fewer than 2·period points are
+    dropped (init undefined)."""
+    import pandas as pd
+
+    a, g = alpha, gamma
+    bb = beta
+    one_a, one_b, one_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    m = period
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(t_col)
+        y = [float(v) for v in pdf[y_col]]
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                columns=[
+                    key_col,
+                    "n_points",
+                    "level",
+                    "trend",
+                    "forecast_next",
+                    "mae",
+                ]
+            )
+        l = sum(y[0:m]) / m
+        b = (sum(y[m : 2 * m]) / m - sum(y[0:m]) / m) / m
+        s = [y[p] - l for p in range(m)]
+        err_sum, err_n = 0.0, 0
+        for t in range(m, len(y)):
+            pos = t % m
+            sold = s[pos]
+            err_sum += abs(y[t] - (l + b + sold))
+            err_n += 1
+            lnew = a * (y[t] - sold) + one_a * (l + b)
+            bnew = bb * (lnew - l) + one_b * b
+            s[pos] = g * (y[t] - lnew) + one_g * sold
+            l, b = lnew, bnew
+        nxt = l + b + s[len(y) % m]
+        return pd.DataFrame(
+            [
+                {
+                    key_col: pdf[key_col].iloc[0],
+                    "n_points": len(y),
+                    "level": round(l, 6),
+                    "trend": round(b, 6),
+                    "forecast_next": round(nxt, 6),
+                    "mae": round(err_sum / err_n, 6),
+                }
+            ]
+        )
+
+    schema = (
+        f"{key_col} string, n_points bigint, level double, trend double, "
+        "forecast_next double, mae double"
+    )
+    return df.groupBy(key_col).applyInPandas(fn, schema=schema)

@@ -4805,3 +4805,39 @@ FROM agg ORDER BY 1
 
 QUERIES["nation_weekly_kendall"] = nation_weekly_kendall
 ORACLE["nation_weekly_kendall"] = _KENDALL_SQL
+
+
+def groupby_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL through the spark.sql surface (new r10) — the
+    every-non-aggregated-column grouping shorthand both engines added
+    (Spark 3.4, DuckDB 0.6), the last ungoverned corner of the
+    delegated GROUP BY matrix (explicit lists, ordinals, ROLLUP /
+    CUBE / GROUPING SETS are covered).  Semantics are identical to the
+    explicit list, asserted by the unit test against the DataFrame
+    formulation."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY yr, o_orderpriority
+        """
+    )
+
+
+_GROUPBY_ALL_SQL = """
+SELECT year(o_orderdate) AS yr, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY yr, o_orderpriority
+"""
+
+QUERIES["groupby_all_revenue"] = groupby_all_revenue
+ORACLE["groupby_all_revenue"] = _GROUPBY_ALL_SQL

@@ -5015,3 +5015,347 @@ FROM bins ORDER BY days
 
 QUERIES["events_time_to_convert"] = events_time_to_convert
 ORACLE["events_time_to_convert"] = _TIME_TO_CONVERT_SQL
+
+
+def events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast (new r10) of daily event counts
+    per type, weekly seasonality — the triple-exponential member of
+    the forecasting family (EWMA: level; Brown: level+trend; HW adds
+    the COUPLED seasonal recurrence, which cannot unroll to the
+    closed-form window weights those two use).  Runs as
+    ``operators/stats.holt_winters_additive``'s Arrow-batched
+    per-type kernel over the calendar-bounded day-grain series; the
+    oracle replays the recurrence VERBATIM as a DuckDB recursive CTE
+    carrying the seven seasonal phases as scalar columns — the
+    ``sessionize_capped`` oracle pattern extended to state vectors.
+
+    Scale shape: one (type, day) count aggregation; the kernel input
+    per key is bounded by the calendar span at any SF; one output row
+    per type."""
+    from ..operators.stats import holt_winters_additive
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return holt_winters_additive(
+        daily, "event_type", "y", "day"
+    ).orderBy("event_type")
+
+
+_HW_CASE_SOLD = (
+    "CASE (r.t + 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 "
+    "WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
+)
+_HW_LNEW = f"0.3 * (i.y - {_HW_CASE_SOLD}) + 0.7 * (r.l + r.b)"
+
+
+def _hw_supd(p: int) -> str:
+    return (
+        f"CASE WHEN (r.t + 1) % 7 = {p} THEN "
+        f"0.2 * (i.y - ({_HW_LNEW})) + 0.8 * ({_HW_CASE_SOLD}) "
+        f"ELSE r.s{p} END"
+    )
+
+
+_HW_SQL = f"""
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+  FROM daily
+),
+n AS (SELECT event_type, COUNT(*) AS nd FROM idx GROUP BY 1),
+a1 AS (
+  SELECT event_type, AVG(y) AS m FROM idx WHERE t < 7
+  GROUP BY 1 HAVING COUNT(*) = 7
+),
+a2 AS (
+  SELECT event_type, AVG(y) AS m FROM idx WHERE t >= 7 AND t < 14
+  GROUP BY 1 HAVING COUNT(*) = 7
+),
+init AS (
+  SELECT a1.event_type, a1.m AS l0, (a2.m - a1.m) / 7 AS b0,
+         s.s0, s.s1, s.s2, s.s3, s.s4, s.s5, s.s6
+  FROM a1 JOIN a2 USING (event_type)
+  JOIN (
+    SELECT event_type,
+           MAX(CASE WHEN t = 0 THEN y END) AS s0,
+           MAX(CASE WHEN t = 1 THEN y END) AS s1,
+           MAX(CASE WHEN t = 2 THEN y END) AS s2,
+           MAX(CASE WHEN t = 3 THEN y END) AS s3,
+           MAX(CASE WHEN t = 4 THEN y END) AS s4,
+           MAX(CASE WHEN t = 5 THEN y END) AS s5,
+           MAX(CASE WHEN t = 6 THEN y END) AS s6
+    FROM idx WHERE t < 7 GROUP BY 1
+  ) s USING (event_type)
+),
+rec(event_type, t, l, b, s0, s1, s2, s3, s4, s5, s6, esum, en) AS (
+  SELECT event_type, 6, CAST(l0 AS DOUBLE), CAST(b0 AS DOUBLE),
+         CAST(s0 - l0 AS DOUBLE), CAST(s1 - l0 AS DOUBLE),
+         CAST(s2 - l0 AS DOUBLE), CAST(s3 - l0 AS DOUBLE),
+         CAST(s4 - l0 AS DOUBLE), CAST(s5 - l0 AS DOUBLE),
+         CAST(s6 - l0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE), 0
+  FROM init
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         {_HW_LNEW},
+         0.05 * (({_HW_LNEW}) - r.l) + 0.95 * r.b,
+         {_hw_supd(0)}, {_hw_supd(1)}, {_hw_supd(2)}, {_hw_supd(3)},
+         {_hw_supd(4)}, {_hw_supd(5)}, {_hw_supd(6)},
+         r.esum + ABS(i.y - (r.l + r.b + {_HW_CASE_SOLD})),
+         r.en + 1
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+),
+fin AS (
+  SELECT rec.*, n.nd FROM rec JOIN n USING (event_type)
+  WHERE rec.t = n.nd - 1
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_points,
+       ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(l + b + CASE nd % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+             WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4
+             WHEN 5 THEN s5 ELSE s6 END, 6) AS forecast_next,
+       ROUND(esum / en, 6) AS mae
+FROM fin ORDER BY event_type
+"""
+
+QUERIES["events_holt_winters_daily"] = events_holt_winters_daily
+ORACLE["events_holt_winters_daily"] = _HW_SQL
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (new r10): did cohort B's mean event
+    VALUE move differently than cohort A's between the earlier and
+    later calendar halves?  The panel member of the causal family —
+    ``events_ab_significance`` compares one period's rates,
+    ``events_cuped_adjusted`` de-noises one metric; DiD nets out both
+    the cohort baseline and the common time trend.  Cohorts are the
+    stable md5 user split; periods use the data-midpoint rule (the
+    ks_drift idiom).  Cell means come from DECIMAL-exact sums; the
+    pooled-variance z uses exact cell second moments.
+
+    Scale shape: one (cohort, period) 4-cell aggregation; everything
+    after is scalar arithmetic on the 4-row frame."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    consts = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t1"),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(consts))
+        .groupBy(
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 1
+                ).isin(*"01234567"),
+                "A",
+            )
+            .otherwise("B")
+            .alias("cohort"),
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) * 2
+                <= F.col("t0") + F.col("t1"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(28,8)")
+            ).alias("svv"),
+        )
+    )
+    p = cells.groupBy().pivot(
+        "cohort", ["A", "B"]
+    ).agg(
+        F.sum(F.when(F.col("period") == "early", F.col("sv"))).alias("se"),
+        F.sum(F.when(F.col("period") == "early", F.col("n"))).alias("ne"),
+        F.sum(F.when(F.col("period") == "late", F.col("sv"))).alias("sl"),
+        F.sum(F.when(F.col("period") == "late", F.col("n"))).alias("nl"),
+        F.sum(F.when(F.col("period") == "early", F.col("svv"))).alias("qe"),
+        F.sum(F.when(F.col("period") == "late", F.col("svv"))).alias("ql"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(q, s, n):
+        mu = mean(s, n)
+        return F.col(q).cast("double") / F.col(n) - mu * mu
+
+    did = (mean("B_sl", "B_nl") - mean("B_se", "B_ne")) - (
+        mean("A_sl", "A_nl") - mean("A_se", "A_ne")
+    )
+    se = F.sqrt(
+        var("A_qe", "A_se", "A_ne") / F.col("A_ne")
+        + var("A_ql", "A_sl", "A_nl") / F.col("A_nl")
+        + var("B_qe", "B_se", "B_ne") / F.col("B_ne")
+        + var("B_ql", "B_sl", "B_nl") / F.col("B_nl")
+    )
+    z = F.round(did / F.nullif(se, F.lit(0.0)), 4)
+    return p.select(
+        F.round(mean("A_se", "A_ne"), 6).alias("a_early"),
+        F.round(mean("A_sl", "A_nl"), 6).alias("a_late"),
+        F.round(mean("B_se", "B_ne"), 6).alias("b_early"),
+        F.round(mean("B_sl", "B_nl"), 6).alias("b_late"),
+        F.round(did, 6).alias("did_estimate"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+_DID_SQL = """
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN
+              ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+           AS cohort
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+c AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+cells AS (
+  SELECT cohort,
+         CASE WHEN us * 2 <= t0 + t1 THEN 'early' ELSE 'late' END AS period,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+         SUM(CAST(value * value AS DECIMAL(28,8))) AS svv
+  FROM ev, c GROUP BY 1, 2
+),
+p AS (
+  SELECT
+    CAST(SUM(sv) FILTER (WHERE cohort='A' AND period='early') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='A' AND period='early') AS a_e,
+    CAST(SUM(sv) FILTER (WHERE cohort='A' AND period='late') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='A' AND period='late') AS a_l,
+    CAST(SUM(sv) FILTER (WHERE cohort='B' AND period='early') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='B' AND period='early') AS b_e,
+    CAST(SUM(sv) FILTER (WHERE cohort='B' AND period='late') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='B' AND period='late') AS b_l,
+    CAST(SUM(svv) FILTER (WHERE cohort='A' AND period='early') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='A' AND period='early') AS a_qe,
+    CAST(SUM(svv) FILTER (WHERE cohort='A' AND period='late') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='A' AND period='late') AS a_ql,
+    CAST(SUM(svv) FILTER (WHERE cohort='B' AND period='early') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='B' AND period='early') AS b_qe,
+    CAST(SUM(svv) FILTER (WHERE cohort='B' AND period='late') AS DOUBLE)
+      / SUM(n) FILTER (WHERE cohort='B' AND period='late') AS b_ql,
+    SUM(n) FILTER (WHERE cohort='A' AND period='early') AS a_ne,
+    SUM(n) FILTER (WHERE cohort='A' AND period='late') AS a_nl,
+    SUM(n) FILTER (WHERE cohort='B' AND period='early') AS b_ne,
+    SUM(n) FILTER (WHERE cohort='B' AND period='late') AS b_nl
+  FROM cells
+)
+SELECT ROUND(a_e, 6) AS a_early, ROUND(a_l, 6) AS a_late,
+       ROUND(b_e, 6) AS b_early, ROUND(b_l, 6) AS b_late,
+       ROUND((b_l - b_e) - (a_l - a_e), 6) AS did_estimate,
+       ROUND(((b_l - b_e) - (a_l - a_e))
+             / NULLIF(SQRT((a_qe - a_e * a_e) / a_ne
+                           + (a_ql - a_l * a_l) / a_nl
+                           + (b_qe - b_e * b_e) / b_ne
+                           + (b_ql - b_l * b_l) / b_nl), 0), 4) AS zscore,
+       COALESCE(ABS(ROUND(((b_l - b_e) - (a_l - a_e))
+             / NULLIF(SQRT((a_qe - a_e * a_e) / a_ne
+                           + (a_ql - a_l * a_l) / a_nl
+                           + (b_qe - b_e * b_e) / b_ne
+                           + (b_ql - b_l * b_l) / b_nl), 0), 4)) > 1.96,
+                FALSE) AS significant
+FROM p
+"""
+
+QUERIES["events_diff_in_diff"] = events_diff_in_diff
+ORACLE["events_diff_in_diff"] = _DID_SQL
+
+
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converting-path census (new r10): for each user's FIRST
+    purchase, the last up-to-3 event types that led to it, joined into
+    a ``a>b>c`` path string and counted across users — the
+    which-routes-convert complement of the funnel family's fixed-order
+    step counts.  Ordering is the (ms-truncated ts, event_id) contract
+    everywhere, so the path is engine-deterministic.
+
+    Scale shape: one per-user min aggregation for the first purchase,
+    one window ranking the pre-purchase suffix per user, a path-grain
+    rollup (≤ |types|³ + |types|² + |types| rows by construction)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    key = F.unix_millis(F.col("ts").cast("timestamp")) * 1_000_000 + F.col(
+        "event_id"
+    )
+    ev = e.select("user_id", "event_type", key.alias("k"))
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("k").alias("pk"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("k"))
+    pre = (
+        ev.join(first_p, "user_id")
+        .filter(F.col("k") < F.col("pk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = (
+        pre.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.reverse(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("rn", "event_type")),
+                        ),
+                        lambda s: s["event_type"],
+                    )
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("path")
+    )
+
+
+_CONVERSION_PATHS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_ms(ts) * 1000000 + event_id AS k
+  FROM events WHERE ts IS NOT NULL
+),
+fp AS (
+  SELECT user_id, MIN(k) AS pk FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+  SELECT ev.user_id, ev.event_type, ev.k,
+         ROW_NUMBER() OVER (PARTITION BY ev.user_id ORDER BY ev.k DESC)
+           AS rn
+  FROM ev JOIN fp ON ev.user_id = fp.user_id AND ev.k < fp.pk
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY k) AS path
+  FROM pre WHERE rn <= 3 GROUP BY 1
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_conversion_paths"] = events_conversion_paths
+ORACLE["events_conversion_paths"] = _CONVERSION_PATHS_SQL
