@@ -316,6 +316,10 @@ HEADLINE = [
     ("events_diff_in_diff", events.QUERIES),
     ("events_conversion_paths", events.QUERIES),
     ("groupby_all_revenue", advanced.QUERIES),
+    # r10 wave 13: portmanteau test, Markov prediction eval, 2-way ANOVA
+    ("events_ljung_box", events.QUERIES),
+    ("events_markov_prediction_eval", events.QUERIES),
+    ("lineitem_two_way_anova", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

@@ -4841,3 +4841,156 @@ ORDER BY yr, o_orderpriority
 
 QUERIES["groupby_all_revenue"] = groupby_all_revenue
 ORACLE["groupby_all_revenue"] = _GROUPBY_ALL_SQL
+
+
+def lineitem_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction (new r10): do return flag and
+    line status move extended price independently?  The factorial
+    member of the hypothesis-test family (``events_anova_value_by_type``
+    is one-way) computed from cell sufficient
+    statistics only — the proportional-frequencies decomposition
+    ``SS_A = Q_A − CM``, ``SS_B = Q_B − CM``, ``SS_AB = Q_cell − Q_A −
+    Q_B + CM`` where every Q is a ``Σ(grain_sum²/grain_n)`` — so the
+    fact table is scanned ONCE and everything after is a ≤|A|·|B|-row
+    frame.  (Exact for balanced/proportional layouts; documented
+    approximation for the mildly unbalanced TPC-H cells.)  Cell sums accumulate as
+    exact decimals; F ratios are judged against Wilson-Hilferty
+    95th-percentile chi-square/dof approximations with DERIVED dofs.
+
+    Scale shape: one (flag, status) cell aggregation; marginal and
+    grand frames are rollups of the bounded cell frame; 1-row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("s"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(30,4)"
+            )
+        ).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def grain(*keys):
+        g = cells.groupBy(*keys) if keys else cells.groupBy()
+        return g.agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s")
+        ).agg(
+            F.sum(d("s") * d("s") / F.col("n")).alias("q"),
+        )
+    q_cell = cells.agg(F.sum(d("s") * d("s") / F.col("n")).alias("q_cell"))
+    q_a = grain("l_returnflag").select(F.col("q").alias("q_a"))
+    q_b = grain("l_linestatus").select(F.col("q").alias("q_b"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("ka"),
+        F.countDistinct("l_linestatus").cast("bigint").alias("kb"),
+    )
+    j = (
+        tot.crossJoin(q_cell)
+        .crossJoin(q_a)
+        .crossJoin(q_b)
+        .withColumn("cm", d("s_tot") * d("s_tot") / F.col("n_tot"))
+    )
+    ss_a = F.col("q_a") - F.col("cm")
+    ss_b = F.col("q_b") - F.col("cm")
+    ss_ab = F.col("q_cell") - F.col("q_a") - F.col("q_b") + F.col("cm")
+    ss_err = d("ss_tot") - F.col("q_cell")
+    df_a = F.col("ka") - 1
+    df_b = F.col("kb") - 1
+    df_ab = F.col("n_cells") - F.col("ka") - F.col("kb") + 1
+    df_err = F.col("n_tot") - F.col("n_cells")
+    mse = ss_err / df_err
+
+    def crit(dof):
+        dd = dof.cast("double")
+        return dd * F.pow(
+            1.0 - 2.0 / (9.0 * dd) + 1.6449 * F.sqrt(2.0 / (9.0 * dd)), 3.0
+        ) / dd  # chi2_crit/dof ~ F crit for large df_err
+
+    out = j.select(
+        F.col("n_tot"),
+        F.round(ss_a / df_a / mse, 4).alias("f_returnflag"),
+        F.round(ss_b / df_b / mse, 4).alias("f_linestatus"),
+        F.round(ss_ab / F.nullif(df_ab.cast("double"), F.lit(0.0)) / mse, 4).alias(
+            "f_interaction"
+        ),
+        F.round(crit(df_a), 4).alias("crit_a"),
+        F.round(crit(df_b), 4).alias("crit_b"),
+        F.round(crit(F.greatest(df_ab, F.lit(1))), 4).alias("crit_ab"),
+    )
+    return out.select(
+        "n_tot",
+        "f_returnflag",
+        "f_linestatus",
+        "f_interaction",
+        (F.col("f_returnflag") > F.col("crit_a")).alias("sig_returnflag"),
+        (F.col("f_linestatus") > F.col("crit_b")).alias("sig_linestatus"),
+        F.coalesce(
+            F.col("f_interaction") > F.col("crit_ab"), F.lit(False)
+        ).alias("sig_interaction"),
+    )
+
+
+_TWO_WAY_ANOVA_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS s,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS ss
+  FROM lineitem GROUP BY 1, 2
+),
+qc AS (SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS q_cell
+       FROM cells),
+qa AS (SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS q_a FROM (
+        SELECT a, SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY 1)),
+qb AS (SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS q_b FROM (
+        SELECT b, SUM(n) AS n, SUM(s) AS s FROM cells GROUP BY 1)),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot,
+         SUM(ss) AS ss_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+  FROM cells
+),
+j AS (
+  SELECT tot.*, q_cell, q_a, q_b,
+         CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot AS cm
+  FROM tot, qc, qa, qb
+),
+f AS (
+  SELECT n_tot,
+         ROUND((q_a - cm) / (ka - 1)
+               / ((CAST(ss_tot AS DOUBLE) - q_cell) / (n_tot - n_cells)), 4)
+           AS f_returnflag,
+         ROUND((q_b - cm) / (kb - 1)
+               / ((CAST(ss_tot AS DOUBLE) - q_cell) / (n_tot - n_cells)), 4)
+           AS f_linestatus,
+         ROUND((q_cell - q_a - q_b + cm)
+               / NULLIF(CAST(n_cells - ka - kb + 1 AS DOUBLE), 0)
+               / ((CAST(ss_tot AS DOUBLE) - q_cell) / (n_tot - n_cells)), 4)
+           AS f_interaction,
+         ROUND((ka - 1) * POW(1.0 - 2.0 / (9.0 * (ka - 1))
+               + 1.6449 * SQRT(2.0 / (9.0 * (ka - 1))), 3) / (ka - 1), 4)
+           AS crit_a,
+         ROUND((kb - 1) * POW(1.0 - 2.0 / (9.0 * (kb - 1))
+               + 1.6449 * SQRT(2.0 / (9.0 * (kb - 1))), 3) / (kb - 1), 4)
+           AS crit_b,
+         ROUND(GREATEST(n_cells - ka - kb + 1, 1)
+               * POW(1.0 - 2.0 / (9.0 * GREATEST(n_cells - ka - kb + 1, 1))
+               + 1.6449 * SQRT(2.0 / (9.0 * GREATEST(n_cells - ka - kb + 1, 1))), 3)
+               / GREATEST(n_cells - ka - kb + 1, 1), 4) AS crit_ab
+  FROM j
+)
+SELECT n_tot, f_returnflag, f_linestatus, f_interaction,
+       f_returnflag > crit_a AS sig_returnflag,
+       f_linestatus > crit_b AS sig_linestatus,
+       COALESCE(f_interaction > crit_ab, FALSE) AS sig_interaction
+FROM f
+"""
+
+QUERIES["lineitem_two_way_anova"] = lineitem_two_way_anova
+ORACLE["lineitem_two_way_anova"] = _TWO_WAY_ANOVA_SQL

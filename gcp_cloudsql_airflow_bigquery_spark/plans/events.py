@@ -5359,3 +5359,214 @@ FROM paths GROUP BY 1 ORDER BY 1
 
 QUERIES["events_conversion_paths"] = events_conversion_paths
 ORACLE["events_conversion_paths"] = _CONVERSION_PATHS_SQL
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (new r10): is the daily total-value
+    series white noise?  Autocorrelations at lags 1..7 from exact
+    decimal daily sums, pooled into ``Q = n(n+2) Σ ρ_k²/(n−k)`` and
+    judged against the Wilson-Hilferty 95th-percentile chi-square at
+    dof = 7 — the TEST member of the serial-dependence family
+    (``events_hourly_autocorr`` reports the ACF; Ljung-Box decides).
+
+    Scale shape: one day-grain aggregation; the lag joins and moment
+    sums all run over the calendar-bounded frame; 1-row rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w))
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("mu")
+    )
+    centered = idx.crossJoin(F.broadcast(stats)).select(
+        "t", (F.col("v") - F.col("mu")).alias("x"), "n"
+    )
+    denom = centered.agg(
+        F.sum(F.col("x") * F.col("x")).alias("c0"), F.max("n").alias("n")
+    )
+    # per-lag products via a small unrolled union (lags 1..7)
+    parts = None
+    for k in range(1, 8):
+        pk = (
+            centered.alias("a")
+            .join(
+                centered.select(
+                    F.col("t").alias("tb"), F.col("x").alias("xb")
+                ),
+                F.col("a.t") == F.col("tb") + k,
+            )
+            .agg(
+                F.lit(k).alias("lag"),
+                F.sum(F.col("x") * F.col("xb")).alias("ck"),
+            )
+        )
+        parts = pk if parts is None else parts.unionByName(pk)
+    acf = parts.crossJoin(F.broadcast(denom)).select(
+        "lag",
+        (F.col("ck") / F.col("c0")).alias("rho"),
+        "n",
+    )
+    q = acf.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(
+            F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+        ).alias("s"),
+    ).select(
+        "n_days",
+        F.round(
+            F.col("n_days") * (F.col("n_days") + 2) * F.col("s"), 4
+        ).alias("q_stat"),
+    )
+    dof = 7.0
+    crit = round(dof * (1 - 2 / (9 * dof) + 1.6449 * (2 / (9 * dof)) ** 0.5) ** 3, 4)
+    return q.select(
+        "n_days",
+        "q_stat",
+        F.lit(crit).alias("crit_95"),
+        (F.col("q_stat") > F.lit(crit)).alias("serially_dependent"),
+    )
+
+
+_LJUNG_BOX_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+idx AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+),
+s AS (SELECT COUNT(*) AS n, AVG(v) AS mu FROM idx),
+c AS (SELECT t, v - mu AS x, n FROM idx, s),
+d AS (SELECT SUM(x * x) AS c0, MAX(n) AS n FROM c),
+acf AS (
+  SELECT k.lag, SUM(a.x * b.x) AS ck
+  FROM (SELECT UNNEST([1,2,3,4,5,6,7]) AS lag) k
+  JOIN c a ON TRUE
+  JOIN c b ON a.t = b.t + k.lag
+  GROUP BY 1
+),
+q AS (
+  SELECT CAST(d.n AS BIGINT) AS n_days,
+         ROUND(d.n * (d.n + 2)
+               * SUM((ck / c0) * (ck / c0) / (d.n - lag)), 4) AS q_stat
+  FROM acf, d GROUP BY d.n
+)
+SELECT n_days, q_stat,
+       {round(7.0 * (1 - 2 / 63 + 1.6449 * (2 / 63) ** 0.5) ** 3, 4)} AS crit_95,
+       q_stat > {round(7.0 * (1 - 2 / 63 + 1.6449 * (2 / 63) ** 0.5) ** 3, 4)}
+         AS serially_dependent
+FROM q
+"""
+
+QUERIES["events_ljung_box"] = events_ljung_box
+ORACLE["events_ljung_box"] = _LJUNG_BOX_SQL
+
+
+def events_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-state prediction accuracy (new r10): train the
+    first-order transition model on the EARLIER calendar half, predict
+    each later-half transition's next type as the argmax row of the
+    model (ties broken lexicographically), and report top-1 accuracy
+    per from-state plus the majority-class baseline — the EVAL that
+    closes the loop on ``events_transition_matrix`` (the model) and
+    ``events_transition_conformance`` (the screen): is the chain
+    actually predictive out-of-sample?
+
+    Scale shape: one LEAD window on user_id; the model, argmax, and
+    baseline frames are |types|²-bounded; one join of the later-half
+    pairs against the broadcast-eligible model (Catalyst picks the
+    strategy) and a |types|-grain rollup."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")), F.col("event_id")
+    )
+    consts = e.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t1"),
+    )
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp")) * 2
+                <= F.col("t0") + F.col("t1")
+            ).alias("early"),
+        )
+    )
+    model = (
+        pairs.filter(F.col("early"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wbest = Window.partitionBy("src").orderBy(F.desc("n"), "dst")
+    pred = (
+        model.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    return (
+        pairs.filter(~F.col("early"))
+        .join(pred, "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("pred").alias("predicted"),
+            F.round(
+                F.avg((F.col("dst") == F.col("pred")).cast("int")), 6
+            ).alias("top1_accuracy"),
+        )
+        .orderBy("src")
+    )
+
+
+_MARKOV_EVAL_SQL = """
+WITH p AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY date_trunc('ms', ts), event_id) AS dst,
+         epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+c AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM p),
+pairs AS (
+  SELECT src, dst, us * 2 <= t0 + t1 AS early FROM p, c
+  WHERE dst IS NOT NULL
+),
+model AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE early GROUP BY 1, 2
+),
+pred AS (
+  SELECT src, dst AS pred FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+    FROM model
+  ) WHERE rn = 1
+)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n_test,
+       MAX(pred) AS predicted,
+       ROUND(AVG(CASE WHEN dst = pred THEN 1 ELSE 0 END), 6)
+         AS top1_accuracy
+FROM pairs JOIN pred USING (src)
+WHERE NOT early
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_markov_prediction_eval"] = events_markov_prediction_eval
+ORACLE["events_markov_prediction_eval"] = _MARKOV_EVAL_SQL
