@@ -320,6 +320,11 @@ HEADLINE = [
     ("events_ljung_box", events.QUERIES),
     ("events_markov_prediction_eval", events.QUERIES),
     ("lineitem_two_way_anova", advanced.QUERIES),
+    # r10 wave 14: prefix-max watermark audit, generated calendar dim,
+    # deterministic mode
+    ("events_late_arrival_audit", events.QUERIES),
+    ("orders_calendar_dim_join", advanced.QUERIES),
+    ("part_mode_size_by_brand", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

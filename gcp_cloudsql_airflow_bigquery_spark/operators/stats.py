@@ -226,3 +226,65 @@ def holt_winters_additive(
         "forecast_next double, mae double"
     )
     return df.groupBy(key_col).applyInPandas(fn, schema=schema)
+
+
+def running_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running maximum of ``value_col`` in ``order_col``
+    order, at scale: range-partition on the order key, take the
+    per-partition exclusive prefix max with a partition-LOCAL window,
+    and add each partition's "everything earlier" maximum via the
+    partition-count² offsets self-join — the prefix-MAX twin of
+    ``global_cumsum``'s prefix-SUM (and the machinery inside
+    :func:`skyline_2d`), exposed as its own operator because watermark
+    audits and high-water-mark features need it on SF-scaling frames
+    where a bare ``Window.orderBy`` would serialize onto one task.
+
+    Rows with the first order value get NULL (no earlier row).  Ties
+    in ``order_col`` see the max of strictly-EARLIER partitions plus
+    preceding ROWS within their partition — pass a unique order key
+    (the usual case: event ids, byte offsets) for fully deterministic
+    semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranged = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    ).sortWithinPartitions(order_col)
+    # EAGER: three consumers (offsets agg, window, output) — a lazy cut
+    # would race concurrent tasks into duplicate recompute (r10 lesson)
+    part = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    pmax = part.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    lower = pmax.select(
+        F.col("_pid").alias("_pid2"), F.col("_pmax").alias("_pmax2")
+    )
+    off = (
+        pmax.join(lower, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_pmax2").alias("_off"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.coalesce(F.max(value_col).over(w), F.col("_off")),
+                F.col("_off"),
+            ),
+        )
+        .drop("_pid", "_off")
+    )

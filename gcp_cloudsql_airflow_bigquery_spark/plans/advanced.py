@@ -4994,3 +4994,128 @@ FROM f
 
 QUERIES["lineitem_two_way_anova"] = lineitem_two_way_anova
 ORACLE["lineitem_two_way_anova"] = _TWO_WAY_ANOVA_SQL
+
+
+def orders_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension ⨝ fact rollup (new r10): a date
+    dimension SYNTHESIZED in-plan with ``sequence``/``explode`` from
+    the fact's own min/max — the generate-series source surface the
+    reference's warehouse model assumes exists — left-joined to daily
+    order counts so zero-order days appear (the gap-aware calendar the
+    LOCF/gap-fill family needs upstream).  Calendar attributes use the
+    engine-portable forms: isodow via ``weekday()+1``, ISO week via
+    ``weekofyear``, month-end via ``last_day`` equality.
+
+    Scale shape: the dim is calendar-bounded by construction (one
+    1-row min/max aggregate exploded to ~2.4k rows); the fact side is
+    one day-grain count aggregation; the join is dim-sized."""
+    o = _t(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    dim = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    ).select(
+        "day",
+        (F.weekday("day") + 1).cast("int").alias("isodow"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+        F.month("day").cast("int").alias("month"),
+        F.quarter("day").cast("int").alias("quarter"),
+        (F.last_day("day") == F.col("day")).alias("is_month_end"),
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        dim.join(daily, "day", "left")
+        .select(
+            "day",
+            "isodow",
+            "iso_week",
+            "month",
+            "quarter",
+            "is_month_end",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+_CALENDAR_DIM_SQL = """
+WITH span AS (
+  SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+),
+dim AS (
+  SELECT CAST(g.day AS DATE) AS day FROM span,
+         LATERAL (SELECT UNNEST(generate_series(d0, d1,
+                  INTERVAL 1 DAY)) AS day) g
+),
+daily AS (
+  SELECT o_orderdate AS day, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT dim.day,
+       CAST(isodow(dim.day) AS INT) AS isodow,
+       CAST(week(dim.day) AS INT) AS iso_week,
+       CAST(month(dim.day) AS INT) AS month,
+       CAST(quarter(dim.day) AS INT) AS quarter,
+       last_day(dim.day) = dim.day AS is_month_end,
+       CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders
+FROM dim LEFT JOIN daily ON daily.day = dim.day
+ORDER BY dim.day
+"""
+
+QUERIES["orders_calendar_dim_join"] = orders_calendar_dim_join
+ORACLE["orders_calendar_dim_join"] = _CALENDAR_DIM_SQL
+
+
+def part_mode_size_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (new r10): the most common part size per
+    brand with an explicit (count DESC, size ASC) tie-break — the
+    engines' native ``mode()`` aggregates leave ties unspecified, so
+    the portable form is the argmax over the (brand, size) count frame
+    that both engines order identically.  Emits the modal size, its
+    count, and its share of the brand.
+
+    Scale shape: one (brand, size) aggregation; the ranking window
+    runs over the |brands|×|sizes|-bounded count frame."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), "p_size")
+    wtot = Window.partitionBy("p_brand")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("n").over(wtot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_size").cast("int").alias("mode_size"),
+            F.col("n").cast("bigint").alias("n_mode"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("mode_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_MODE_SIZE_SQL = """
+WITH c AS (
+  SELECT p_brand, p_size, COUNT(*) AS n FROM part GROUP BY 1, 2
+),
+r AS (
+  SELECT p_brand, p_size, n,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY n DESC, p_size) AS rn,
+         SUM(n) OVER (PARTITION BY p_brand) AS tot
+  FROM c
+)
+SELECT p_brand, CAST(p_size AS INT) AS mode_size,
+       CAST(n AS BIGINT) AS n_mode,
+       ROUND(n * 1.0 / tot, 6) AS mode_share
+FROM r WHERE rn = 1 ORDER BY p_brand
+"""
+
+QUERIES["part_mode_size_by_brand"] = part_mode_size_by_brand
+ORACLE["part_mode_size_by_brand"] = _MODE_SIZE_SQL

@@ -4763,7 +4763,7 @@ n AS (
   FROM c
 )
 SELECT event_type, exact_n,
-       1.0 AS epsilon,
+       CAST(1.0 AS DOUBLE) AS epsilon,
        ROUND(-SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 4) AS noise,
        ROUND(exact_n + (-SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5))), 4)
          AS noisy_n
@@ -5570,3 +5570,73 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["events_markov_prediction_eval"] = events_markov_prediction_eval
 ORACLE["events_markov_prediction_eval"] = _MARKOV_EVAL_SQL
+
+
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning audit (new r10): if the feed were replayed in
+    ingest order (event_id), how many events would arrive LATER than
+    the stream's high-water mark by more than each candidate watermark
+    {1 h, 6 h, 24 h}?  The batch evidence behind choosing
+    ``withWatermark`` bounds for the registered streams — state cost
+    vs dropped-data cost, measured instead of guessed.  Lateness is
+    ``running_max(ts over earlier event_ids) − ts`` via
+    ``operators/stats.running_prefix_max`` — the range-partitioned
+    prefix-MAX twin of global_cumsum, so the ingest-order scan never
+    lands on one task.
+
+    Scale shape: one range shuffle on event_id + partition-local
+    windows + the partition-count² offsets join; then one 3-row
+    rollup (watermarks unrolled as a literal frame)."""
+    from ..operators.stats import running_prefix_max
+
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.date_trunc("millisecond", F.col("ts")))
+    base = e.select("event_id", us.alias("us"))
+    marked = running_prefix_max(base, "event_id", "us", "hwm")
+    late = marked.select(
+        F.greatest(F.col("hwm") - F.col("us"), F.lit(0)).alias("late_us")
+    )
+    wm = [("1h", 3_600_000_000), ("6h", 21_600_000_000), ("24h", 86_400_000_000)]
+    out = None
+    for label, bound in wm:
+        row = late.agg(
+            F.lit(label).alias("watermark"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late_us") > bound).cast("long"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.avg((F.col("late_us") > bound).cast("double")), 6
+            ).alias("dropped_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("watermark")
+
+
+_LATE_ARRIVAL_SQL = """
+WITH e AS (
+  SELECT event_id, epoch_us(date_trunc('ms', ts)) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+m AS (
+  SELECT us,
+         MAX(us) OVER (ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM e
+),
+late AS (
+  SELECT GREATEST(COALESCE(hwm - us, 0), 0) AS late_us FROM m
+),
+w AS (SELECT * FROM (VALUES ('1h', 3600000000), ('6h', 21600000000),
+                            ('24h', 86400000000)) t(watermark, bound))
+SELECT watermark,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > bound THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       ROUND(AVG(CASE WHEN late_us > bound THEN 1.0 ELSE 0.0 END), 6)
+         AS dropped_share
+FROM late, w GROUP BY watermark, bound ORDER BY watermark
+"""
+
+QUERIES["events_late_arrival_audit"] = events_late_arrival_audit
+ORACLE["events_late_arrival_audit"] = _LATE_ARRIVAL_SQL
