@@ -140,7 +140,9 @@ _MODULES = (
 # events_diff_in_diff, events_conversion_paths, groupby_all_revenue,
 # events_ljung_box, events_markov_prediction_eval,
 # lineitem_two_way_anova, events_late_arrival_audit,
-# orders_calendar_dim_join, part_mode_size_by_brand — then (b) the
+# orders_calendar_dim_join, part_mode_size_by_brand,
+# events_distinct_users_streamed (stream #9), doc_dup_quality_report,
+# doc_label_source_alignment, part_substitutes — then (b) the
 # remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,

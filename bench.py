@@ -325,6 +325,11 @@ HEADLINE = [
     ("events_late_arrival_audit", events.QUERIES),
     ("orders_calendar_dim_join", advanced.QUERIES),
     ("part_mode_size_by_brand", advanced.QUERIES),
+    # r10 wave 15: stream #9, curation cross-checks, substitutes
+    ("events_distinct_users_streamed", events.QUERIES),
+    ("doc_dup_quality_report", llmdata.QUERIES),
+    ("doc_label_source_alignment", llmdata.QUERIES),
+    ("part_substitutes", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

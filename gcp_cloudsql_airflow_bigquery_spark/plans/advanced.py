@@ -5119,3 +5119,93 @@ FROM r WHERE rn = 1 ORDER BY p_brand
 
 QUERIES["part_mode_size_by_brand"] = part_mode_size_by_brand
 ORACLE["part_mode_size_by_brand"] = _MODE_SIZE_SQL
+
+
+def part_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest same-spec substitute (new r10): for every part, the
+    lowest-priced part of the SAME type and size from a DIFFERENT
+    brand, with the saving — the recommendation-flavored self-join the
+    catalog surface was missing (top-k ranks within a group;
+    substitutes rank within an ATTRIBUTE-equivalence class and exclude
+    the row's own brand).  Computed without a pairwise join: rank the
+    (type, size) class once, keep ranks 1-2 of DISTINCT brands, and
+    resolve each member against the best other-brand row.
+
+    Exactness: prices compare as DECIMAL; ties break on partkey.
+
+    Scale shape: one window over (type, size) classes (bounded member
+    count per class at any SF — class COUNT scales, size doesn't),
+    one broadcast-eligible join of the 2-rows-per-class leaders frame
+    back to the catalog."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = Window.partitionBy("p_type", "p_size").orderBy("price", "p_partkey")
+    ranked = p.withColumn("rn", F.row_number().over(w))
+    leaders = ranked.filter(F.col("rn") <= 2).select(
+        "p_type",
+        "p_size",
+        F.col("p_brand").alias("l_brand"),
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("price").alias("l_price"),
+        "rn",
+    )
+    best = (
+        p.join(leaders, ["p_type", "p_size"])
+        .filter(F.col("l_brand") != F.col("p_brand"))
+        .withColumn(
+            "pick",
+            F.row_number().over(
+                Window.partitionBy("p_partkey").orderBy(
+                    "l_price", "l_partkey"
+                )
+            ),
+        )
+        .filter(F.col("pick") == 1)
+    )
+    return best.select(
+        "p_partkey",
+        "p_brand",
+        F.col("l_partkey").alias("substitute_partkey"),
+        F.col("l_brand").alias("substitute_brand"),
+        (F.col("price") - F.col("l_price"))
+        .cast("double")
+        .alias("saving"),
+    ).orderBy("p_partkey")
+
+
+_SUBSTITUTES_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(p_retailprice AS DECIMAL(12,2)) AS price
+  FROM part
+),
+leaders AS (
+  SELECT p_type, p_size, p_brand AS l_brand, p_partkey AS l_partkey,
+         price AS l_price,
+         ROW_NUMBER() OVER (PARTITION BY p_type, p_size
+                            ORDER BY price, p_partkey) AS rn
+  FROM p
+),
+best AS (
+  SELECT p.p_partkey, p.p_brand, l.l_partkey, l.l_brand,
+         CAST(p.price - l.l_price AS DOUBLE) AS saving,
+         ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                            ORDER BY l.l_price, l.l_partkey) AS pick
+  FROM p JOIN leaders l
+    ON l.p_type = p.p_type AND l.p_size = p.p_size
+   AND l.l_brand <> p.p_brand AND l.rn <= 2
+)
+SELECT p_partkey, p_brand, l_partkey AS substitute_partkey,
+       l_brand AS substitute_brand, saving
+FROM best WHERE pick = 1 ORDER BY p_partkey
+"""
+
+QUERIES["part_substitutes"] = part_substitutes
+ORACLE["part_substitutes"] = _SUBSTITUTES_SQL

@@ -5640,3 +5640,26 @@ FROM late, w GROUP BY watermark, bound ORDER BY watermark
 
 QUERIES["events_late_arrival_audit"] = events_late_arrival_audit
 ORACLE["events_late_arrival_audit"] = _LATE_ARRIVAL_SQL
+
+
+# Registered end-to-end stream #9 (r10): exact windowed distinct
+# cardinality — complete-mode (window × user) state, batch rollup of
+# the sink.  Oracle: the plain batch distinct per epoch-aligned
+# 7-day window.  (Spark's F.window epoch-aligns to 1970-01-01;
+# epoch_us // window replays it.)
+_DISTINCT_USERS_STREAMED_SQL = """
+WITH e AS (
+  SELECT user_id,
+         to_timestamp((epoch_us(ts) // 604800000000) * 604800) AS wk_start
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT wk_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_distinct_users_streamed"] = (
+    streams.events_distinct_users_streamed
+)
+ORACLE["events_distinct_users_streamed"] = _DISTINCT_USERS_STREAMED_SQL

@@ -4233,3 +4233,186 @@ FROM agg ORDER BY source
 
 QUERIES["doc_source_diversity"] = doc_source_diversity
 ORACLE["doc_source_diversity"] = _SOURCE_DIVERSITY_SQL
+
+
+def doc_dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates lower quality? (new r10)  Joins the
+    OPENING-PREFIX near-dup verdict (md5 of the first 8 normalized
+    tokens appearing ≥2× — the boilerplate-opening criterion from the
+    prefix-dedup family; the fixture contains no byte-exact dups, so
+    the exact fingerprint would leave the dup branch untested) with
+    the pretraining quality heuristic and reports per-status doc counts, mean quality,
+    and mean token length — the curation cross-check that says whether
+    dedup and quality filtering are REDUNDANT or COMPLEMENTARY gates
+    on this corpus (if dups score low anyway, the quality gate already
+    removes most of them; if not, both earn their keep).  Per-doc
+    quality is rounded then decimal-cast before the mean (the
+    FP-parity pattern).
+
+    Scale shape: one fingerprint groupBy (the dedup shuffle), one
+    broadcast-eligible join of the dup-key set back to the corpus, a
+    2-row rollup."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(textstats.normalize_text(F.col("text")), " "), 1, 8
+            ),
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        fp.alias("fp"),
+        textstats.quality_score(F.col("text"))
+        .cast("decimal(12,6)")
+        .alias("q"),
+        textstats.token_count(F.col("text")).alias("n_tok"),
+    )
+    dups = (
+        scored.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("fp", F.lit(True).alias("is_dup"))
+    )
+    return (
+        scored.join(dups, "fp", "left")
+        .groupBy(F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                (F.sum("q") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("mean_quality"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        )
+        .orderBy("is_dup")
+    )
+
+
+_DUP_QUALITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             1, 8), ' ')) AS fp,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id, fp,
+         len(w) AS n_tok,
+         len(list_filter(w, x -> x IN ('{_STOPLIST_SQL}'))) AS n_stop,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS n_punct
+  FROM toks
+), r AS (
+  SELECT doc_id, fp, n_tok,
+         CAST(ROUND(LEAST(n_tok / 50.0, 1.0) * 0.5 +
+               GREATEST(0.0, 1.0 - (CASE WHEN n_chars > 0
+                   THEN n_punct / n_chars ELSE 0.0 END) * 5) * 0.25 +
+               LEAST((CASE WHEN n_tok > 0 THEN n_stop / n_tok
+                      ELSE 0.0 END) * 4, 1.0) * 0.25, 6)
+           AS DECIMAL(12,6)) AS q
+  FROM m
+),
+d AS (SELECT fp FROM r GROUP BY fp HAVING COUNT(*) >= 2)
+SELECT COALESCE(r.fp IN (SELECT fp FROM d), FALSE) AS is_dup,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(q) / COUNT(*) AS DOUBLE), 6) AS mean_quality,
+       ROUND(AVG(n_tok), 4) AS mean_tokens
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_dup_quality_report"] = doc_dup_quality_report
+ORACLE["doc_dup_quality_report"] = _DUP_QUALITY_SQL
+
+
+def doc_label_source_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment check (new r10): do the embedding-space
+    cluster LABELS line up with the documents' SOURCE fields?  Joins
+    the two fixtures on their shared id (vec_id ≡ doc_id), builds the
+    |sources|×|labels| contingency frame, and reports the chi-square
+    with Cramér's V — the one-number answer to "did the embedding
+    model rediscover the source taxonomy" that decides whether
+    source-stratified sampling and embedding-cluster balancing are
+    the same knob or two.
+
+    Scale shape: one id-equi join (both sides SF-scaling, Catalyst
+    picks the strategy), one contingency aggregation to the bounded
+    |sources|×|labels| frame, scalar rollups after."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    cell = d.join(e, "doc_id").groupBy("source", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cell.groupBy("source").agg(F.sum("n").alias("nr"))
+    cols = cell.groupBy("label").agg(F.sum("n").alias("nc"))
+    tot = cell.agg(
+        F.sum("n").alias("nt"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("label").alias("c"),
+    )
+    chi = (
+        cell.join(rows, "source")
+        .join(cols, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.pow(
+                    F.col("n") - F.col("nr") * F.col("nc") / F.col("nt"), 2
+                )
+                / (F.col("nr") * F.col("nc") / F.col("nt"))
+            ).alias("term"),
+            "nt",
+            "r",
+            "c",
+        )
+        .groupBy("nt", "r", "c")
+        .agg(F.sum("term").alias("chi2"))
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / F.col("nt")
+        / F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    )
+    return chi.select(
+        F.col("nt").cast("bigint").alias("n_docs"),
+        F.col("r").cast("int").alias("n_sources"),
+        F.col("c").cast("int").alias("n_labels"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+_LABEL_SOURCE_SQL = """
+WITH cell AS (
+  SELECT d.source, e.label, COUNT(*) AS n
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  GROUP BY 1, 2
+),
+rows_ AS (SELECT source, SUM(n) AS nr FROM cell GROUP BY 1),
+cols_ AS (SELECT label, SUM(n) AS nc FROM cell GROUP BY 1),
+tot AS (
+  SELECT SUM(n) AS nt, COUNT(DISTINCT source) AS r,
+         COUNT(DISTINCT label) AS c
+  FROM cell
+),
+chi AS (
+  SELECT MAX(nt) AS nt, MAX(r) AS r, MAX(c) AS c,
+         SUM(POW(n - nr * nc * 1.0 / nt, 2) / (nr * nc * 1.0 / nt)) AS chi2
+  FROM cell JOIN rows_ USING (source) JOIN cols_ USING (label), tot
+)
+SELECT CAST(nt AS BIGINT) AS n_docs,
+       CAST(r AS INT) AS n_sources,
+       CAST(c AS INT) AS n_labels,
+       ROUND(chi2, 4) AS chi2,
+       ROUND(SQRT(chi2 / nt / CAST(LEAST(r - 1, c - 1) AS DOUBLE)), 6)
+         AS cramers_v
+FROM chi
+"""
+
+QUERIES["doc_label_source_alignment"] = doc_label_source_alignment
+ORACLE["doc_label_source_alignment"] = _LABEL_SOURCE_SQL

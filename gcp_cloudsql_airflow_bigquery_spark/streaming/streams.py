@@ -1200,3 +1200,46 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "item")
     )
+
+
+def events_distinct_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth REGISTERED end-to-end streaming query (r10): windowed
+    DISTINCT cardinality through the streaming engine — the per-window
+    per-user stateful aggregation (complete mode, the
+    ``events_dedup_streamed`` sink-then-rollup shape) whose sink table
+    is rolled up batch-side into exact distinct users and events per
+    epoch-aligned 7-day window.  This is the exact-regime twin of the
+    sliding-HLL rollups: state is one row per open (window × user),
+    the honest cost of EXACT streaming distincts, which is precisely
+    why the approx family exists — both ends of that trade are now
+    registered.
+
+    Scale shape: standard partial-agg shuffle on (window, user);
+    swap the file source for Kafka at cluster scale unchanged."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    agg = (
+        stream.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "7 days").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wk_start"), "user_id", "n")
+    )
+    name = f"events_distinct_users_streamed_{next(_MEMSINK_SEQ)}"
+    run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .groupBy("wk_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("wk_start")
+    )
