@@ -142,8 +142,9 @@ _MODULES = (
 # lineitem_two_way_anova, events_late_arrival_audit,
 # orders_calendar_dim_join, part_mode_size_by_brand,
 # events_distinct_users_streamed (stream #9), doc_dup_quality_report,
-# doc_label_source_alignment, part_substitutes — then (b) the
-# remaining 40
+# doc_label_source_alignment, part_substitutes,
+# events_growth_accounting, events_periodogram_daily,
+# window_nth_ignore_nulls — then (b) the remaining 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

@@ -330,6 +330,10 @@ HEADLINE = [
     ("doc_dup_quality_report", llmdata.QUERIES),
     ("doc_label_source_alignment", llmdata.QUERIES),
     ("part_substitutes", advanced.QUERIES),
+    # r10 wave 16: growth accounting, periodogram, window-fn surface
+    ("events_growth_accounting", events.QUERIES),
+    ("events_periodogram_daily", events.QUERIES),
+    ("window_nth_ignore_nulls", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

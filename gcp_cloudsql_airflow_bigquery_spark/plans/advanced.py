@@ -5209,3 +5209,62 @@ FROM best WHERE pick = 1 ORDER BY p_partkey
 
 QUERIES["part_substitutes"] = part_substitutes
 ORACLE["part_substitutes"] = _SUBSTITUTES_SQL
+
+
+def window_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value / last_value IGNORE NULLS surface (new
+    r10): per customer over the order history, the first and second
+    order prices, the most recent NON-AUTOMATIC priority seen so far
+    (``last_value IGNORE NULLS`` over a running frame — the LOCF
+    shape applied to a dimension), and the final price — the window
+    rows the ranking/analytic matrix was missing.
+
+    Scale shape: windows partition by customer (bounded ~10 orders per
+    customer at any SF); deterministic (date, key) ordering."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(price).over(wrun).cast("double").alias("first_price"),
+        F.nth_value(price, 2).over(wrun).cast("double").alias("second_price"),
+        F.last(urgent, ignorenulls=True).over(wrun).alias(
+            "last_urgent_priority"
+        ),
+        F.last(price).over(wall).cast("double").alias("final_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_NTH_IGNORE_NULLS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run
+            AS DOUBLE) AS first_price,
+       CAST(NTH_VALUE(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w_run
+            AS DOUBLE) AS second_price,
+       LAST_VALUE(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN o_orderpriority END IGNORE NULLS) OVER w_run
+         AS last_urgent_priority,
+       CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_all
+            AS DOUBLE) AS final_price
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+QUERIES["window_nth_ignore_nulls"] = window_nth_ignore_nulls
+ORACLE["window_nth_ignore_nulls"] = _NTH_IGNORE_NULLS_SQL

@@ -12,6 +12,7 @@ millisecond-truncated session bounds so both engines agree.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5663,3 +5664,198 @@ QUERIES["events_distinct_users_streamed"] = (
     streams.events_distinct_users_streamed
 )
 ORACLE["events_distinct_users_streamed"] = _DISTINCT_USERS_STREAMED_SQL
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (new r10): every active user in every
+    epoch-aligned week is NEW (first-ever week), RETAINED (also active
+    the previous week), or RESURRECTED (active, but last seen before
+    the previous week); CHURNED counts last week's actives who went
+    dark.  Emits the four counts plus the growth quick ratio
+    ``(new + resurrected) / churned`` — the standard product-growth
+    decomposition the DAU/MAU stickiness number can't see inside.
+
+    Scale shape: one (user, week) distinct, one per-user LAG window
+    (partitioned by user), a week-grain rollup, and one self-join of
+    the BOUNDED week-grain frame for churn (actives_prev − retained)."""
+    from pyspark.sql import Window
+
+    wk = 604_800_000_000
+    uw = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(wk)
+                )
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    marked = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+    ).select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("prev_week") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    counts = (
+        marked.groupBy("week")
+        .pivot("state", ["new", "retained", "resurrected"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["new", "retained", "resurrected"])
+    )
+    actives = marked.groupBy("week").agg(F.count(F.lit(1)).alias("active"))
+    prev = actives.select(
+        (F.col("week") + 1).alias("week"), F.col("active").alias("prev_active")
+    )
+    out = (
+        counts.join(actives, "week")
+        .join(prev, "week", "left")
+        .select(
+            F.col("week").cast("bigint").alias("epoch_week"),
+            F.col("active").cast("bigint").alias("active"),
+            F.col("new").cast("bigint").alias("new"),
+            F.col("retained").cast("bigint").alias("retained"),
+            F.col("resurrected").cast("bigint").alias("resurrected"),
+            (F.coalesce("prev_active", F.lit(0)) - F.col("retained"))
+            .cast("bigint")
+            .alias("churned"),
+        )
+        .withColumn(
+            "quick_ratio",
+            F.round(
+                (F.col("new") + F.col("resurrected"))
+                / F.nullif(F.col("churned").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    return out.orderBy("epoch_week")
+
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT week,
+         CASE WHEN prev_week IS NULL THEN 'new'
+              WHEN prev_week = week - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM (SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                 AS prev_week
+        FROM uw)
+),
+counts AS (
+  SELECT week,
+         COUNT(*) AS active,
+         SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS new,
+         SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS retained,
+         SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+           AS resurrected
+  FROM marked GROUP BY 1
+)
+SELECT CAST(c.week AS BIGINT) AS epoch_week,
+       CAST(c.active AS BIGINT) AS active,
+       CAST(c.new AS BIGINT) AS new,
+       CAST(c.retained AS BIGINT) AS retained,
+       CAST(c.resurrected AS BIGINT) AS resurrected,
+       CAST(COALESCE(p.active, 0) - c.retained AS BIGINT) AS churned,
+       ROUND((c.new + c.resurrected)
+             / NULLIF(CAST(COALESCE(p.active, 0) - c.retained AS DOUBLE), 0),
+             4) AS quick_ratio
+FROM counts c LEFT JOIN counts p ON p.week = c.week - 1
+ORDER BY 1
+"""
+
+QUERIES["events_growth_accounting"] = events_growth_accounting
+ORACLE["events_growth_accounting"] = _GROWTH_SQL
+
+
+def events_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram (new r10): spectral power of the
+    daily total-value series at cycle counts k = 1..10 over the span —
+    ``P(k) = (Σx·cos(2πkt/n))² + (Σx·sin(2πkt/n))²`` scaled by 2/n —
+    the frequency-domain member of the seasonality family (autocorr
+    and the seasonal grids are lag-domain; the periodogram ranks WHICH
+    periods carry the energy).  Series values are mean-centered exact
+    decimals; the trig sums run per k over the calendar-bounded frame
+    and rounding absorbs libm ulps.
+
+    Scale shape: one day-grain aggregation; a 10×bounded cross of the
+    literal frequency frame with the day frame; a 10-row rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w) - 1)
+    stats = idx.agg(F.count(F.lit(1)).alias("n"), F.avg("v").alias("mu"))
+    x = idx.crossJoin(F.broadcast(stats)).select(
+        "t", (F.col("v") - F.col("mu")).alias("x"), "n"
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    ang = 2.0 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    per_k = (
+        x.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.cos(ang)).alias("c"),
+            F.sum(F.col("x") * F.sin(ang)).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    return per_k.select(
+        "k",
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            * 2.0
+            / F.col("n"),
+            4,
+        ).alias("power"),
+    ).orderBy("k")
+
+
+_PERIODOGRAM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+idx AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+),
+s AS (SELECT COUNT(*) AS n, AVG(v) AS mu FROM idx),
+x AS (SELECT t, v - mu AS x, n FROM idx, s),
+ks AS (SELECT UNNEST(range(1, 11)) AS k),
+per_k AS (
+  SELECT CAST(k AS INT) AS k,
+         SUM(x * COS(2 * PI() * k * t / n)) AS c,
+         SUM(x * SIN(2 * PI() * k * t / n)) AS s2,
+         MAX(n) AS n
+  FROM x, ks GROUP BY 1
+)
+SELECT k, ROUND((c * c + s2 * s2) * 2.0 / n, 4) AS power
+FROM per_k ORDER BY k
+"""
+
+QUERIES["events_periodogram_daily"] = events_periodogram_daily
+ORACLE["events_periodogram_daily"] = _PERIODOGRAM_SQL
