@@ -5389,8 +5389,12 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = idx.agg(
         F.count(F.lit(1)).alias("n"), F.avg("v").alias("mu")
     )
-    centered = idx.crossJoin(F.broadcast(stats)).select(
-        "t", (F.col("v") - F.col("mu")).alias("x"), "n"
+    centered = (
+        idx.crossJoin(F.broadcast(stats))
+        .select("t", (F.col("v") - F.col("mu")).alias("x"), "n")
+        # EAGER cut: 9 consumers (denom + 7 lag joins x 2 sides) would
+        # otherwise re-derive the fact-scan day aggregation each time
+        .localCheckpoint(eager=True)
     )
     denom = centered.agg(
         F.sum(F.col("x") * F.col("x")).alias("c0"), F.max("n").alias("n")
@@ -5464,7 +5468,8 @@ q AS (
   FROM acf, d GROUP BY d.n
 )
 SELECT n_days, q_stat,
-       {round(7.0 * (1 - 2 / 63 + 1.6449 * (2 / 63) ** 0.5) ** 3, 4)} AS crit_95,
+       CAST({round(7.0 * (1 - 2 / 63 + 1.6449 * (2 / 63) ** 0.5) ** 3, 4)}
+            AS DOUBLE) AS crit_95,
        q_stat > {round(7.0 * (1 - 2 / 63 + 1.6449 * (2 / 63) ** 0.5) ** 3, 4)}
          AS serially_dependent
 FROM q

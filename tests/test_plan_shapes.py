@@ -282,6 +282,18 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "doc_heaps_law",
     # customer_hazard_na — same bin-grain frame as customer_survival_km
     "customer_hazard_na",
+    # r10 wave 8-16 additions whose ordered windows run over frames
+    # BOUNDED BY CONSTRUCTION, never the corpus: the fixed 256-bin
+    # value grid (mann_whitney, kruskal_wallis), the calendar-bounded
+    # day/week-bin grain (runs_test, ljung_box, periodogram,
+    # time_to_convert, logrank — the survival_km precedent)
+    "events_mann_whitney",
+    "events_kruskal_wallis",
+    "events_runs_test_daily",
+    "events_time_to_convert",
+    "events_ljung_box",
+    "events_periodogram_daily",
+    "customer_logrank_test",
 }
 
 
@@ -413,6 +425,8 @@ def test_dehinted_dims_still_autobroadcast_at_test_sf(spark, sf_dir):
 _BROADCAST_OPTIN_ALLOWLIST = {
     ("events.py", "event_type_pagerank", "broadcast_ranks"),
     ("events.py", "event_state_communities", "broadcast_labels"),
+    # same |states|-bounded event-state graph as event_state_communities
+    ("events.py", "event_state_modularity", "broadcast_labels"),
 }
 
 
