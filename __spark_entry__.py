@@ -144,7 +144,9 @@ _MODULES = (
 # events_distinct_users_streamed (stream #9), doc_dup_quality_report,
 # doc_label_source_alignment, part_substitutes,
 # events_growth_accounting, events_periodogram_daily,
-# window_nth_ignore_nulls — then (b) the remaining 40
+# window_nth_ignore_nulls, events_quarantine_streamed (stream #10),
+# events_user_feature_matrix, part_abc_xyz — then (b) the remaining
+# 40
 # r5-stale slots oldest-first (CORRECTNESS_r05.json order, continuing
 # after q9_product_type_profit: q11_important_stock,
 # q12_shipping_priority_class, q16_parts_supplier_relationship,

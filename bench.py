@@ -334,6 +334,10 @@ HEADLINE = [
     ("events_growth_accounting", events.QUERIES),
     ("events_periodogram_daily", events.QUERIES),
     ("window_nth_ignore_nulls", advanced.QUERIES),
+    # r10 wave 17: DLQ stream, feature matrix, ABC/XYZ
+    ("events_quarantine_streamed", events.QUERIES),
+    ("events_user_feature_matrix", events.QUERIES),
+    ("part_abc_xyz", advanced.QUERIES),
 ]
 
 # Headline inclusion rule (BASELINE.md "Bench headline selection

@@ -5268,3 +5268,108 @@ ORDER BY o_custkey, o_orderkey
 
 QUERIES["window_nth_ignore_nulls"] = window_nth_ignore_nulls
 ORACLE["window_nth_ignore_nulls"] = _NTH_IGNORE_NULLS_SQL
+
+
+def part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation (new r10): parts classed by
+    revenue concentration (A = the heads covering 80% of cumulative
+    revenue, B to 95%, C the tail) CROSSED with demand variability
+    (X: monthly-quantity CV ≤ 0.5, Y ≤ 1.0, Z above) — the classic
+    planning matrix.  The revenue cumshare runs through
+    ``operators/curation.global_cumsum`` (range-partitioned prefix
+    sum) over the PART-GRAIN frame, so the global ordering never
+    lands on one task; CV comes from exact per-month integer quantity
+    sums.  Emits the 9-cell matrix with part counts and revenue share.
+
+    Scale shape: one lineitem aggregation to part grain, the
+    global_cumsum range shuffle over that frame, one bounded 9-cell
+    rollup."""
+    from ..operators.curation import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(20,4)"
+            )
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,4)")
+        ).alias("sqq"),
+        F.countDistinct(F.trunc(F.col("l_shipdate"), "month")).alias(
+            "n_months"
+        ),
+    )
+    tot = per_part.agg(F.sum("rev").alias("rt"))
+    ranked = global_cumsum(
+        per_part.withColumn("neg_rev", -F.col("rev")),
+        key=["neg_rev", "l_partkey"],
+        value_col="rev",
+        out_col="cum_rev",
+    )
+    mu = F.col("sq").cast("double") / F.col("n_months")
+    var = F.col("sqq").cast("double") / F.col("n_months") - mu * mu
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mu
+    share = F.col("cum_rev").cast("double") / F.col("rt").cast("double")
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc"),
+        F.when(cv <= 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z")
+        .alias("xyz"),
+        "rev",
+        "rt",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                (F.sum("rev") / F.max("rt")).cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+_ABC_XYZ_SQL = """
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
+           AS rev,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS sqq,
+         COUNT(DISTINCT date_trunc('month', l_shipdate)) AS n_months
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT SUM(rev) AS rt FROM pp),
+r AS (
+  SELECT pp.*,
+         SUM(rev) OVER (ORDER BY -rev, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM pp
+),
+c AS (
+  SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(rt AS DOUBLE) <= 0.8
+              THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(rt AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN SQRT(GREATEST(CAST(sqq AS DOUBLE) / n_months
+                  - (CAST(sq AS DOUBLE) / n_months)
+                    * (CAST(sq AS DOUBLE) / n_months), 0))
+                  / (CAST(sq AS DOUBLE) / n_months) <= 0.5 THEN 'X'
+              WHEN SQRT(GREATEST(CAST(sqq AS DOUBLE) / n_months
+                  - (CAST(sq AS DOUBLE) / n_months)
+                    * (CAST(sq AS DOUBLE) / n_months), 0))
+                  / (CAST(sq AS DOUBLE) / n_months) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz,
+         rev, rt
+  FROM r, t
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev) / MAX(rt) AS DOUBLE), 6) AS revenue_share
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["part_abc_xyz"] = part_abc_xyz
+ORACLE["part_abc_xyz"] = _ABC_XYZ_SQL

@@ -5864,3 +5864,109 @@ FROM per_k ORDER BY k
 
 QUERIES["events_periodogram_daily"] = events_periodogram_daily
 ORACLE["events_periodogram_daily"] = _PERIODOGRAM_SQL
+
+
+# Registered end-to-end stream #10 (r10): the foreachBatch DLQ gate.
+# Oracle: the row-local split replayed verbatim — failed-check names
+# concat in check order (ts, value, domain), empty list = clean.
+_QUARANTINE_STREAMED_SQL = """
+WITH f AS (
+  SELECT concat_ws(',',
+           CASE WHEN ts IS NULL THEN 'ts_not_null' END,
+           CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 250.0)
+                THEN 'value_range' END,
+           CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                ('click','view','purchase','signup','error')
+                THEN 'event_type_domain' END) AS fails
+  FROM events
+)
+SELECT CASE WHEN fails = '' THEN 'clean' ELSE fails END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_quarantine_streamed"] = streams.events_quarantine_streamed
+ORACLE["events_quarantine_streamed"] = _QUARANTINE_STREAMED_SQL
+
+
+def events_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass user feature assembly (new r10): the feature-store
+    shape — recency / frequency / monetary / diversity / error-rate
+    features for every user in ONE aggregation over one scan (plus a
+    1-row max-date broadcast), the way a training-set builder feeds a
+    churn or LTV model.  Eleven features, no self-joins, no repeated
+    scans; decimal sums and integer day-arithmetic keep every column
+    engine-exact except the rounded ratios.
+
+    Scale shape: one groupBy(user) over the fact scan; output is
+    user-grain (the deliverable IS the training matrix)."""
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    maxd = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    day = F.to_date("ts")
+    return (
+        e.crossJoin(F.broadcast(maxd))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(day).cast("bigint").alias("active_days"),
+            F.min(F.datediff(F.col("maxd"), day))
+            .cast("int")
+            .alias("recency_days"),
+            F.max(F.datediff(F.col("maxd"), day))
+            .cast("int")
+            .alias("age_days"),
+            F.countDistinct("event_type").cast("int").alias("n_types"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("bigint")
+            .alias("n_errors"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("value"), F.lit(0.0)).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("total_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(
+                F.avg((F.col("event_type") == "error").cast("double")), 6
+            ).alias("error_rate"),
+            F.round(
+                F.avg((F.col("event_type") == "purchase").cast("double")), 6
+            ).alias("purchase_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_USER_FEATURES_SQL = """
+WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+           WHERE ts IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       CAST(MIN(date_diff('day', CAST(ts AS DATE), maxd)) AS INT)
+         AS recency_days,
+       CAST(MAX(date_diff('day', CAST(ts AS DATE), maxd)) AS INT)
+         AS age_days,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       ROUND(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS total_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6)
+         AS error_rate,
+       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6)
+         AS purchase_rate
+FROM events, m WHERE ts IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["events_user_feature_matrix"] = events_user_feature_matrix
+ORACLE["events_user_feature_matrix"] = _USER_FEATURES_SQL

@@ -1243,3 +1243,75 @@ def events_distinct_users_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("wk_start")
     )
+
+
+def events_quarantine_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenth REGISTERED end-to-end streaming query (r10): the
+    DEAD-LETTER-QUEUE ingest gate — :func:`quarantined_ingest` drives
+    the event feed through declarative contract checks inside
+    ``foreachBatch``; clean rows land in the table path, violations in
+    the DLQ annotated with the checks they failed, both in the same
+    batch transaction scope.  This is the reference's
+    implicit-trust landing zone (NDJSON chunks,
+    ``copy_cloudsql_to_bigquery_v2.py:88``) upgraded with the gate it
+    never had.  The returned summary counts each landing bucket; the
+    oracle replays the row-local split verbatim, so the driver
+    hash-checks the foreachBatch split mechanism itself.
+
+    Scale shape: the split is one narrow codegen pass per micro-batch
+    (no shuffle); the summary is a bucket-grain rollup of the
+    re-read sinks."""
+    import shutil
+    import tempfile
+
+    from ..operators import validate as V
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(os.path.join(sf_dir, "[e]vents.parquet"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    checks = [
+        V.not_null("ts"),
+        # the ingest contract caps value at 250 — the fixture's upper
+        # tail actually violates it, so the DLQ branch is exercised
+        V.in_range("value", 0.0, 250.0),
+        V.in_set(
+            "event_type",
+            ["click", "view", "purchase", "signup", "error"],
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="events_quarantine_")
+    clean_path = os.path.join(base, "clean")
+    dlq_path = os.path.join(base, "dlq")
+    q = quarantined_ingest(
+        stream,
+        checks,
+        clean_path,
+        dlq_path,
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("quarantine stream did not finish")
+    clean = spark.read.parquet(clean_path).select(
+        F.lit("clean").alias("bucket")
+    )
+    dlq = spark.read.parquet(dlq_path).select(
+        F.col("failed_checks").alias("bucket")
+    )
+    out = (
+        clean.unionByName(dlq)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("bucket")
+    )
+    out = out.localCheckpoint(eager=True)  # sinks are temp dirs
+    shutil.rmtree(base, ignore_errors=True)
+    return out
