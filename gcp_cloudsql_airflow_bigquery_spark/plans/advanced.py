@@ -5010,8 +5010,12 @@ def orders_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row min/max aggregate exploded to ~2.4k rows); the fact side is
     one day-grain count aggregation; the join is dim-sized."""
     o = _t(spark, sf_dir, "orders")
+    # the fixture stores o_orderdate as TIMESTAMP (midnight); the dim is
+    # DATE-grained, so cast before sequence/explode — DuckDB's oracle
+    # emits DATE and the strict test canon keeps the dtypes distinct
     span = o.agg(
-        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
     )
     dim = span.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
@@ -5023,7 +5027,7 @@ def orders_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("day").cast("int").alias("quarter"),
         (F.last_day("day") == F.col("day")).alias("is_month_end"),
     )
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
     return (

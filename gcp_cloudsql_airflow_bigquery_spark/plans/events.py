@@ -5656,7 +5656,8 @@ ORACLE["events_late_arrival_audit"] = _LATE_ARRIVAL_SQL
 _DISTINCT_USERS_STREAMED_SQL = """
 WITH e AS (
   SELECT user_id,
-         to_timestamp((epoch_us(ts) // 604800000000) * 604800) AS wk_start
+         CAST(to_timestamp((epoch_us(ts) // 604800000000) * 604800)
+              AS TIMESTAMP) AS wk_start
   FROM events WHERE ts IS NOT NULL
 )
 SELECT wk_start,

@@ -1601,11 +1601,14 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = similarity.ivf_build(
         vecs, n_centroids=8, iters=2, id_col="doc_id", vec_col="vec"
     )
+    # bind the normalized vector before the unrolled assignment dots
+    # reference it n_centroids×dim times
     assigned = vecs.select(
         "doc_id",
-        similarity.ivf_assign(
-            similarity._normalize(similarity._as_double("vec")), centroids
-        ).alias("topic"),
+        similarity._normalize(similarity._as_double("vec")).alias("_nv"),
+    ).select(
+        "doc_id",
+        similarity.ivf_assign(F.col("_nv"), centroids).alias("topic"),
     )
     return (
         assigned.join(docs.select("doc_id", "source"), "doc_id")
@@ -3611,11 +3614,10 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centroids = similarity.ivf_build(emb, n_centroids=16, iters=2)
     assigned = emb.select(
-        similarity.ivf_assign(
-            similarity._normalize(similarity._as_double("embedding")),
-            centroids,
-        ).alias("cluster")
-    )
+        similarity._normalize(
+            similarity._as_double("embedding")
+        ).alias("_nv")
+    ).select(similarity.ivf_assign(F.col("_nv"), centroids).alias("cluster"))
     census = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
@@ -3883,11 +3885,14 @@ def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lv = F.log(F.col("cum_vocab").cast("double"))
     lt = F.log(F.col("cum_tokens").cast("double"))
+    # + 0.0 normalizes a possible -0.0 slope (sign of a zero covariance
+    # depends on engine-internal summation order; IEEE x+0.0 == x for
+    # every other value, so non-degenerate fits are untouched)
     return cum.agg(
         F.count("*").cast("bigint").alias("n_points"),
         F.max("cum_tokens").cast("bigint").alias("total_tokens"),
         F.max("cum_vocab").cast("bigint").alias("vocab_size"),
-        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        (F.round(F.regr_slope(lv, lt), 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.regr_intercept(lv, lt), 6).alias("heaps_log_k"),
         F.round(F.regr_r2(lv, lt), 6).alias("r2"),
     )
@@ -3918,11 +3923,31 @@ cum AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
        CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
-       ROUND(REGR_SLOPE(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6)
+       -- DuckDB's REGR_* family is numerically unstable (and
+       -- run-to-run NONDETERMINISTIC: thread-order-dependent
+       -- cancellation) when var(y) = 0, which this fixture's
+       -- saturating vocab hits; detect the degenerate fit with the
+       -- exact MIN=MAX constancy test (VAR_POP itself returns tiny
+       -- nondeterministic nonzeros) and emit the SQL-standard
+       -- convention Spark implements: slope 0, intercept avg(y),
+       -- r2 = 1 when y is constant (NULL when x is constant).
+       -- + 0.0 normalizes -0.0 exactly like the Spark side.
+       ROUND(CASE WHEN MIN(LN(cum_vocab * 1.0)) = MAX(LN(cum_vocab * 1.0))
+                  THEN 0.0
+                  ELSE REGR_SLOPE(LN(cum_vocab * 1.0),
+                                  LN(cum_tokens * 1.0)) END, 6) + 0.0
          AS heaps_beta,
-       ROUND(REGR_INTERCEPT(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6)
+       ROUND(CASE WHEN MIN(LN(cum_vocab * 1.0)) = MAX(LN(cum_vocab * 1.0))
+                  THEN AVG(LN(cum_vocab * 1.0))
+                  ELSE REGR_INTERCEPT(LN(cum_vocab * 1.0),
+                                      LN(cum_tokens * 1.0)) END, 6)
          AS heaps_log_k,
-       ROUND(REGR_R2(LN(cum_vocab * 1.0), LN(cum_tokens * 1.0)), 6) AS r2
+       ROUND(CASE WHEN MIN(LN(cum_tokens * 1.0)) = MAX(LN(cum_tokens * 1.0))
+                  THEN NULL
+                  WHEN MIN(LN(cum_vocab * 1.0)) = MAX(LN(cum_vocab * 1.0))
+                  THEN 1.0
+                  ELSE REGR_R2(LN(cum_vocab * 1.0),
+                               LN(cum_tokens * 1.0)) END, 6) AS r2
 FROM cum
 """
 
