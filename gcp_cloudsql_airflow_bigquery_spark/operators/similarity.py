@@ -21,70 +21,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-VEC_DIM = 64  # fixture embedding dimensionality (embeddings.parquet)
-
-
-def dot(a: Column, b: Column | list, dim: int | None = None) -> Column:
-    """Left-to-right positional dot product.
-
-    Default: the generic ``zip_with`` + ``aggregate`` fold.  Higher-order
-    functions have NO whole-stage-codegen support (they evaluate
-    interpreted, one boxed lambda call per element), so on the hot
-    per-candidate-pair paths the fold is the dominant cost (guide §4.1
-    "prefer built-ins with codegen").  With ``dim`` set, emits an
-    UNROLLED fixed-width expression ``((0.0 + a[0]*b[0]) + a[1]*b[1]) +
-    …`` — bitwise-identical to the fold (same products, same
-    left-to-right adds, same 0.0 seed) but fully codegen-able — guarded
-    by a runtime ``size()`` check that falls back to the fold for any
-    other width, so results never change.  ``b`` may be a plain Python
-    list (codebook/hyperplane literals): each term then multiplies by a
-    scalar literal instead of indexing a literal array.
-
-    Call-site rule: only pass ``dim`` when ``a`` (and a Column ``b``)
-    are plain attributes or cheap projections — the unroll references
-    them ``dim`` times, so a compound input (e.g. a ``transform``) must
-    be bound to a column first (see ``_with_normalized``)."""
-    if isinstance(b, (list, tuple)):
-        if dim is None:
-            dim = len(b)
-        b_col = F.array(*[F.lit(float(x)) for x in b])
-    else:
-        b_col = b
-    fold = F.aggregate(
-        F.zip_with(a, b_col, lambda x, y: x * y),
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    if not dim:
-        return fold
-    s = F.lit(0.0)
-    if isinstance(b, (list, tuple)):
-        for i in range(dim):
-            s = s + F.get(a, i) * F.lit(float(b[i]))
-        return F.when(F.size(a) == dim, s).otherwise(fold)
-    for i in range(dim):
-        s = s + F.get(a, i) * F.get(b_col, i)
-    return F.when((F.size(a) == dim) & (F.size(b_col) == dim), s).otherwise(
-        fold
-    )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
-
-
-def _cosine_pre(
-    dot_ab: Column, norm_a: Column, norm_b: Column
-) -> Column:
-    """Cosine from a precomputed per-pair dot and per-SIDE norms —
-    bitwise-identical to :func:`cosine` (same ``dot/(na*nb)``
-    expression, the norms just computed once per row instead of once
-    per pair; guide §2.3 "don't recompute inside the hot operator")."""
-    return dot_ab / (norm_a * norm_b)
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def _as_double(col: str) -> Column:
@@ -102,24 +52,14 @@ def brute_force_topk(
     rank per query.  Excludes self-matches."""
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
-    ).withColumn("_nn", norm(F.col("vec_n"), VEC_DIM))
+    )
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-    ).withColumn("_qn", norm(F.col("vec_q"), VEC_DIM))
+    )
     scored = (
         corpus.join(F.broadcast(qs))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_q"), F.col("vec_n"), VEC_DIM),
-                    F.col("_qn"),
-                    F.col("_nn"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -143,32 +83,12 @@ def cosine_neardup_pairs(
     :func:`lsh_neardup_pairs`, which is the declared/scale path;
     restrict with ``subset_filter`` if running it directly."""
     base = embeddings if subset_filter is None else embeddings.filter(subset_filter)
-    v = base.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).withColumn("_n", norm(F.col("vec"), VEC_DIM))
-    a = v.select(
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("_n").alias("_na"),
-    )
-    b = v.select(
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("_n").alias("_nb"),
-    )
+    v = base.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_a"), F.col("vec_b"), VEC_DIM),
-                    F.col("_na"),
-                    F.col("_nb"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -208,9 +128,7 @@ def lsh_neardup_pairs(
     key (table, bucket) is hash-uniform; the two id joins that fetch
     vectors for verification touch candidates only."""
     base = embeddings if subset_filter is None else embeddings.filter(subset_filter)
-    v = base.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).withColumn("_n", norm(F.col("vec"), VEC_DIM))
+    v = base.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     tables = [
         [_hyperplane(dim, t * 1000 + i) for i in range(num_planes)]
         for t in range(num_tables)
@@ -237,33 +155,9 @@ def lsh_neardup_pairs(
         .distinct()
     )
     return (
-        cand.join(
-            v.select(
-                F.col("id").alias("id_a"),
-                F.col("vec").alias("vec_a"),
-                F.col("_n").alias("_na"),
-            ),
-            "id_a",
-        )
-        .join(
-            v.select(
-                F.col("id").alias("id_b"),
-                F.col("vec").alias("vec_b"),
-                F.col("_n").alias("_nb"),
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_a"), F.col("vec_b"), VEC_DIM),
-                    F.col("_na"),
-                    F.col("_nb"),
-                ),
-                6,
-            ),
-        )
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -289,7 +183,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     packed into a long — the random-hyperplane (cosine) LSH key."""
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = dot(vec, p)
+        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
         key = key + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
     return key
 
@@ -323,11 +217,10 @@ def lsh_topk(
     def bucketed(df: DataFrame, side: str) -> DataFrame:
         v = df.select(
             F.col(id_col).alias(f"{side}_id"), _as_double(vec_col).alias(f"vec_{side}")
-        ).withColumn(f"_{side}n", norm(F.col(f"vec_{side}"), VEC_DIM))
+        )
         return v.select(
             f"{side}_id",
             f"vec_{side}",
-            f"_{side}n",
             F.explode(
                 F.array(
                     *[
@@ -339,9 +232,7 @@ def lsh_topk(
                     ]
                 )
             ).alias("tb"),
-        ).select(
-            f"{side}_id", f"vec_{side}", f"_{side}n", "tb.table", "tb.bucket"
-        )
+        ).select(f"{side}_id", f"vec_{side}", "tb.table", "tb.bucket")
 
     corpus_b = bucketed(embeddings, "n")
     query_b = bucketed(queries, "q")
@@ -352,22 +243,12 @@ def lsh_topk(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),
             "vec_q",
-            "_qn",
             F.col("vec_n").alias("vec_n"),
-            "_nn",
         )
         .distinct()
     )
     scored = cands.withColumn(
-        "cosine",
-        F.round(
-            _cosine_pre(
-                dot(F.col("vec_q"), F.col("vec_n"), VEC_DIM),
-                F.col("_qn"),
-                F.col("_nn"),
-            ),
-            6,
-        ),
+        "cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -443,12 +324,10 @@ def ivf_build(
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-dot centroid (vectors must be normalized).
-
-    ``vec`` must be a plain attribute (the literal-side unrolled dots
-    reference it ``n_centroids × dim`` times; bind compound inputs —
-    e.g. ``_normalize(...)`` — to a column first)."""
-    dots = F.array(*[dot(vec, c) for c in centroids])
+    """Index of the max-dot centroid (vectors must be normalized)."""
+    dots = F.array(
+        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -471,30 +350,21 @@ def ivf_topk(
     baseline is asserted in tests — measured on the fixture (64-dim,
     16 cells): 0.82 @ nprobe=2, 0.86 @ 4, 0.93 @ 6."""
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    # normalized vectors are BOUND to a column before the unrolled
-    # assignment dots reference them n_centroids×dim times (CollapseProject
-    # keeps non-cheap aliases in their own projection)
-    corpus = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
-        )
-        .withColumn("_nv", _normalize(F.col("vec_n")))
-        .withColumn("cluster", ivf_assign(F.col("_nv"), centroids))
-        .select("neighbor_id", "vec_n", "cluster")
-        .withColumn("_nn", norm(F.col("vec_n"), VEC_DIM))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
+    ).withColumn("cluster", ivf_assign(_normalize(F.col("vec_n")), centroids))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
     )
-    qs = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-        )
-        .withColumn("_nq", _normalize(F.col("vec_q")))
-        .withColumn("_qn", norm(F.col("vec_q"), VEC_DIM))
+    cdots = F.array(
+        *[
+            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
     )
-    cdots = F.array(*[dot(F.col("_nq"), c) for c in centroids])
     probes = qs.select(
         "query_id",
         "vec_q",
-        "_qn",
         F.posexplode(cdots).alias("cluster", "cdot"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -503,22 +373,12 @@ def ivf_topk(
     probes = (
         probes.withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "vec_q", "_qn", "cluster")
+        .select("query_id", "vec_q", "cluster")
     )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_q"), F.col("vec_n"), VEC_DIM),
-                    F.col("_qn"),
-                    F.col("_nn"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -558,41 +418,15 @@ def semantic_dedup(
     separation), which is the accepted trade for never paying an
     all-pairs join."""
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    v = (
-        embeddings.select(
-            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-        )
-        .withColumn("_nv", _normalize(F.col("vec")))
-        .withColumn("cluster", ivf_assign(F.col("_nv"), centroids))
-        .select("id", "vec", "cluster")
-        .withColumn("_n", norm(F.col("vec"), VEC_DIM))
-    )
-    a = v.select(
-        "cluster",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("_n").alias("_na"),
-    )
-    b = v.select(
-        "cluster",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("_n").alias("_nb"),
-    )
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).withColumn("cluster", ivf_assign(_normalize(F.col("vec")), centroids))
+    a = v.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_a"), F.col("vec_b"), VEC_DIM),
-                    F.col("_na"),
-                    F.col("_nb"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
@@ -671,33 +505,20 @@ def brute_force_topk_int8(
     Same join shape as :func:`brute_force_topk`: corpus streams
     partition-local, query set broadcasts, one small top-k shuffle."""
     qz = quantize_int8(F.col(vec_col))
-    # dequantize ONCE per corpus row (bound to a column) instead of once
-    # per (corpus × query) pair, and precompute both sides' norms
-    corpus = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            qz.getField("q").alias("qv"),
-            qz.getField("scale").alias("qs"),
-        )
-        .withColumn("_dv", dequantize(F.col("qv"), F.col("qs")))
-        .withColumn("_dn", norm(F.col("_dv"), VEC_DIM))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        qz.getField("q").alias("qv"),
+        qz.getField("scale").alias("qs"),
     )
     qs_ = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-    ).withColumn("_qn", norm(F.col("vec_q"), VEC_DIM))
+    )
     scored = (
         corpus.join(F.broadcast(qs_))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_q"), F.col("_dv"), VEC_DIM),
-                    F.col("_qn"),
-                    F.col("_dn"),
-                ),
-                6,
-            ),
+            F.round(cosine(F.col("vec_q"), dequantize(F.col("qv"), F.col("qs"))), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -736,14 +557,9 @@ def materialize_ivf_index(
 
     spark = embeddings.sparkSession
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    assigned = (
-        embeddings.select(
-            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-        )
-        .withColumn("_nv", _normalize(F.col("vec")))
-        .withColumn("cluster", ivf_assign(F.col("_nv"), centroids))
-        .select("id", "vec", "cluster")
-    )
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).withColumn("cluster", ivf_assign(_normalize(F.col("vec")), centroids))
     for t in (table, f"{table}_codebook"):
         drop_managed_table(spark, t)
     assigned.write.mode("overwrite").partitionBy("cluster").saveAsTable(table)
@@ -776,16 +592,17 @@ def ivf_topk_from_index(
     spark = queries.sparkSession
     cb_rows = spark.table(f"{table}_codebook").collect()  # k×d model
     centroids = [list(r.centroid) for r in sorted(cb_rows, key=lambda r: r.cluster)]
-    qs = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-        )
-        .withColumn("_nq", _normalize(F.col("vec_q")))
-        .withColumn("_qn", norm(F.col("vec_q"), VEC_DIM))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
     )
-    cdots = F.array(*[dot(F.col("_nq"), c) for c in centroids])
+    cdots = F.array(
+        *[
+            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
     probes = qs.select(
-        "query_id", "vec_q", "_qn", F.posexplode(cdots).alias("cluster", "cdot")
+        "query_id", "vec_q", F.posexplode(cdots).alias("cluster", "cdot")
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cdot").desc(), F.col("cluster")
@@ -793,29 +610,18 @@ def ivf_topk_from_index(
     probes = (
         probes.withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "vec_q", "_qn", "cluster")
+        .select("query_id", "vec_q", "cluster")
     )
     cells = sorted({r.cluster for r in probes.select("cluster").distinct().collect()})
     corpus = (
         spark.table(table)
         .filter(F.col("cluster").isin(cells))  # static partition pruning
         .select("cluster", F.col("id").alias("neighbor_id"), F.col("vec").alias("vec_n"))
-        .withColumn("_nn", norm(F.col("vec_n"), VEC_DIM))
     )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_q"), F.col("vec_n"), VEC_DIM),
-                    F.col("_qn"),
-                    F.col("_nn"),
-                ),
-                6,
-            ),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -841,32 +647,17 @@ def semantic_dedup_from_index(
     at cosine >= ``threshold`` and a smaller id; returns
     ``(id, cluster, keep)`` for every indexed vector."""
     v = spark.table(table).select("cluster", "id", "vec")
-    vn = v.withColumn("_n", norm(F.col("vec"), VEC_DIM))
-    a = vn.select(
-        "cluster",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("_n").alias("_na"),
+    a = v.select(
+        "cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
     )
-    b = vn.select(
-        "cluster",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("_n").alias("_nb"),
+    b = v.select(
+        "cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine",
-            F.round(
-                _cosine_pre(
-                    dot(F.col("vec_a"), F.col("vec_b"), VEC_DIM),
-                    F.col("_na"),
-                    F.col("_nb"),
-                ),
-                6,
-            ),
+            "cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("id"))
@@ -881,36 +672,15 @@ def semantic_dedup_from_index(
     )
 
 
-def _l2sq(a: Column, b: Column | list, dim: int | None = None) -> Column:
+def _l2sq(a: Column, b: Column) -> Column:
     """Squared Euclidean distance between two equal-length arrays,
     folded positionally left-to-right (the same order DuckDB's
     ``list_sum(list_transform(...))`` replay uses, so argmin
-    comparisons see identically-ordered sums).  Same unrolled fast
-    path / literal-side / fallback-guard contract as :func:`dot`."""
-    if isinstance(b, (list, tuple)):
-        if dim is None:
-            dim = len(b)
-        b_col = F.array(*[F.lit(float(x)) for x in b])
-    else:
-        b_col = b
-    fold = F.aggregate(
-        F.zip_with(a, b_col, lambda x, y: (x - y) * (x - y)),
+    comparisons see identically-ordered sums)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    if not dim:
-        return fold
-    s = F.lit(0.0)
-    if isinstance(b, (list, tuple)):
-        for i in range(dim):
-            d = F.get(a, i) - F.lit(float(b[i]))
-            s = s + d * d
-        return F.when(F.size(a) == dim, s).otherwise(fold)
-    for i in range(dim):
-        d = F.get(a, i) - F.get(b_col, i)
-        s = s + d * d
-    return F.when((F.size(a) == dim) & (F.size(b_col) == dim), s).otherwise(
-        fold
     )
 
 
@@ -921,23 +691,6 @@ def _pq_codebook_lit(codebooks: list[list[list[float]]]) -> Column:
             for cb in codebooks
         ]
     )
-
-
-def _pq_dist_array(
-    sv: Column, sub: Column, codebooks: list[list[list[float]]]
-) -> Column:
-    """Array of ``ks`` squared-L2 distances from subvector ``sv`` to
-    subspace ``sub``'s centroids.  A CASE over the m subspaces whose
-    branches are literal-unrolled :func:`_l2sq` arrays — value-identical
-    to ``transform(element_at(codebook_lit, sub+1), c -> _l2sq(sv, c))``
-    (same per-centroid order, same fold order) but whole-stage-codegen
-    instead of an interpreted HOF over an interpreted fold; only the
-    matching branch evaluates.  ``sv`` must be a plain attribute."""
-    expr = None
-    for s, cb in enumerate(codebooks):
-        arr = F.array(*[_l2sq(sv, c) for c in cb])
-        expr = F.when(sub == s, arr) if expr is None else expr.when(sub == s, arr)
-    return expr
 
 
 def pq_subvectors(
@@ -1026,7 +779,8 @@ def pq_assign(
 ) -> Column:
     """Index of the min-L2 centroid of subspace ``sub`` (first-min
     tie-break, matching the oracle's ``ORDER BY d2, cluster``)."""
-    dists = _pq_dist_array(sv, sub, codebooks)
+    cb = F.element_at(_pq_codebook_lit(codebooks), sub + 1)
+    dists = F.transform(cb, lambda c: _l2sq(sv, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -1049,16 +803,15 @@ def pq_encode(
     if ks > 16:
         raise ValueError("pq_encode packs 4-bit fields; ks must be <= 16")
     subs = pq_subvectors(embeddings, m, id_col, vec_col)
-    # bind the distance array once; cluster and d2 both read it
-    assigned = subs.withColumn(
-        "_dists", _pq_dist_array(F.col("sv"), F.col("sub"), codebooks)
-    ).select(
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
+    dists = F.transform(cb, lambda c: _l2sq(F.col("sv"), c))
+    assigned = subs.select(
         "id",
         "sub",
-        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+        (F.array_position(dists, F.array_min(dists)) - 1)
         .cast("int")
         .alias("cluster"),
-        F.array_min("_dists").alias("d2"),
+        F.array_min(dists).alias("d2"),
     )
     return (
         assigned.groupBy("id")
@@ -1118,9 +871,7 @@ def mmr_rerank(
             .agg(
                 F.first("rel").alias("rel"),
                 F.first("vec").alias("vec"),
-                F.max(
-                    cosine(F.col("vec"), F.col("sel_vec"), VEC_DIM)
-                ).alias("max_sim"),
+                F.max(cosine(F.col("vec"), F.col("sel_vec"))).alias("max_sim"),
                 F.max((F.col("cand_id") == F.col("sel_id")).cast("int")).alias(
                     "is_sel"
                 ),
@@ -1188,12 +939,13 @@ def pq_adc_topk(
         F.expr("CAST(shiftright(pq_code, 4 * sub) & 15 AS INT)"),
     )
     qsubs = pq_subvectors(queries, m, id_col, vec_col)
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
     tables = qsubs.select(
         F.col("id").alias("query_id"),
         "sub",
-        F.posexplode(
-            _pq_dist_array(F.col("sv"), F.col("sub"), codebooks)
-        ).alias("cluster", "d2"),
+        F.posexplode(F.transform(cb, lambda c: _l2sq(F.col("sv"), c))).alias(
+            "cluster", "d2"
+        ),
     )
     assert ks <= 16  # pq_encode packs 4-bit fields
     scored = (
@@ -1242,9 +994,16 @@ def kcenter_select(
     sel_vecs: list[list[float]] = [list(first.vec)]
     for step in range(2, k + 1):
         mind = F.round(
-            F.least(*[_l2sq(F.col("vec"), s) for s in sel_vecs])
+            F.least(
+                *[
+                    _l2sq(F.col("vec"), F.array(*[F.lit(x) for x in s]))
+                    for s in sel_vecs
+                ]
+            )
             if len(sel_vecs) > 1
-            else _l2sq(F.col("vec"), sel_vecs[0]),
+            else _l2sq(
+                F.col("vec"), F.array(*[F.lit(x) for x in sel_vecs[0]])
+            ),
             6,
         )
         far = (
@@ -1291,12 +1050,11 @@ def ivfpq_topk(
     L2), so the full pipeline replays as SQL."""
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
     codebooks = pq_build(embeddings, m, ks, iters, id_col, vec_col)
-    cells = (
-        embeddings.select(
-            F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("vec_n")
-        )
-        .withColumn("_nv", _normalize(F.col("vec_n")))
-        .select("cand_id", ivf_assign(F.col("_nv"), centroids).alias("cell"))
+    cells = embeddings.select(
+        F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("vec_n")
+    ).select(
+        "cand_id",
+        ivf_assign(_normalize(F.col("vec_n")), centroids).alias("cell"),
     )
     codes = pq_encode(embeddings, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), "pq_code"
@@ -1304,8 +1062,13 @@ def ivfpq_topk(
     cand = cells.join(codes, "cand_id")
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-    ).withColumn("_nq", _normalize(F.col("vec_q")))
-    cdots = F.array(*[dot(F.col("_nq"), c) for c in centroids])
+    )
+    cdots = F.array(
+        *[
+            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cdot").desc(), F.col("cell")
     )
@@ -1316,12 +1079,13 @@ def ivfpq_topk(
         .select("query_id", "cell")
     )
     qsubs = pq_subvectors(queries, m, id_col, vec_col)
+    cb = F.element_at(_pq_codebook_lit(codebooks), F.col("sub") + 1)
     tables = qsubs.select(
         F.col("id").alias("query_id"),
         "sub",
-        F.posexplode(
-            _pq_dist_array(F.col("sv"), F.col("sub"), codebooks)
-        ).alias("cluster", "d2"),
+        F.posexplode(F.transform(cb, lambda c: _l2sq(F.col("sv"), c))).alias(
+            "cluster", "d2"
+        ),
     )
     routed = (
         cand.join(F.broadcast(probes), "cell")
