@@ -16,9 +16,24 @@ expression form wins by avoiding Arrow transfer.)
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def lit_vec(values) -> Column:
+    """One ``ArrayType(Double)`` literal from a Python float sequence —
+    a SINGLE py4j call producing a SINGLE Catalyst ``Literal`` node,
+    replacing ``F.array(*[F.lit(x) for x in values])`` which pays one
+    py4j round-trip and one tree node per element (measured 50 ms vs
+    14 ms per 64-wide array at construction, and ~65x fewer nodes for
+    every optimizer-rule traversal/copy afterwards).  Values are the
+    same binary64 doubles, so every fold/HOF over the array computes
+    bit-identically; only plan SIZE changes (r10, guide §7.3 "very
+    large plans spend minutes in planning")."""
+    return F.lit(np.asarray(values, dtype="float64"))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -183,7 +198,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     packed into a long — the random-hyperplane (cosine) LSH key."""
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+        proj = dot(vec, lit_vec(p))
         key = key + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
     return key
 
@@ -326,7 +341,7 @@ def ivf_build(
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the max-dot centroid (vectors must be normalized)."""
     dots = F.array(
-        *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+        *[dot(vec, lit_vec(c)) for c in centroids]
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
@@ -358,7 +373,7 @@ def ivf_topk(
     )
     cdots = F.array(
         *[
-            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            dot(_normalize(F.col("vec_q")), lit_vec(c))
             for c in centroids
         ]
     )
@@ -597,7 +612,7 @@ def ivf_topk_from_index(
     )
     cdots = F.array(
         *[
-            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            dot(_normalize(F.col("vec_q")), lit_vec(c))
             for c in centroids
         ]
     )
@@ -687,7 +702,7 @@ def _l2sq(a: Column, b: Column) -> Column:
 def _pq_codebook_lit(codebooks: list[list[list[float]]]) -> Column:
     return F.array(
         *[
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+            F.array(*[lit_vec(c) for c in cb])
             for cb in codebooks
         ]
     )
@@ -996,13 +1011,13 @@ def kcenter_select(
         mind = F.round(
             F.least(
                 *[
-                    _l2sq(F.col("vec"), F.array(*[F.lit(x) for x in s]))
+                    _l2sq(F.col("vec"), lit_vec(s))
                     for s in sel_vecs
                 ]
             )
             if len(sel_vecs) > 1
             else _l2sq(
-                F.col("vec"), F.array(*[F.lit(x) for x in sel_vecs[0]])
+                F.col("vec"), lit_vec(sel_vecs[0])
             ),
             6,
         )
@@ -1065,7 +1080,7 @@ def ivfpq_topk(
     )
     cdots = F.array(
         *[
-            dot(_normalize(F.col("vec_q")), F.array(*[F.lit(x) for x in c]))
+            dot(_normalize(F.col("vec_q")), lit_vec(c))
             for c in centroids
         ]
     )
