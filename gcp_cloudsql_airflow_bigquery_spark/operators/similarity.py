@@ -52,6 +52,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_pre(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a per-pair dot and per-SIDE norm columns — the same
+    ``dot/(na*nb)`` expression as :func:`cosine` on identical values,
+    with each norm computed once per ROW (bound column) instead of once
+    per candidate PAIR (guide §2.3: don't recompute in the hot
+    operator).  The norms stay the compact HOF fold — the r10 wave-2
+    measurement showed unrolled fixed-width kernels lose to plan-size
+    costs at every tested scale, so only the REUSE changes, never the
+    expression form."""
+    return dot_ab / (norm_a * norm_b)
+
+
 def _as_double(col: str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -67,14 +79,24 @@ def brute_force_topk(
     rank per query.  Excludes self-matches."""
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
-    )
+    ).withColumn("_nn", norm(F.col("vec_n")))
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
-    )
+    ).withColumn("_qn", norm(F.col("vec_q")))
     scored = (
         corpus.join(F.broadcast(qs))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_q"), F.col("vec_n")),
+                    F.col("_qn"),
+                    F.col("_nn"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -98,12 +120,28 @@ def cosine_neardup_pairs(
     :func:`lsh_neardup_pairs`, which is the declared/scale path;
     restrict with ``subset_filter`` if running it directly."""
     base = embeddings if subset_filter is None else embeddings.filter(subset_filter)
-    v = base.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
-    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    v = base.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).withColumn("_n", norm(F.col("vec")))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("_n").alias("_nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("_na"),
+                    F.col("_nb"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -169,10 +207,35 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    vn = v.withColumn("_n", norm(F.col("vec")))
     return (
-        cand.join(v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
-        .join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        cand.join(
+            vn.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("_na"),
+                    F.col("_nb"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -365,9 +428,13 @@ def ivf_topk(
     baseline is asserted in tests — measured on the fixture (64-dim,
     16 cells): 0.82 @ nprobe=2, 0.86 @ 4, 0.93 @ 6."""
     centroids = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
-    ).withColumn("cluster", ivf_assign(_normalize(F.col("vec_n")), centroids))
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec_n")
+        )
+        .withColumn("cluster", ivf_assign(_normalize(F.col("vec_n")), centroids))
+        .withColumn("_nn", norm(F.col("vec_n")))
+    )
     qs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vec_q")
     )
@@ -389,11 +456,22 @@ def ivf_topk(
         probes.withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "vec_q", "cluster")
+        .withColumn("_qn", norm(F.col("vec_q")))
     )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_q"), F.col("vec_n")),
+                    F.col("_qn"),
+                    F.col("_nn"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -436,12 +514,33 @@ def semantic_dedup(
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).withColumn("cluster", ivf_assign(_normalize(F.col("vec")), centroids))
-    a = v.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    vn = v.withColumn("_n", norm(F.col("vec")))
+    a = vn.select(
+        "cluster",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("_n").alias("_na"),
+    )
+    b = vn.select(
+        "cluster",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("_n").alias("_nb"),
+    )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("_na"),
+                    F.col("_nb"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
@@ -626,17 +725,29 @@ def ivf_topk_from_index(
         probes.withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "vec_q", "cluster")
+        .withColumn("_qn", norm(F.col("vec_q")))
     )
     cells = sorted({r.cluster for r in probes.select("cluster").distinct().collect()})
     corpus = (
         spark.table(table)
         .filter(F.col("cluster").isin(cells))  # static partition pruning
         .select("cluster", F.col("id").alias("neighbor_id"), F.col("vec").alias("vec_n"))
+        .withColumn("_nn", norm(F.col("vec_n")))
     )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("vec_q"), F.col("vec_n")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_q"), F.col("vec_n")),
+                    F.col("_qn"),
+                    F.col("_nn"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -662,17 +773,32 @@ def semantic_dedup_from_index(
     at cosine >= ``threshold`` and a smaller id; returns
     ``(id, cluster, keep)`` for every indexed vector."""
     v = spark.table(table).select("cluster", "id", "vec")
-    a = v.select(
-        "cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    vn = v.withColumn("_n", norm(F.col("vec")))
+    a = vn.select(
+        "cluster",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("_n").alias("_na"),
     )
-    b = v.select(
-        "cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    b = vn.select(
+        "cluster",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("_n").alias("_nb"),
     )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+            "cosine",
+            F.round(
+                _cosine_pre(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("_na"),
+                    F.col("_nb"),
+                ),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("id"))
