@@ -894,6 +894,11 @@ def prefix_filter_jaccard_pairs(
             F.array_sort(word_shingle_hashes(F.col(text_col), n)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
+        # r10: three consumers through three non-identical exchanges
+        # (prefix explode on tok + the two verify joins on id_a/id_b)
+        # — materialize the shingling kernel once (same rationale as
+        # containment_pairs below)
+        .localCheckpoint(eager=True)
     )
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -980,10 +985,21 @@ def containment_pairs(
         )
     else:
         hashes = word_shingle_hashes(F.col(text_col), n)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(hashes)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(F.array_distinct(hashes)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # r10: the shingle-set frame feeds FOUR consumers (probe,
+        # index, both verify joins) through four DIFFERENT exchanges
+        # (tok / tok / id_a / id_b), which ReuseExchange cannot
+        # collapse — without a cut the per-shingle md5/xxhash kernel
+        # executes four times.  One eager materialization runs it once
+        # (id + hash array rows: ~|tokens| longs, far smaller than the
+        # text it derives from).
+        .localCheckpoint(eager=True)
+    )
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )

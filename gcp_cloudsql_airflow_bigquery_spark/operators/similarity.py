@@ -987,6 +987,14 @@ def mmr_rerank(
     simply stop early (argmax of an empty remainder yields no row).
     Scores are rounded(6) before the argmax and ties break on
     cand_id, so a SQL replay picks identically."""
+    # r10: materialize the bounded candidate pool ONCE — without the
+    # cut, the caller's whole ANN/scoring subplan is embedded and
+    # re-analyzed inside every one of the k greedy steps (and the
+    # final union), which dominated the query's wall time at bench SF
+    # (construction 6.7 s vs 0.2 s execution).  EAGER: the pool is
+    # consumed by two subtrees per step (scored + the running union),
+    # the lazy-checkpoint race 531dea8 documents.
+    candidates = candidates.localCheckpoint(eager=True)
     w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
     selected = (
         candidates.withColumn("rn", F.row_number().over(w1))
