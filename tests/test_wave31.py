@@ -85,7 +85,11 @@ def test_calendar_dim_matches_python_replay(spark, sf_dir):
     }
     daily: dict = defaultdict(int)
     for r in load_table(spark, sf_dir, "orders").collect():
-        daily[r.o_orderdate] += 1
+        # the fixture stores o_orderdate as TIMESTAMP(us); the query
+        # (correctly) emits DATE since the r10 dtype fix — replay at
+        # the same grain
+        d = r.o_orderdate
+        daily[d.date() if isinstance(d, dt.datetime) else d] += 1
     d0, d1 = min(daily), max(daily)
     day = d0
     while day <= d1:
