@@ -2467,12 +2467,6 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("rev")
         )
-        # r10: the weekly model frame (nations x weeks rows) fans out
-        # to FOUR consumers (w0, the a/b pair self-join, resid), each
-        # re-planning the 4-table fact join above it; one eager
-        # materialization runs the fact side once (guide 2.4's shared
-        # exchange, generalized to N consumers of one model frame)
-        .localCheckpoint(eager=True)
     )
     w0 = wk.agg(F.min("wk").alias("w0"))
     pts = wk.crossJoin(F.broadcast(w0)).select(
