@@ -459,7 +459,15 @@ def ivf_topk(
         .withColumn("_qn", norm(F.col("vec_q")))
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cluster")
+        # no broadcast hint (r10 de-hinting policy, same class as the
+        # k_core alive-set fix): ``queries`` may be the FULL corpus
+        # (``embedding_knn_graph`` passes emb×emb), so the probe frame
+        # is SF-scaling there and a forced broadcast would bypass
+        # autoBroadcastJoinThreshold at any size.  Catalyst/AQE pick
+        # the strategy: bounded probe batches still auto-broadcast
+        # (under the threshold at every SF), corpus-sized probe sides
+        # shuffle on the uniform cluster key.
+        corpus.join(probes, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -735,7 +743,10 @@ def ivf_topk_from_index(
         .withColumn("_nn", norm(F.col("vec_n")))
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cluster")
+        # threshold-driven like ivf_topk: the probe frame scales with
+        # the caller's query batch, so the strategy stays Catalyst's
+        # choice (bounded batches auto-broadcast; see ivf_topk)
+        corpus.join(probes, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
