@@ -492,3 +492,38 @@ def test_broadcast_optin_callsites_are_allowlisted():
                     if key not in _BROADCAST_OPTIN_ALLOWLIST:
                         offenders.append(f"{path.name}:{call.lineno} {fn.name} {kw.arg}=True")
     assert not offenders, offenders
+
+
+# Operator functions whose QUERY/PROBE side can be an SF-scaling frame
+# at a registered call site (embedding_knn_graph passes the full corpus
+# as ivf_topk's queries), so their joins must stay threshold-driven —
+# no F.broadcast() hint anywhere in the body (r10 de-hint; the plans/
+# name scan above cannot see hints reached through operator bodies).
+_HINT_FREE_OPERATORS = {
+    ("similarity.py", "ivf_topk"),
+    ("similarity.py", "ivf_topk_from_index"),
+}
+
+
+def test_scaling_probe_operators_have_no_broadcast_hint():
+    """r10 closure of the ivf_topk probe-broadcast leak (same class as
+    the k_core alive-set default): operators whose probe side scales
+    with the caller's query batch may not force a join strategy.
+    Bounded probe batches still auto-broadcast without the hint —
+    verified by identical before/after explain output
+    (plans/r10/*_dehint_{before,after}.txt)."""
+    import ast
+    import pathlib
+
+    import gcp_cloudsql_airflow_bigquery_spark.operators as ops_pkg
+
+    ops_dir = pathlib.Path(ops_pkg.__file__).parent
+    offenders = []
+    for path, fn in _iter_module_functions(ops_dir):
+        if (path.name, fn.name) not in _HINT_FREE_OPERATORS:
+            continue
+        for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+            f = call.func
+            if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+                offenders.append(f"{path.name}:{call.lineno} {fn.name}")
+    assert not offenders, offenders
