@@ -166,9 +166,18 @@ def bpe_encode(
         if (i + 1) % 4 == 0:
             wmap = wmap.localCheckpoint(eager=False)
     # word order inside the doc is restored by sorting the collected
-    # (pos, toks) structs — collect_list alone has no order contract
+    # (pos, toks) structs — collect_list alone has no order contract.
+    # No broadcast hint on wmap (r10 de-hinting policy): the distinct-
+    # word vocabulary is OPEN — it grows with the corpus (Heaps' law) —
+    # so forcing it as the build side bypasses the threshold at any
+    # size, the same leak class as the k_core alive set; the repo's
+    # other open-vocab joins (bigram LM, tf-idf vocab) are already
+    # threshold-driven.  Catalyst/AQE pick the strategy: at bench SF
+    # the checkpointed wmap has no size stats, so the planner starts
+    # sort-merge and AQE's runtime sizes flip it back to broadcast
+    # when the vocabulary actually fits.
     return (
-        exploded.join(F.broadcast(wmap), exploded.w == wmap.word)
+        exploded.join(wmap, exploded.w == wmap.word)
         .select(id_col, "pos", "toks")
         .groupBy(id_col)
         .agg(

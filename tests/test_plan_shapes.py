@@ -502,6 +502,10 @@ def test_broadcast_optin_callsites_are_allowlisted():
 _HINT_FREE_OPERATORS = {
     ("similarity.py", "ivf_topk"),
     ("similarity.py", "ivf_topk_from_index"),
+    # open-vocab word→tokens map: the distinct-word table grows with
+    # the corpus (Heaps' law), so the encode join must stay
+    # threshold-driven like the repo's other open-vocab joins
+    ("tokenizer.py", "bpe_encode"),
 }
 
 
