@@ -156,60 +156,64 @@ _MODULES = (
 # table_profile, dq_orders_report, dq_lineitem_report, then the
 # temporal/curation/search r5 slots), then (c) r6 rotation
 # oldest-first if slots remain.
+# ROUND 11 window (burned exactly as the r10 plan wrote it): the
+# first 50 of the ROUND 11 PLAN's (a) list — the r10-wave additions
+# with ZERO driver signal, landing order (every one oracle-paired and
+# builder-replica-green at sf0.01 during r10; the r10 optimizer
+# re-verified the three it repaired).  The 15 remaining (a) names
+# (lineitem_two_way_anova … part_abc_xyz) plus plan items (b)/(c)
+# carry to a future window unchanged.
 _WINDOW = (
-    # (a) the 18 r9-wave additions, landing order (first driver signal)
-    "events_dedup_streamed",
-    "media_audio_stats",
-    "events_attribution_streamed",
-    "events_user_entropy",
-    "brand_price_qty_corr",
-    "events_ewma_daily",
-    "events_stratified_sample",
-    "embedding_cluster_balance",
-    "events_markov_stationary",
-    "brand_monthly_rank_moves",
-    "events_daily_decomposition",
-    "nation_supplier_hhi",
-    "doc_context_fit_report",
-    "events_power_users_pareto",
-    "events_filesink_pipeline",
-    "embedding_quantization_error",
-    "events_sessions_streamed",
-    "media_resized_hex",
-    # (b) the 24 remaining r4-stale oracle-paired slots
-    "doc_tfidf_top_term",
-    "doc_token_stats",
-    "embedding_centroids",
-    "embedding_covariance_matrix",
-    "embedding_neardup",
-    "embedding_quantized",
-    "event_heavy_hitters",
-    "events_anomaly_zscore",
-    "events_cohort_ltv",
-    "events_cohort_retention",
-    "events_dau_mau_stickiness",
-    "events_error_rate_sli",
-    "events_funnel",
-    "events_funnel_windowed",
-    "events_multires_rollup",
-    "events_ohlc_hourly",
-    "events_session",
-    "events_sliding",
-    "events_transition_matrix",
-    "events_tumbling",
-    "events_value_histogram",
-    "events_variant_props",
-    "knn_bruteforce",
-    "knn_int8",
-    # (c) r5 rotation oldest-first (CORRECTNESS_r05 insertion order)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_discounted_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
+    "customer_l_diversity",
+    "window_percent_rank_cume",
+    "events_upsert_streamed",
+    "doc_heaps_law",
+    "customer_rfm_segments",
+    "embedding_knn_graph",
+    "events_session_entry_exit",
+    "part_graph_assortativity",
+    "orders_trimmed_mean_price",
+    "events_brown_trend_daily",
+    "media_image_channel_stats",
+    "events_welch_ttest",
+    "events_cuped_adjusted",
+    "events_anova_value_by_type",
+    "event_type_hits",
+    "part_clustering_coefficient",
+    "part_item_cf_recs",
+    "brand_price_elasticity",
+    "events_enriched_streamed",
+    "events_attribution_position",
+    "brand_als_factors",
+    "customer_hazard_na",
+    "event_state_modularity",
+    "doc_chunk_dedup",
+    "part_skyline_price_size",
+    "array_zip_funcs",
+    "customer_logrank_test",
+    "nation_weekly_spearman",
+    "events_mann_whitney",
+    "event_type_reachability",
+    "events_interarrival_burstiness",
+    "events_heavy_hitters_streamed",
+    "orders_cmh_returns",
+    "lateral_topk_orders",
+    "events_kruskal_wallis",
+    "events_user_cms",
+    "events_wasserstein_drift",
+    "embedding_cluster_separation",
+    "doc_source_diversity",
+    "events_dp_noisy_counts",
+    "events_value_hill_tail",
+    "events_runs_test_daily",
+    "events_time_to_convert",
+    "nation_weekly_kendall",
+    "events_holt_winters_daily",
+    "events_diff_in_diff",
+    "events_conversion_paths",
+    "groupby_all_revenue",
+    "events_ljung_box",
+    "events_markov_prediction_eval",
 )
 
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset()

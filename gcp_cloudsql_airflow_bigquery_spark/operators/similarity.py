@@ -466,7 +466,12 @@ def ivf_topk(
         # autoBroadcastJoinThreshold at any size.  Catalyst/AQE pick
         # the strategy: bounded probe batches still auto-broadcast
         # (under the threshold at every SF), corpus-sized probe sides
-        # shuffle on the uniform cluster key.
+        # shuffle on the cluster key.  That key is uniform but has
+        # only n_centroids distinct values (default 16), which caps a
+        # shuffle join's effective parallelism at n_centroids tasks
+        # regardless of shuffle.partitions — consistent with the
+        # 100 TB guidance below (partitionBy(cluster) layout): raise
+        # n_centroids with SF so the shuffle-join path parallelizes.
         corpus.join(probes, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(

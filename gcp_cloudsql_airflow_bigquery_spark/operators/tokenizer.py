@@ -173,9 +173,11 @@ def bpe_encode(
     # size, the same leak class as the k_core alive set; the repo's
     # other open-vocab joins (bigram LM, tf-idf vocab) are already
     # threshold-driven.  Catalyst/AQE pick the strategy: at bench SF
-    # the checkpointed wmap has no size stats, so the planner starts
-    # sort-merge and AQE's runtime sizes flip it back to broadcast
-    # when the vocabulary actually fits.
+    # the static planner still picks a broadcast join (building the
+    # smaller-estimated side — see plans/r10/doc_bpe_tokens_devocab_
+    # after.txt, a BroadcastHashJoin with the build side swapped); at
+    # scale both estimates exceed the threshold, the join sort-merges,
+    # and AQE can flip it back if runtime sizes say the vocab fits.
     return (
         exploded.join(wmap, exploded.w == wmap.word)
         .select(id_col, "pos", "toks")

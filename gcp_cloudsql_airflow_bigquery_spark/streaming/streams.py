@@ -14,8 +14,10 @@ Spark's built-in windows can't express.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Iterator
+from contextlib import contextmanager
 from itertools import count
 from typing import Any
 
@@ -43,6 +45,66 @@ EVENT_SCHEMA = StructType(
         StructField("props", StringType(), True),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# State-store / stateful-shuffle sizing (guide §2.2: target partition
+# BYTES, not a constant).  A stateful streaming query freezes its state
+# partition count from ``spark.sql.shuffle.partitions`` at first start:
+# the session-global constant (32 on the local bench, 200 on a default
+# cluster) is wrong in BOTH directions — 2×32 HDFS-backed state stores
+# for a 23-row sf0.1 result are pure per-batch commit overhead, and the
+# same constant starves a 100 TB feed.  Derive the count from the bytes
+# the source will feed the query instead; the target is a Spark conf so
+# production deployments size it like any other partition-bytes knob.
+_STATE_TARGET_CONF = "spark.graft.streaming.statePartitionTargetBytes"
+_STATE_TARGET_DEFAULT = 128 * 1024 * 1024
+
+
+def _source_bytes(path: str) -> int:
+    """Bytes under ``path`` (file or directory), 0 if unreadable."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+@contextmanager
+def scaled_state_partitions(spark: SparkSession, *paths: str):
+    """Pin ``spark.sql.shuffle.partitions`` to ceil(input_bytes/target)
+    for the duration of one streaming run, restoring the session value
+    afterwards.
+
+    Structured Streaming clones the session at ``start()``, so the
+    value in force inside this context is what the query's state stores
+    (and any foreachBatch batch plans) use; restoring afterwards leaves
+    batch queries untouched.  The rule is monotone in data size — it is
+    NOT a local-core-count tune: at sf0.1 (2 MB of events) it yields 1
+    state store instead of 32, on a 100 TB feed it yields more
+    partitions than any session default, and the per-partition target
+    is conf-overridable (``spark.graft.streaming.statePartitionTargetBytes``,
+    default 128 MB per guide §2.2's 100 MB–1 GB band).
+    """
+    try:
+        target = int(
+            spark.conf.get(_STATE_TARGET_CONF, str(_STATE_TARGET_DEFAULT))
+        )
+    except ValueError:
+        target = _STATE_TARGET_DEFAULT
+    nbytes = sum(_source_bytes(p) for p in paths)
+    n = max(1, math.ceil(nbytes / max(1, target)))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def read_event_stream(
@@ -745,7 +807,8 @@ def events_weekly_counts_streamed(
         )
     )
     name = f"events_weekly_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(agg, name, output_mode="complete")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -796,7 +859,8 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(cols)
     )
     name = f"events_dedup_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(deduped, name, output_mode="append")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(deduped, name, output_mode="append")
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -837,7 +901,8 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     joined = attribution_join_stream(stream, within="30 minutes")
     name = f"events_attribution_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(joined, name, output_mode="append")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
 
 
@@ -886,12 +951,13 @@ def events_filesink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="events_filesink_")
     out_dir = os.path.join(base, "landed")
-    run_to_files(
-        landed,
-        out_dir,
-        os.path.join(base, "ckpt"),
-        partition_by=["day"],
-    )
+    with scaled_state_partitions(spark, path):
+        run_to_files(
+            landed,
+            out_dir,
+            os.path.join(base, "ckpt"),
+            partition_by=["day"],
+        )
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
@@ -939,7 +1005,8 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = capped_sessions_stream(ev, gap_s=43_200, max_duration_s=172_800)
     name = f"events_sessions_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(sessions, name, output_mode="append")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(sessions, name, output_mode="append")
     return spark.table(name)
 
 
@@ -1074,14 +1141,15 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.lit(cut_lo).cast("timestamp"))
         & (F.col("ts") < F.lit(cut_hi).cast("timestamp"))
     ).select(*snap_cols)
-    foreach_batch_merge_lww(
-        feed,
-        target,
-        ["user_id"],
-        ["ts_us", "event_id"],
-        checkpoint=os.path.join(base, "ckpt"),
-        query_name="events_upsert_streamed",
-    )
+    with scaled_state_partitions(spark, path):
+        foreach_batch_merge_lww(
+            feed,
+            target,
+            ["user_id"],
+            ["ts_us", "event_id"],
+            checkpoint=os.path.join(base, "ckpt"),
+            query_name="events_upsert_streamed",
+        )
     return spark.read.parquet(target).select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -1150,7 +1218,8 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"events_enriched_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(agg, name, output_mode="complete")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -1189,7 +1258,10 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("user_id") % 8).alias("item"),
     )
     name = f"events_heavy_hitters_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(misra_gries_stream(feed, k=8), name, output_mode="update")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(
+            misra_gries_stream(feed, k=8), name, output_mode="update"
+        )
     return (
         spark.table(name)
         .select(
@@ -1233,7 +1305,8 @@ def events_distinct_users_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("w.start").alias("wk_start"), "user_id", "n")
     )
     name = f"events_distinct_users_streamed_{next(_MEMSINK_SEQ)}"
-    run_to_memory(agg, name, output_mode="complete")
+    with scaled_state_partitions(spark, path):
+        run_to_memory(agg, name, output_mode="complete")
     return (
         spark.table(name)
         .groupBy("wk_start")
@@ -1289,17 +1362,18 @@ def events_quarantine_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="events_quarantine_")
     clean_path = os.path.join(base, "clean")
     dlq_path = os.path.join(base, "dlq")
-    q = quarantined_ingest(
-        stream,
-        checks,
-        clean_path,
-        dlq_path,
-        os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("quarantine stream did not finish")
+    with scaled_state_partitions(spark, path):
+        q = quarantined_ingest(
+            stream,
+            checks,
+            clean_path,
+            dlq_path,
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("quarantine stream did not finish")
     clean = spark.read.parquet(clean_path).select(
         F.lit("clean").alias("bucket")
     )

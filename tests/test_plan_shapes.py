@@ -509,25 +509,91 @@ _HINT_FREE_OPERATORS = {
 }
 
 
-def test_scaling_probe_operators_have_no_broadcast_hint():
-    """r10 closure of the ivf_topk probe-broadcast leak (same class as
-    the k_core alive-set default): operators whose probe side scales
-    with the caller's query batch may not force a join strategy.
-    Bounded probe batches still auto-broadcast without the hint —
-    verified by identical before/after explain output
-    (plans/r10/*_dehint_{before,after}.txt)."""
+# r11 guard inversion (ADVICE r10 #2): instead of enumerating known
+# SF-scaling operators, scan EVERY operators/ function body for
+# broadcast hints (attribute form ``*.broadcast(...)`` and bare-name
+# ``broadcast(...)``) and require each hinting function to be on this
+# audited-bounded allowlist.  Every entry's hinted frame is bounded
+# independently of corpus SF:
+#   - 1-row aggregates riding a crossJoin (pagerank dangling mass,
+#     doc-count/total/cutoff frames, vocab-size counts);
+#   - per-shuffle-partition offset frames (numPartitions rows:
+#     global_rank/global_cumsum/budget_select, skyline/prefix stats);
+#   - top-k / limit-capped / sketch-sized frames (heavy-hitter
+#     candidates, ``limit(vocab_size)`` vocab grids, benchmark shingle
+#     sets, CMS tables, PQ/IVF codebook tables — model-sized by
+#     construction);
+#   - probe/query batches bounded by the operator's documented
+#     contract (brute-force/LSH/PQ top-k take bounded query sets; the
+#     corpus-sized-probe operators are exactly _HINT_FREE_OPERATORS);
+#   - opt-in ``broadcast_*`` knob branches (label_propagation, k_core)
+#     — default-off is enforced by
+#     test_operator_broadcast_knobs_default_off and every plans/
+#     opt-in site is allowlisted as bounded above.
+# A NEW broadcast hint anywhere in operators/ fails this test until
+# its (file, function) is audited and added here.
+_BROADCAST_HINT_ALLOWLIST = {
+    ("curation.py", "budget_select"),
+    ("curation.py", "decontaminate"),
+    ("curation.py", "decontaminate_fuzzy"),
+    ("curation.py", "dsir_importance_weights"),
+    ("curation.py", "dsir_logratio_table"),
+    ("curation.py", "global_cumsum"),
+    ("curation.py", "global_rank"),
+    ("dedup.py", "bloom_new_docs"),
+    ("frequency.py", "cms_estimate"),
+    ("frequency.py", "heavy_hitters"),
+    ("graph.py", "k_core"),
+    ("graph.py", "label_propagation"),
+    ("graph.py", "pagerank"),
+    ("mixing.py", "resample"),
+    ("privacy.py", "t_closeness_report"),
+    ("profiling.py", "psi_drift"),
+    ("similarity.py", "brute_force_topk"),
+    ("similarity.py", "brute_force_topk_int8"),
+    ("similarity.py", "ivfpq_topk"),
+    ("similarity.py", "lsh_topk"),
+    ("similarity.py", "pq_adc_topk"),
+    ("sketches.py", "audience_overlap_matrix"),
+    ("sketches.py", "join_key_overlap_estimate"),
+    ("skew.py", "skew_report"),
+    ("stats.py", "running_prefix_max"),
+    ("stats.py", "skyline_2d"),
+    ("textsearch.py", "bm25_topk"),
+    ("textsearch.py", "tfidf_topk"),
+    ("textstats.py", "bigram_logprob"),
+    ("textstats.py", "hashed_tfidf_vectors"),
+    ("textstats.py", "source_token_drift"),
+    ("textstats.py", "stupid_backoff_score"),
+    ("textstats.py", "tfidf_top_terms"),
+    ("textstats.py", "unigram_logprob"),
+}
+
+
+def test_operator_broadcast_hints_are_allowlisted():
+    """r11 inversion of the r10 probe-operator guard (ADVICE r10 #2):
+    the r10 guard watched only three enumerated functions and only the
+    attribute-call spelling, so the leak class it closed (a forced
+    broadcast of an SF-scaling frame inside an operator body) could
+    recur undetected anywhere else.  Scan ALL operator bodies for both
+    hint spellings and pin the complete audited-bounded set; the
+    known-scaling operators (_HINT_FREE_OPERATORS) must additionally
+    stay off the allowlist, preserving the r10 guarantee."""
     import ast
     import pathlib
 
     import gcp_cloudsql_airflow_bigquery_spark.operators as ops_pkg
 
+    assert not (_HINT_FREE_OPERATORS & _BROADCAST_HINT_ALLOWLIST)
+
     ops_dir = pathlib.Path(ops_pkg.__file__).parent
     offenders = []
     for path, fn in _iter_module_functions(ops_dir):
-        if (path.name, fn.name) not in _HINT_FREE_OPERATORS:
-            continue
         for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
             f = call.func
-            if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+            hinted = (
+                isinstance(f, ast.Attribute) and f.attr == "broadcast"
+            ) or (isinstance(f, ast.Name) and f.id == "broadcast")
+            if hinted and (path.name, fn.name) not in _BROADCAST_HINT_ALLOWLIST:
                 offenders.append(f"{path.name}:{call.lineno} {fn.name}")
     assert not offenders, offenders
