@@ -3699,61 +3699,58 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # r11 (VERDICT r10 #4, same mechanism as graph.pagerank): each
+    # half-step is ONE spark.sql statement over temp views instead of
+    # ~12 chained DataFrame calls — the computation (joins, decimal
+    # casts, the ROUND(12) pin, the no-hint 1-row cross join) is
+    # unchanged and the physical plan identical modulo expr ids
+    # (plans/r11/event_type_hits_*); only the py4j share of the
+    # per-half-step driver floor is cut (~30% of construct, the r10
+    # probe's measured split).  Each half-step still eagerly
+    # localCheckpoints: it references its raw frame TWICE (per-node
+    # join + total) — without the cut the plan doubles twice per
+    # round (4^rounds analysis blowup); the frame is |types|-sized,
+    # so the eager cut is free.
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    edges_v = f"hits_edges_{tag}"
+    nodes_v = f"hits_nodes_{tag}"
+    score_v = f"hits_score_{tag}"
+    edges.createOrReplaceTempView(edges_v)
+    nodes.createOrReplaceTempView(nodes_v)
+    half_sql = """
+WITH raws AS (
+  SELECT e.{to_col} AS k, SUM(CAST(s.{score} * e.n AS DECIMAL(28,12))) AS raw
+  FROM {ev} e JOIN {sv} s ON e.{from_col} = s.node
+  GROUP BY e.{to_col}
+),
+tot AS (SELECT CAST(SUM(raw) AS DOUBLE) AS tot FROM raws)
+SELECT n.node,
+       ROUND(CAST(COALESCE(r.raw, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+             / t.tot, 12) AS {out}
+FROM {nd} n
+LEFT JOIN raws r ON n.node = r.k
+CROSS JOIN tot t
+"""
+    auth_sql = half_sql.format(
+        ev=edges_v, nd=nodes_v, sv=score_v,
+        from_col="src", to_col="dst", score="hub", out="auth",
+    )
+    hub_sql = half_sql.format(
+        ev=edges_v, nd=nodes_v, sv=score_v,
+        from_col="dst", to_col="src", score="auth", out="hub",
+    )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(_HITS_ROUNDS):
-        araw = (
-            edges.join(hub, edges.src == hub.node)
-            .select(
-                F.col("dst"),
-                (F.col("hub") * F.col("n")).cast("decimal(28,12)").alias("t"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("t").alias("raw"))
-        )
-        atot = araw.agg(F.sum("raw").cast("double").alias("tot"))
-        auth = (
-            nodes.join(araw, nodes.node == araw.dst, "left")
-            .crossJoin(atot)
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
-                    .cast("double")
-                    / F.col("tot"),
-                    12,
-                ).alias("auth"),
-            )
-            # each half-step references the raw frame TWICE (per-node
-            # join + total); without a lineage cut the plan doubles
-            # twice per round — 4^rounds analysis blowup.  The frame
-            # is |types|-sized, so the eager cut is free.
-            .localCheckpoint(eager=True)
-        )
-        hraw = (
-            edges.join(auth, edges.dst == auth.node)
-            .select(
-                F.col("src"),
-                (F.col("auth") * F.col("n")).cast("decimal(28,12)").alias("t"),
-            )
-            .groupBy("src")
-            .agg(F.sum("t").alias("raw"))
-        )
-        htot = hraw.agg(F.sum("raw").cast("double").alias("tot"))
-        hub = (
-            nodes.join(hraw, nodes.node == hraw.src, "left")
-            .crossJoin(htot)
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("raw"), F.lit(0).cast("decimal(28,12)"))
-                    .cast("double")
-                    / F.col("tot"),
-                    12,
-                ).alias("hub"),
-            )
-            .localCheckpoint(eager=True)  # same double-reference cut
-        )
+        hub.createOrReplaceTempView(score_v)
+        auth = spark.sql(auth_sql).localCheckpoint(eager=True)
+        auth.createOrReplaceTempView(score_v)
+        hub = spark.sql(hub_sql).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(edges_v)
+    spark.catalog.dropTempView(nodes_v)
+    spark.catalog.dropTempView(score_v)
     return (
         hub.join(auth, "node")
         .select(

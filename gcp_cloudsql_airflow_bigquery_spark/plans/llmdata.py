@@ -1597,7 +1597,17 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, and the per-topic audit.  Output: per-topic doc and
     distinct-source counts."""
     docs = _docs(spark, sf_dir)
-    vecs = textstats.hashed_tfidf_vectors(docs, dim=64, portable=True)
+    # Eager checkpoint (guide §5, the r10 wave-4c model-frame shape):
+    # ivf_build makes 3 training passes (init collect + 2 Lloyd
+    # rounds) and the final assignment a 4th — without the cut each
+    # pass re-tokenizes + re-hashes the corpus into TF-IDF vectors.
+    # This differs from ivf_build's documented r7 negative result
+    # (checkpointing a RAW 64-dim parquet scan was slower than
+    # re-scanning): here the input is an EXPENSIVE DERIVED frame, so
+    # one materialization replaces four corpus passes.
+    vecs = textstats.hashed_tfidf_vectors(
+        docs, dim=64, portable=True
+    ).localCheckpoint(eager=True)
     centroids = similarity.ivf_build(
         vecs, n_centroids=8, iters=2, id_col="doc_id", vec_col="vec"
     )
