@@ -29,6 +29,23 @@ from .textstats import normalize_text, tokens
 
 END_MARK = "▁"  # end-of-word sentinel (SentencePiece-style block)
 
+# Lineage-cut cadence of bpe_encode's stacked merge folds (one lazy
+# localCheckpoint every N merge levels).  Catalyst tree transforms
+# lose node sharing, so an unbroken chain of nested ``aggregate``
+# expressions grows exponentially (measured r9: OOM at plan build past
+# ~8 levels).  r11 measured 2/4/8 interleaved min-of-3 at sf0.1
+# (OPTIMIZATION_r11.md wave 3): 8 wins (~−20% on both BPE queries —
+# half the lazy-cut analyses, still at the documented safe depth; the
+# merge count is model-pinned at 24, so the nesting depth is fixed
+# regardless of SF).
+_ENCODE_CUT_EVERY = 8
+
+# Per-merge-round lineage-cut mode of bpe_train's word-frequency frame.
+# Lazy folds the checkpoint materialization into the NEXT round's
+# top-pair job (one Spark job per merge round); eager would add a
+# second job per round.  r11 measured both — see OPTIMIZATION_r11.md.
+_TRAIN_CUT_EAGER = False
+
 
 def _chars(word: Column) -> Column:
     """Word → array of single-character symbols + end-of-word mark."""
@@ -133,7 +150,7 @@ def bpe_train(
         # lazy checkpoint: the NEXT round's aggregation materializes the
         # merge and reads its stats in the same job
         wf = wf.select("n", merge_pair_in(F.col("sym"), a, b).alias("sym"))
-        wf = wf.localCheckpoint(eager=False)
+        wf = wf.localCheckpoint(eager=_TRAIN_CUT_EAGER)
     return merges
 
 
@@ -163,7 +180,7 @@ def bpe_encode(
         wmap = wmap.select(
             "word", merge_pair_in(F.col("toks"), a, b).alias("toks")
         )
-        if (i + 1) % 4 == 0:
+        if (i + 1) % _ENCODE_CUT_EVERY == 0:
             wmap = wmap.localCheckpoint(eager=False)
     # word order inside the doc is restored by sorting the collected
     # (pos, toks) structs — collect_list alone has no order contract.
